@@ -1,0 +1,390 @@
+"""Minimal mutable DOM for the extraction core.
+
+Pure-Python node tree with the traversal/mutation surface Readability needs
+(behavioral parity targets: reference ``Readability/DomExtensions.cs`` helpers
+and the DOM calls made by ``Readability.js``; see SURVEY.md §2.9).
+
+Design notes
+------------
+- Children are plain Python lists; mutation helpers keep ``parent`` pointers
+  coherent.
+- Tag names and attribute names are lowercase ASCII.
+- Attribute values are entity-decoded strings (the parser decodes them).
+- ``Element.tag`` is mutable: ``set_tag`` covers the reference's
+  ``_setNodeTag`` (keep attrs + children, swap name) without reallocating.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Iterable, Iterator, Optional
+
+_WS_RE = re.compile(r"\s+")
+
+
+class Node:
+    __slots__ = ("parent",)
+
+    def __init__(self) -> None:
+        self.parent: Optional[Element] = None
+
+    # -- tree position ----------------------------------------------------
+    @property
+    def index_in_parent(self) -> int:
+        assert self.parent is not None
+        return self.parent.children.index(self)
+
+    @property
+    def next_sibling(self) -> Optional["Node"]:
+        if self.parent is None:
+            return None
+        sibs = self.parent.children
+        i = sibs.index(self)
+        return sibs[i + 1] if i + 1 < len(sibs) else None
+
+    @property
+    def previous_sibling(self) -> Optional["Node"]:
+        if self.parent is None:
+            return None
+        sibs = self.parent.children
+        i = sibs.index(self)
+        return sibs[i - 1] if i > 0 else None
+
+    @property
+    def next_element_sibling(self) -> Optional["Element"]:
+        n = self.next_sibling
+        while n is not None and not isinstance(n, Element):
+            n = n.next_sibling
+        return n
+
+    @property
+    def previous_element_sibling(self) -> Optional["Element"]:
+        n = self.previous_sibling
+        while n is not None and not isinstance(n, Element):
+            n = n.previous_sibling
+        return n
+
+    # -- mutation ----------------------------------------------------------
+    def remove(self) -> "Node":
+        """Detach from parent; returns self."""
+        if self.parent is not None:
+            self.parent.children.remove(self)
+            self.parent = None
+        return self
+
+    def replace_with(self, other: "Node") -> None:
+        assert self.parent is not None
+        parent = self.parent
+        i = parent.children.index(self)
+        other.remove()
+        parent.children[i] = other
+        other.parent = parent
+        self.parent = None
+
+    def insert_before(self, new: "Node") -> None:
+        """Insert ``new`` as previous sibling of self."""
+        assert self.parent is not None
+        new.remove()
+        i = self.parent.children.index(self)
+        self.parent.children.insert(i, new)
+        new.parent = self.parent
+
+    def insert_after(self, new: "Node") -> None:
+        assert self.parent is not None
+        new.remove()
+        i = self.parent.children.index(self)
+        self.parent.children.insert(i + 1, new)
+        new.parent = self.parent
+
+    # -- text --------------------------------------------------------------
+    @property
+    def text_content(self) -> str:
+        return ""
+
+    def ancestors(self, max_depth: int = 0) -> Iterator["Element"]:
+        """Yield parent chain (closest first); max_depth=0 → unbounded."""
+        i = 0
+        node = self.parent
+        while node is not None:
+            i += 1
+            yield node
+            if max_depth and i >= max_depth:
+                break
+            node = node.parent
+
+
+class Text(Node):
+    __slots__ = ("data",)
+
+    def __init__(self, data: str) -> None:
+        super().__init__()
+        self.data = data
+
+    @property
+    def text_content(self) -> str:
+        return self.data
+
+    def is_whitespace(self) -> bool:
+        return not self.data.strip()
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Text({self.data[:40]!r})"
+
+
+class Comment(Node):
+    __slots__ = ("data",)
+
+    def __init__(self, data: str) -> None:
+        super().__init__()
+        self.data = data
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Comment({self.data[:40]!r})"
+
+
+class Element(Node):
+    __slots__ = ("tag", "attrs", "children", "readability", "_flags")
+
+    def __init__(self, tag: str, attrs: Optional[dict] = None) -> None:
+        super().__init__()
+        self.tag = tag
+        self.attrs: dict = attrs if attrs is not None else {}
+        self.children: list[Node] = []
+        # side-band annotation slot (JS: node.readability = {contentScore})
+        self.readability: Optional[dict] = None
+        self._flags: int = 0  # bit flags: 1=svg-namespace, 2=data-table mark
+
+    # SVG-namespace mark: in a real DOM, SVG elements have a non-string
+    # className, which makes every class-string heuristic skip them.
+    @property
+    def is_svg(self) -> bool:
+        return bool(self._flags & 1)
+
+    def mark_svg(self) -> None:
+        self._flags |= 1
+
+    @property
+    def data_table(self) -> bool:
+        return bool(self._flags & 2)
+
+    def set_data_table(self, value: bool) -> None:
+        if value:
+            self._flags |= 2
+        else:
+            self._flags &= ~2
+
+    # -- attributes ---------------------------------------------------------
+    def get_attr(self, name: str, default: Optional[str] = None) -> Optional[str]:
+        return self.attrs.get(name, default)
+
+    def set_attr(self, name: str, value: str) -> None:
+        self.attrs[name] = value
+
+    def remove_attr(self, name: str) -> None:
+        self.attrs.pop(name, None)
+
+    def has_attr(self, name: str) -> bool:
+        return name in self.attrs
+
+    @property
+    def id(self) -> str:
+        return self.attrs.get("id", "") or ""
+
+    @property
+    def class_name(self) -> str:
+        return self.attrs.get("class", "") or ""
+
+    def class_list(self) -> list[str]:
+        return (self.attrs.get("class") or "").split()
+
+    # -- children -----------------------------------------------------------
+    def append_child(self, node: Node) -> Node:
+        node.remove()
+        self.children.append(node)
+        node.parent = self
+        return node
+
+    def element_children(self) -> list["Element"]:
+        return [c for c in self.children if isinstance(c, Element)]
+
+    @property
+    def first_element_child(self) -> Optional["Element"]:
+        for c in self.children:
+            if isinstance(c, Element):
+                return c
+        return None
+
+    # -- traversal ------------------------------------------------------------
+    def iter(self, include_self: bool = True) -> Iterator[Node]:
+        """Pre-order walk of the subtree (snapshot-free; don't mutate while iterating)."""
+        if include_self:
+            yield self
+        stack: list[Node] = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            yield node
+            if isinstance(node, Element):
+                stack.extend(reversed(node.children))
+
+    def iter_elements(self, include_self: bool = False) -> Iterator["Element"]:
+        for node in self.iter(include_self=include_self):
+            if isinstance(node, Element):
+                yield node
+
+    def get_elements_by_tag_name(self, *names: str) -> list["Element"]:
+        """Static snapshot (like querySelectorAll) of descendant elements by tag."""
+        want = set(names)
+        if "*" in want:
+            return list(self.iter_elements())
+        return [e for e in self.iter_elements() if e.tag in want]
+
+    def next_node(
+        self, ignore_self_and_kids: bool = False, within: Optional["Element"] = None
+    ) -> Optional["Element"]:
+        """Depth-first next *element* (JS _getNextNode semantics), staying inside ``within``."""
+        node: Node = self
+        if not ignore_self_and_kids:
+            for c in self.children:
+                if isinstance(c, Element):
+                    return c
+        while node is not None:
+            if within is not None and node is within:
+                return None
+            sib = node.next_sibling
+            while sib is not None:
+                if isinstance(sib, Element):
+                    return sib
+                sib = sib.next_sibling
+            node = node.parent
+            if node is None:
+                return None
+        return None
+
+    def remove_and_get_next(self, within: Optional["Element"] = None) -> Optional["Element"]:
+        nxt = self.next_node(ignore_self_and_kids=True, within=within)
+        self.remove()
+        return nxt
+
+    def find_ancestor(self, pred: Callable[["Element"], bool]) -> Optional["Element"]:
+        for a in self.ancestors():
+            if pred(a):
+                return a
+        return None
+
+    def has_ancestor_tag(
+        self,
+        tag: str,
+        max_depth: int = 3,
+        filter_fn: Optional[Callable[["Element"], bool]] = None,
+    ) -> bool:
+        # Depth accounting mirrors the reference loop exactly (it checks
+        # max_depth + 1 ancestor levels for a positive max_depth).
+        depth = 0
+        node = self.parent
+        while node is not None:
+            if max_depth > 0 and depth > max_depth:
+                return False
+            if node.tag == tag and (filter_fn is None or filter_fn(node)):
+                return True
+            node = node.parent
+            depth += 1
+        return False
+
+    # -- text ------------------------------------------------------------------
+    @property
+    def text_content(self) -> str:
+        parts: list[str] = []
+        stack: list[Node] = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Text):
+                parts.append(node.data)
+            elif isinstance(node, Element):
+                stack.extend(reversed(node.children))
+        return "".join(parts)
+
+    def set_text(self, text: str) -> None:
+        for c in list(self.children):
+            c.remove()
+        self.append_child(Text(text))
+
+    # -- misc --------------------------------------------------------------------
+    def set_tag(self, tag: str) -> "Element":
+        """Rename in place (reference _setNodeTag keeps attrs + children)."""
+        self.tag = tag
+        return self
+
+    def clone(self, deep: bool = True) -> "Element":
+        el = Element(self.tag, dict(self.attrs))
+        if deep:
+            for c in self.children:
+                if isinstance(c, Element):
+                    el.append_child(c.clone(deep=True))
+                elif isinstance(c, Text):
+                    el.append_child(Text(c.data))
+                elif isinstance(c, Comment):
+                    el.append_child(Comment(c.data))
+        return el
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<{self.tag} id={self.id!r} class={self.class_name!r} kids={len(self.children)}>"
+
+
+class Document(Element):
+    """Root node; also the node factory (mirrors DOM document)."""
+
+    __slots__ = ("base_uri",)
+
+    def __init__(self) -> None:
+        super().__init__("#document")
+        self.base_uri: Optional[str] = None
+
+    @property
+    def document_element(self) -> Optional[Element]:
+        for c in self.children:
+            if isinstance(c, Element) and c.tag == "html":
+                return c
+        return None
+
+    @property
+    def head(self) -> Optional[Element]:
+        html = self.document_element
+        if html is None:
+            return None
+        for c in html.children:
+            if isinstance(c, Element) and c.tag == "head":
+                return c
+        return None
+
+    @property
+    def body(self) -> Optional[Element]:
+        html = self.document_element
+        if html is None:
+            return None
+        for c in html.children:
+            if isinstance(c, Element) and c.tag == "body":
+                return c
+        return None
+
+    def create_element(self, tag: str) -> Element:
+        return Element(tag.lower())
+
+    def create_text_node(self, data: str) -> Text:
+        return Text(data)
+
+
+def remove_nodes(
+    nodes: Iterable[Node], filter_fn: Optional[Callable[[Element], bool]] = None
+) -> None:
+    """Remove a snapshot of nodes in reverse order, skipping already-detached ones
+    (emulates the reference's reverse live-list removal)."""
+    for node in reversed(list(nodes)):
+        if node.parent is None:
+            continue
+        if filter_fn is None or (isinstance(node, Element) and filter_fn(node)):
+            node.remove()
+
+
+def replace_node_tags(nodes: Iterable[Element], new_tag: str) -> None:
+    for node in list(nodes):
+        node.set_tag(new_tag)
