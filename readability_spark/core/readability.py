@@ -842,11 +842,13 @@ class Readability:
                 self._initialize_node(top_candidate)
             else:
                 alternative_ancestors = []
+                top_score = top_candidate.readability["contentScore"]
                 for i in range(1, len(top_candidates)):
+                    # JS x/0 is NaN/Infinity, never a throw; a zero top score
+                    # makes the ratio NaN → comparison false
                     if (
-                        top_candidates[i].readability["contentScore"]
-                        / top_candidate.readability["contentScore"]
-                        >= 0.75
+                        top_score != 0
+                        and top_candidates[i].readability["contentScore"] / top_score >= 0.75
                     ):
                         alternative_ancestors.append(self._get_ancestors(top_candidates[i]))
                 MIN_TOPCANDIDATES = 3

@@ -64,8 +64,38 @@ def inner_text(el, normalize: bool = True) -> str:
 
 
 def canonical_text(el) -> str:
-    """The per-url byte-identity invariant: fully collapsed text content."""
-    return normalize_spaces(el.text_content)
+    """The per-url byte-identity invariant (FIXTURES.md §3): text nodes in
+    document order, each whitespace-collapsed, empties dropped, joined with a
+    single space. Insensitive to inter-block formatting whitespace (the golden
+    expected.html files are pretty-printed)."""
+    from readability_spark.dom.node import Element, Text
+
+    parts = []
+    run: list = []  # directly-adjacent sibling text nodes merge into one run
+    # (serialize→reparse would merge them; the goldens went through that)
+
+    def flush():
+        if run:
+            norm = normalize_spaces("".join(run))
+            run.clear()
+            if norm:
+                parts.append(norm)
+
+    def walk(element):
+        for node in element.children:
+            if isinstance(node, Text):
+                run.append(node.data)
+            elif isinstance(node, Element):
+                flush()
+                walk(node)
+                flush()
+            # comments are invisible and do not break a text run (the golden
+            # corpus generator strips them entirely)
+
+    if isinstance(el, Element):
+        walk(el)
+        flush()
+    return " ".join(parts)
 
 
 def text_similarity(a: str, b: str) -> float:

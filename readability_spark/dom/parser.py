@@ -188,7 +188,10 @@ class _TreeBuilder(HTMLParser):
             top.append_child(Text(data))
 
     def handle_comment(self, data: str) -> None:
-        self.top.append_child(Comment(data))
+        # Comments are dropped at parse time (the reference pipeline's parser
+        # does the same; no golden fixture contains one, and keeping them
+        # would break phrasing-content runs differently than the reference).
+        pass
 
     def handle_decl(self, decl: str) -> None:  # doctype — ignored
         pass

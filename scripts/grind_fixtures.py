@@ -25,7 +25,7 @@ def run_case(name: str, verbose: bool = False):
     if art is None:
         got = None
     else:
-        got = normalize_spaces(art["_articleContent"].text_content)
+        got = canonical_text(art["_articleContent"])
     if exp is None:
         return ("NOEXP", None, exp, got)
     if got == exp:
