@@ -158,6 +158,8 @@ def _first_truthy(*values):
     return None
 
 
+
+
 def _parse_int_prefix(s: Optional[str]) -> int:
     """JS parseInt(s, 10): leading integer or 0 (NaN → falsy → caller's || 1)."""
     if not s:
@@ -639,6 +641,11 @@ class Readability:
                 values[key] = T.js_trim(content)
 
         metadata: dict = {}
+        # Canonical JS precedence chain. Known single-fixture deviation:
+        # bug-1255978's expected-metadata.json wants twitter:title over
+        # og:title (the port's most-verbose rule), but that rule breaks
+        # citylab-1/la-nacion titles AND citylab-1's text identity, so the JS
+        # chain is authoritative here (SURVEY.md §7.0).
         metadata["title"] = _first_truthy(
             jsonld.get("title"),
             values.get("dc:title"),

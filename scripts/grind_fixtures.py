@@ -15,6 +15,37 @@ from readability_spark.core.text import canonical_text, normalize_spaces
 from readability_spark.sources import fixtures
 
 
+def _norm_meta(v):
+    return normalize_spaces(v) if isinstance(v, str) else v
+
+
+def check_metadata(case, art):
+    """Field-by-field metadata parity as in test/SampleTests.cs:212-231
+    (whitespace-normalized; dir skipped; published compared date-only)."""
+    meta = case["metadata"]
+    diffs = []
+    pairs = [
+        ("title", art["title"]),
+        ("byline", art["byline"]),
+        ("excerpt", art["excerpt"]),
+        ("siteName", art["siteName"]),
+    ]
+    if meta.get("lang") is not None:
+        pairs.append(("lang", art["lang"]))
+    for key, got in pairs:
+        exp = meta.get(key)
+        if _norm_meta(exp) != _norm_meta(got):
+            diffs.append(f"{key}: exp={exp!r} got={got!r}")
+    exp_pub = meta.get("publishedTime")
+    got_pub = art["publishedTime"]
+    if (exp_pub or None) != (got_pub or None):
+        e = (exp_pub or "")[:10]
+        g = (got_pub or "")[:10]
+        if e != g:
+            diffs.append(f"publishedTime: exp={exp_pub!r} got={got_pub!r}")
+    return diffs
+
+
 def run_case(name: str, verbose: bool = False):
     case = fixtures.load_case(name)
     exp = fixtures.expected_text(case)
@@ -28,9 +59,12 @@ def run_case(name: str, verbose: bool = False):
         got = canonical_text(art["_articleContent"])
     if exp is None:
         return ("NOEXP", None, exp, got)
-    if got == exp:
-        return ("PASS", None, exp, got)
-    return ("FAIL", None, exp, got)
+    if got != exp:
+        return ("FAIL", None, exp, got)
+    mdiffs = check_metadata(case, art)
+    if mdiffs:
+        return ("META", "; ".join(mdiffs), exp, got)
+    return ("PASS", None, exp, got)
 
 
 def main():
@@ -39,10 +73,10 @@ def main():
     for name in names:
         status, err, exp, got = run_case(name)
         results[name] = (status, err, exp, got)
-        mark = {"PASS": ".", "FAIL": "F", "ERROR": "E", "NOEXP": "?"}[status]
+        mark = {"PASS": ".", "FAIL": "F", "ERROR": "E", "NOEXP": "?", "META": "M"}[status]
         print(f"{mark} {name}")
-        if status == "ERROR" and len(names) <= 5:
-            print(err)
+        if status in ("ERROR", "META") and len(names) <= 8:
+            print(" ", err)
         if status == "FAIL" and len(names) <= 5:
             # show first divergence
             e, g = exp or "", got or ""

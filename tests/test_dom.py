@@ -1,0 +1,118 @@
+"""DOM parser/serializer unit tests."""
+
+from readability_spark.dom import Element, Text, inner_html, parse_html
+from readability_spark.dom.parser import decode_html_bytes
+
+
+def test_basic_structure():
+    doc = parse_html("<html><head><title>T</title></head><body><p>hi</p></body></html>")
+    assert doc.document_element is not None
+    assert doc.head is not None and doc.body is not None
+    assert doc.body.first_element_child.tag == "p"
+    assert doc.body.text_content == "hi"
+
+
+def test_implied_structure_created():
+    doc = parse_html("<p>loose content</p>")
+    assert doc.body is not None
+    assert doc.body.first_element_child.tag == "p"
+
+
+def test_head_content_distribution():
+    doc = parse_html("<title>T</title><meta charset='utf-8'><p>body text</p>")
+    assert doc.head.get_elements_by_tag_name("title")
+    assert doc.body.text_content == "body text"
+
+
+def test_p_auto_close():
+    doc = parse_html("<body><p>one<p>two<div>three</div></body>")
+    ps = doc.body.get_elements_by_tag_name("p")
+    assert [p.text_content for p in ps] == ["one", "two"]
+    assert doc.body.get_elements_by_tag_name("div")[0].text_content == "three"
+
+
+def test_li_auto_close():
+    doc = parse_html("<ul><li>a<li>b<li>c</ul>")
+    lis = doc.get_elements_by_tag_name("li")
+    assert [li.text_content for li in lis] == ["a", "b", "c"]
+
+
+def test_table_cells_auto_close():
+    doc = parse_html("<table><tr><td>a<td>b<tr><td>c</table>")
+    assert len(doc.get_elements_by_tag_name("tr")) == 2
+    assert len(doc.get_elements_by_tag_name("td")) == 3
+
+
+def test_void_elements():
+    doc = parse_html("<body>a<br>b<img src='x.png'>c</body>")
+    assert doc.body.text_content == "abc"
+    assert len(doc.body.children) == 5
+
+
+def test_entities_decoded():
+    doc = parse_html("<body><p title='a&amp;b'>&lt;x&gt; &#65;</p></body>")
+    p = doc.get_elements_by_tag_name("p")[0]
+    assert p.text_content == "<x> A"
+    assert p.get_attr("title") == "a&b"
+
+
+def test_script_raw_text():
+    doc = parse_html("<body><script>if (a &lt; b) { x; }</script>after</body>")
+    script = doc.get_elements_by_tag_name("script")[0]
+    assert "&lt;" in script.text_content  # charrefs NOT decoded in raw text
+
+
+def test_comments_dropped():
+    doc = parse_html("<body><p>a<!-- comment -->b</p></body>")
+    p = doc.get_elements_by_tag_name("p")[0]
+    assert p.text_content == "ab"
+    assert len(p.children) == 1  # adjacent text merged
+
+
+def test_svg_marked():
+    doc = parse_html("<body><svg class='x'><circle/></svg></body>")
+    svg = doc.get_elements_by_tag_name("svg")[0]
+    assert svg.is_svg
+    assert svg.get_elements_by_tag_name("circle")[0].is_svg
+
+
+def test_self_closing_non_void_is_open_tag():
+    doc = parse_html("<body><span/>text</body>")
+    span = doc.get_elements_by_tag_name("span")[0]
+    assert span.text_content == "text"
+
+
+def test_serializer_roundtrip():
+    doc = parse_html('<body><div id="d" class="c">x &amp; <br>y</div></body>')
+    html = inner_html(doc.body)
+    assert html == '<div id="d" class="c">x &amp; <br>y</div>'
+
+
+def test_mutation_helpers():
+    doc = parse_html("<body><div><p>a</p><p>b</p></div></body>")
+    div = doc.get_elements_by_tag_name("div")[0]
+    p1, p2 = div.element_children()
+    p1.replace_with(Element("h2"))
+    assert div.first_element_child.tag == "h2"
+    p2.insert_before(Text("t"))
+    assert isinstance(div.children[1], Text)
+
+
+def test_next_node_traversal():
+    doc = parse_html("<body><div><p>a</p></div><section>s</section></body>")
+    div = doc.get_elements_by_tag_name("div")[0]
+    p = div.first_element_child
+    assert p.next_node().tag == "section"
+    assert div.next_node().tag == "p"
+    assert div.next_node(ignore_self_and_kids=True).tag == "section"
+
+
+def test_decode_bytes_meta_charset():
+    raw = '<html><head><meta charset="iso-8859-1"></head><body>caf\xe9</body></html>'.encode(
+        "iso-8859-1"
+    )
+    assert "café" in decode_html_bytes(raw)
+
+
+def test_decode_bytes_utf8_bom():
+    assert decode_html_bytes(b"\xef\xbb\xbf<p>x</p>") == "<p>x</p>"
