@@ -1,0 +1,148 @@
+"""The extraction operator: vectorized Arrow ``mapInPandas`` over html bytes.
+
+Spark-first design (SURVEY.md §1.4/§3.4):
+
+- input: DataFrame with at least (url: string, html: binary|string);
+- the DOM parse + Readability pipeline runs entirely inside the Python worker
+  per Arrow batch — the DOM never crosses the JVM↔Python boundary, and there
+  is no per-row Python fallback serialization (north rule);
+- failures are isolated per document (``ok=false, err=...``), never failing
+  the task, so ``spark.task.maxFailures`` retries stay cheap and the job is
+  restartable;
+- pure function of (html, url, options) — deterministic under repartitioning
+  and retries.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ARTICLE_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), True),
+        StructField("ok", BooleanType(), False),
+        StructField("err", StringType(), True),
+        StructField("title", StringType(), True),
+        StructField("byline", StringType(), True),
+        StructField("dir", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("content_html", StringType(), True),
+        StructField("text", StringType(), True),
+        StructField("excerpt", StringType(), True),
+        StructField("site_name", StringType(), True),
+        StructField("published", StringType(), True),
+        StructField("length", IntegerType(), True),
+    ]
+)
+
+
+def _extract_one(url: Optional[str], html, options: dict, include_html: bool) -> dict:
+    """Extract a single document; never raises."""
+    # imports resolved once per worker via module import, cheap here
+    from readability_spark.core.readability import extract_article
+    from readability_spark.core.text import canonical_text
+
+    row = {k.name: None for k in ARTICLE_SCHEMA.fields}
+    row["url"] = url
+    row["ok"] = False
+    try:
+        if html is None:
+            row["err"] = "null html"
+            return row
+        art = extract_article(html, url=url, **options)
+        if art is None:
+            row["err"] = "no article found"
+            return row
+        row["ok"] = True
+        row["title"] = art["title"]
+        row["byline"] = art["byline"]
+        row["dir"] = art["dir"]
+        row["lang"] = art["lang"]
+        if include_html:
+            row["content_html"] = art["content"]
+        row["text"] = canonical_text(art["_articleContent"])
+        row["excerpt"] = art["excerpt"]
+        row["site_name"] = art["siteName"]
+        row["published"] = art["publishedTime"]
+        row["length"] = len(row["text"])
+    except Exception as exc:  # noqa: BLE001 — per-row failure isolation
+        row["ok"] = False
+        row["err"] = f"{type(exc).__name__}: {exc}"[:1000]
+    return row
+
+
+def make_extract_batches(options: Optional[dict] = None, include_html: bool = True):
+    """Build the mapInPandas function (options captured in the closure,
+    broadcast implicitly with the serialized function)."""
+    options = dict(options or {})
+
+    def extract_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            urls = pdf["url"] if "url" in pdf.columns else [None] * len(pdf)
+            htmls = pdf["html"]
+            out = [
+                _extract_one(u, h, options, include_html)
+                for u, h in zip(urls, htmls)
+            ]
+            yield pd.DataFrame(out, columns=[f.name for f in ARTICLE_SCHEMA.fields])
+
+    return extract_batches
+
+
+def extract(
+    df: DataFrame,
+    options: Optional[dict] = None,
+    include_html: bool = True,
+) -> DataFrame:
+    """url+html DataFrame → article DataFrame (ARTICLE_SCHEMA).
+
+    Column pruning: only (url, html) are shipped to Python — select them
+    explicitly so the parquet scan reads just those columns.
+    """
+    cols = [c for c in ("url", "html") if c in df.columns]
+    return df.select(*cols).mapInPandas(
+        make_extract_batches(options, include_html), ARTICLE_SCHEMA
+    )
+
+
+def readerable(df: DataFrame) -> DataFrame:
+    """Cheap pre-filter column: url + readerable boolean
+    (isProbablyReaderable; pipeline staging per SURVEY.md §4)."""
+    from pyspark.sql.types import BooleanType as _B
+
+    schema = StructType(
+        [
+            StructField("url", StringType(), True),
+            StructField("readerable", _B(), False),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        from readability_spark.core.readerable import is_probably_readerable
+        from readability_spark.dom.parser import parse_html
+
+        for pdf in it:
+            out = []
+            for u, h in zip(pdf["url"], pdf["html"]):
+                try:
+                    ok = is_probably_readerable(parse_html(h))
+                except Exception:
+                    ok = False
+                out.append({"url": u, "readerable": ok})
+            yield pd.DataFrame(out, columns=["url", "readerable"])
+
+    cols = [c for c in ("url", "html") if c in df.columns]
+    return df.select(*cols).mapInPandas(batches, schema)
