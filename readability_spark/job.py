@@ -1,0 +1,119 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Usage (packaged per SURVEY.md §3.4):
+
+    spark-submit --py-files readability_spark.zip -m readability_spark.job \\
+        --input  <parquet/iceberg path or 'synth:<sf_dir>'>  \\
+        --output <parquet dir, partitioned by bucket>        \\
+        --manifest <manifest parquet dir>                    \\
+        [--buckets 256] [--partitions 0] [--no-html] [--limit N]
+
+Resumable: completed buckets recorded in the manifest are skipped on restart
+(left anti-join). Output partitioned by bucket with dynamic partition
+overwrite, so re-running a bucket replaces its files atomically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="readability-spark extraction job")
+    p.add_argument("--input", required=True, help="input path, or synth:<sf_dir>")
+    p.add_argument("--output", required=True)
+    p.add_argument("--manifest", default=None)
+    p.add_argument("--buckets", type=int, default=256)
+    p.add_argument("--partitions", type=int, default=0, help="salted repartition width (0=off)")
+    p.add_argument("--no-html", action="store_true", help="drop content_html from output")
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--char-threshold", type=int, default=None)
+    return p
+
+
+def load_input(spark, spec: str):
+    if spec.startswith("synth:"):
+        from readability_spark.sources.pages import synthesize_pages
+
+        return synthesize_pages(spark, spec[len("synth:") :])
+    if spec.startswith("iceberg:"):
+        return spark.read.format("iceberg").load(spec[len("iceberg:") :])
+    return spark.read.parquet(spec)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("readability-spark-extract")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .getOrCreate()
+    )
+
+    from readability_spark.plans.pipeline import (
+        append_manifest,
+        length_histogram,
+        observed_extract,
+        pending_buckets,
+        read_manifest,
+        with_bucket,
+    )
+
+    pages = load_input(spark, args.input)
+    if args.limit:
+        pages = pages.limit(args.limit)
+
+    pages = with_bucket(pages, args.buckets)
+    manifest = read_manifest(spark, args.manifest) if args.manifest else None
+    pages = pending_buckets(pages, manifest)
+
+    options = {}
+    if args.char_threshold is not None:
+        options["char_threshold"] = args.char_threshold
+
+    t0 = time.time()
+    result, obs = observed_extract(
+        pages,
+        options=options,
+        include_html=not args.no_html,
+        n_buckets=args.buckets,
+        num_partitions=args.partitions or None,
+    )
+
+    (
+        result.write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(args.output)
+    )
+    elapsed = time.time() - t0
+
+    metrics = dict(obs.get)
+    metrics["wall_sec"] = round(elapsed, 3)
+    metrics["docs_per_sec"] = round(metrics.get("docs", 0) / elapsed, 2) if elapsed else None
+    metrics["boilerplate_bytes_stripped"] = (
+        (metrics.get("html_bytes") or 0) - (metrics.get("content_bytes") or 0)
+    )
+
+    if args.manifest:
+        append_manifest(spark.read.parquet(args.output), args.manifest)
+
+    hist = [
+        {"len_bucket": r["len_bucket"], "n": r["n"]}
+        for r in length_histogram(spark.read.parquet(args.output)).collect()
+    ]
+    metrics["length_histogram"] = hist
+
+    print(json.dumps(metrics, default=str))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,246 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families over the ``documents`` table, all expressed with JVM-side
+column expressions and shuffles that scale (no driver-side loops, no Python
+UDFs). Hash choice is md5 — portable across Spark and DuckDB so every stage
+has an exact SQL oracle. Pair generation is always candidate-banded (never a
+blind cross join): at 10^12 docs only same-bucket pairs are materialized.
+
+A deterministic duplicate-injection helper makes the small test tables
+actually contain duplicates so the queries return non-trivial results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DUP_OFFSET = 1_000_000
+
+
+def round4(col):
+    """Engine-portable 4-decimal rounding: floor(x*1e4 + 0.5)/1e4 — the same
+    double operations on both Spark and DuckDB, so no banker's/HALF_UP
+    boundary disagreements in value-hash comparisons."""
+    return F.floor(col * 10000.0 + 0.5) / 10000.0
+
+
+def with_injected_duplicates(docs: DataFrame, every: int = 10) -> DataFrame:
+    """documents ∪ copies of every `every`-th doc (doc_id += DUP_OFFSET).
+
+    Deterministic, SQL-expressible (the oracle applies the same union), and
+    gives dedup queries real duplicates to find.
+    """
+    dupes = docs.filter((F.col("doc_id") % every) == 0).withColumn(
+        "doc_id", F.col("doc_id") + DUP_OFFSET
+    )
+    return docs.unionByName(dupes)
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup: hash-groupBy (map-side combine; one shuffle on the hash)
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts: (fp, n_copies, keep_id, dup_ids...)."""
+    return (
+        docs.select(F.md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """The dedup itself: keep the smallest doc_id per identical text."""
+    w_fp = docs.select("doc_id", F.md5("text").alias("fp"))
+    keep = w_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return keep.join(w_fp.select("doc_id", "fp"), ["fp", "doc_id"]).select("doc_id", "fp")
+
+
+# ---------------------------------------------------------------------------
+# 2. MinHash + LSH (shingle → K minhashes → bands → bucket join → verify)
+# ---------------------------------------------------------------------------
+
+def _shingles(col, size: int = 3):
+    toks = F.split(col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - size, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, size)),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """K minhash values per doc. 'Permutation' k = md5 keyed by the hash
+    index; the minimum is lexicographic over hex strings (portable)."""
+    sh = _shingles(F.col("text"))
+    sig_cols = [
+        F.array_min(
+            F.transform(sh, lambda s, k=k: F.md5(F.concat(F.lit(f"{k}:"), s)))
+        ).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    return docs.select("doc_id", *sig_cols)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from LSH banding, verified with exact shingle Jaccard.
+
+    Scale shape: one shuffle to explode (doc, band, band_key), a self-join on
+    (band, band_key) — only same-bucket pairs materialize — then the verify
+    join recomputes shingle sets for candidates only.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    return (
+        cands.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            round4(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. SimHash (32-bit, portable nibble arithmetic) + byte-banding near-dup
+# ---------------------------------------------------------------------------
+
+def _hash32_expr(token_col: str, locate_fn: str = "instr") -> str:
+    """32-bit integer from the first 8 hex chars of md5 — via nibble decode,
+    identical semantics in Spark SQL (instr) and DuckDB (strpos)."""
+    parts = []
+    for i in range(8):
+        parts.append(
+            f"({locate_fn}('0123456789abcdef', substr(md5({token_col}), {i + 1}, 1)) - 1) "
+            f"* cast(pow(16, {7 - i}) as bigint)"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Per-doc 32-bit simhash: sign of per-bit vote sums over token hashes."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("h", F.expr(_hash32_expr("tok")))
+    votes = [
+        F.sum(
+            F.when(((F.col("h") / F.lit(2**i)).cast("long") % 2) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = sum(
+        F.when(F.col(f"v{i}") >= 0, F.lit(2**i)).otherwise(F.lit(0)) for i in range(bits)
+    )
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs: band the 32-bit simhash into 4 bytes; pairs sharing
+    any byte are candidates (pigeonhole: hamming<=3 ⇒ one byte equal);
+    verify by popcount of xor."""
+    sh = simhash(docs)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        ((F.col("simhash") / F.lit(2 ** (8 * i))).cast("long") % 256).alias(
+                            "key"
+                        ),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    xor = F.expr("sh_a ^ sh_b")
+    ham = sum(((xor / F.lit(2**i)).cast("long") % 2) for i in range(32))
+    return (
+        cands.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. N-gram Jaccard (shared-shingle candidate join, no LSH approximation)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    exploded = sh.select("doc_id", F.explode("sh").alias("g"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(b, "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    return (
+        cands.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            round4(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

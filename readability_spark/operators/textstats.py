@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines over `documents`.
+
+All hot-path logic is JVM-side column expressions (split / filter / regexp —
+whole-stage codegen, no Python). Each operator has a matching DuckDB oracle in
+__spark_entry__ that recomputes the same deterministic definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readability_spark.operators.dedup import round4
+
+# Function-word lists for the n-gram/stopword language heuristic.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+ES_STOPWORDS = ("el", "la", "de", "los", "las", "y", "en", "es", "un", "una")
+
+
+def _hits_expr(col: str, words: tuple) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter(split({col}, ' '), x -> array_contains(array({arr}), x)))"
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish subword estimate
+    (word-count + extra units for long words, ~4 chars per subword)."""
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        (
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, w: acc + F.greatest(F.lit(1), F.ceil(F.length(w) / 4)).cast("long"),
+            )
+        ).alias("n_subwords"),
+        round4(
+            (F.length("text") - (F.size(toks) - 1)) / F.size(toks)
+        ).alias("avg_word_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Deterministic quality heuristics: length, stopword ratio, punctuation
+    ratio, repetition (distinct-token ratio); composite score in [0,1]."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    en_hits = F.expr(_hits_expr("text", EN_STOPWORDS))
+    punct_chars = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[^a-z0-9 ]", "")
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    stop_ratio = en_hits / n
+    len_score = F.least(F.lit(1.0), n / F.lit(64.0))
+    score = round4(
+        0.4 * len_score
+        + 0.3 * F.least(F.lit(1.0), stop_ratio * 4)
+        + 0.3 * distinct_ratio
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        round4(stop_ratio).alias("stopword_ratio"),
+        round4(punct_chars / F.length("text")).alias("punct_ratio"),
+        round4(distinct_ratio).alias("distinct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language heuristic (en vs es), with the table's own lang
+    column retained for accuracy evaluation."""
+    en_hits = F.expr(_hits_expr("text", EN_STOPWORDS))
+    es_hits = F.expr(_hits_expr("text", ES_STOPWORDS))
+    return docs.select(
+        "doc_id",
+        "lang",
+        en_hits.alias("en_hits"),
+        es_hits.alias("es_hits"),
+        F.when(en_hits >= es_hits, F.lit("en")).otherwise(F.lit("es")).alias("lang_pred"),
+    )
+
+
+def fingerprint(docs: DataFrame, shingle: int = 3) -> DataFrame:
+    """Document fingerprints: exact md5 plus a shingle fingerprint (min md5
+    over token 3-grams — order-robust near-dup key, winnowing-style)."""
+    toks = F.split(F.col("text"), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, shingle))),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("exact_fp"),
+        F.array_min(shingles).alias("shingle_fp"),
+    )

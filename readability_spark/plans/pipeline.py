@@ -1,0 +1,130 @@
+"""Scale-out plumbing: salted repartition, checkpoint/resume, metrics.
+
+What Catalyst gives for free stays declarative (scan pruning, pushdown, AQE);
+this module adds only the pieces Catalyst cannot infer around the opaque
+extraction UDF (SURVEY.md §4):
+
+- **Salted repartition** on ``pmod(xxhash64(url), P)``: Common-Crawl inputs
+  arrive clustered by domain (and page size correlates with domain), so a
+  straight scan feeds some tasks whole slow domains. Hashing the url
+  decorrelates work from input order; P should be a few × total cores.
+- **Bucketed checkpoint/resume**: every url belongs to a stable bucket
+  ``pmod(xxhash64(url), n_buckets)``. Completed buckets are recorded in a
+  manifest; a restarted job left-anti-joins the manifest and reprocesses only
+  pending buckets. Output is partitioned by bucket so each bucket's files are
+  replaced atomically (dynamic partition overwrite).
+- **Metrics via ``observe``**: docs seen/ok, extracted bytes, boilerplate
+  bytes stripped — collected on the driver without a second pass; plus an
+  extracted-length histogram as a tiny aggregate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
+
+DEFAULT_BUCKETS = 256
+
+
+def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS, key: str = "url") -> DataFrame:
+    """Stable work bucket for checkpointing: pmod(xxhash64(key), n)."""
+    return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
+
+def salted_repartition(df: DataFrame, num_partitions: int, key: str = "url") -> DataFrame:
+    """Defuse domain/size skew: repartition by url-hash, not input order."""
+    return df.repartition(num_partitions, F.pmod(F.xxhash64(F.col(key)), F.lit(num_partitions)))
+
+
+def read_manifest(spark: SparkSession, manifest_path: str) -> Optional[DataFrame]:
+    try:
+        return spark.read.parquet(manifest_path)
+    except Exception:
+        return None
+
+
+def pending_buckets(
+    df_with_bucket: DataFrame, manifest: Optional[DataFrame]
+) -> DataFrame:
+    """Left anti-join against completed buckets (resume semantics)."""
+    if manifest is None:
+        return df_with_bucket
+    done = manifest.select("bucket").distinct()
+    return df_with_bucket.join(F.broadcast(done), "bucket", "left_anti")
+
+
+def append_manifest(result: DataFrame, manifest_path: str) -> None:
+    """Record completed buckets: (bucket, n_docs, n_ok, run_ts)."""
+    (
+        result.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("ok").cast("long")).alias("n_ok"),
+        )
+        .withColumn("run_ts", F.current_timestamp())
+        .write.mode("append")
+        .parquet(manifest_path)
+    )
+
+
+def observed_extract(
+    pages: DataFrame,
+    options: Optional[dict] = None,
+    include_html: bool = True,
+    n_buckets: int = DEFAULT_BUCKETS,
+    num_partitions: Optional[int] = None,
+):
+    """extract() wrapped with salting, bucket column, and observe() metrics.
+
+    Returns (result_df, observation); observation.get is available after the
+    first action on result_df.
+    """
+    from readability_spark.operators.extract import ARTICLE_SCHEMA, _extract_one
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if num_partitions:
+        pages = salted_repartition(pages, num_partitions)
+
+    # keep html size through the UDF boundary for the boilerplate metric
+    schema = StructType(ARTICLE_SCHEMA.fields + [StructField("html_bytes", LongType(), True)])
+    opts = dict(options or {})
+    out_cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for u, h in zip(pdf["url"], pdf["html"]):
+                row = _extract_one(u, h, opts, include_html)
+                row["html_bytes"] = len(h) if h is not None else 0
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    result = pages.select("url", "html").mapInPandas(batches, schema)
+    result = with_bucket(result, n_buckets)
+
+    obs = Observation("extract_metrics")
+    result = result.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.col("ok").cast("long")).alias("docs_ok"),
+        F.sum("html_bytes").alias("html_bytes"),
+        F.sum(F.coalesce(F.length("content_html"), F.lit(0))).alias("content_bytes"),
+        F.sum(F.coalesce(F.col("length"), F.lit(0))).alias("text_chars"),
+    )
+    return result, obs
+
+
+def length_histogram(result: DataFrame, bucket_size: int = 500) -> DataFrame:
+    """Extracted-length histogram (SURVEY.md §2.10 aggregation demo)."""
+    return (
+        result.withColumn(
+            "len_bucket", (F.coalesce(F.col("length"), F.lit(0)) / bucket_size).cast("long")
+        )
+        .groupBy("len_bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("len_bucket")
+    )

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Local stand-in for the driver's correctness gate: run each queries() entry
+on Spark and its oracle_sql() on DuckDB over the same sf dir; compare row
+count, column set, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "0.01"
+ONLY = sys.argv[2:] or None
+SF_DIR = f"/root/testdata/sf{SF}"
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}" if v == int(v) else repr(round(v, 9))
+    return str(v)
+
+
+def table_repr(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "12g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"✗ {name}: SPARK ERROR {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"~ {name}: rows-only ({len(srows)} rows, no oracle)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"✗ {name}: ORACLE ERROR {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        ok = True
+        msgs = []
+        if len(srows) != len(orows):
+            ok = False
+            msgs.append(f"rowcount {len(srows)} vs {len(orows)}")
+        if sorted(scols) != sorted(c.lower() for c in ocols) and sorted(
+            c.lower() for c in scols
+        ) != sorted(c.lower() for c in ocols):
+            ok = False
+            msgs.append(f"columns {sorted(scols)} vs {sorted(ocols)}")
+        if ok:
+            sc, sv = table_repr(scols, srows)
+            oc, ov = table_repr([c.lower() for c in ocols], orows)
+            if sv != ov:
+                ok = False
+                diff = [(a, b) for a, b in zip(sv, ov) if a != b][:3]
+                extra_s = [x for x in sv if x not in set(ov)][:2]
+                extra_o = [x for x in ov if x not in set(sv)][:2]
+                msgs.append(f"values differ; first diffs: {diff} spark-only={extra_s} oracle-only={extra_o}")
+        if ok:
+            print(f"✓ {name} ({len(srows)} rows)")
+        else:
+            failures += 1
+            print(f"✗ {name}: " + "; ".join(msgs))
+    spark.stop()
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
