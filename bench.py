@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extract_docs_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("readability-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from readability_spark.operators.extract import extract
+    from readability_spark.plans.pipeline import salted_repartition
+    from readability_spark.sources.pages import synthesize_pages
+
+    queries: dict = {}
+
+    # -- headline: full extraction throughput over the synthesized corpus
+    pages = synthesize_pages(spark, SF_DIR)
+    pages = salted_repartition(pages, CPUS * 2).persist()
+    n_docs = pages.count()  # materialize input outside the timed section
+
+    extracted_rows = {}
+
+    def run_extract():
+        out = extract(pages, include_html=False)
+        extracted_rows["n"] = out.agg(
+            F.count("*").alias("n"), F.sum("length").alias("chars")
+        ).collect()[0]["n"]
+
+    queries["extract_articles"] = timed(run_extract)
+
+    qmap = entrymod.queries()
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+        "text_quality",
+        "text_fingerprints",
+        "windowed_event_counts",
+        "tpch_pricing_summary",
+        "tpch_revenue_by_nation",
+    ):
+        fn = qmap[name]
+        queries[name] = timed(lambda fn=fn: fn(spark, SF_DIR).count())
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "headline query wall time (extraction + dedup + ANN + stats) at sf dir",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "n_docs": n_docs,
+        "extract_docs_per_sec": round(n_docs / queries["extract_articles"], 2)
+        if queries["extract_articles"]
+        else None,
+    }
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -232,11 +232,30 @@ class Element(Node):
                 yield node
 
     def get_elements_by_tag_name(self, *names: str) -> list["Element"]:
-        """Static snapshot (like querySelectorAll) of descendant elements by tag."""
+        """Static snapshot (like querySelectorAll) of descendant elements by
+        tag, in document order. Hot path — hand-rolled stack walk."""
+        out: list = []
+        stack: list = self.children[::-1]
+        if len(names) == 1 and names[0] != "*":
+            want_one = names[0]
+            while stack:
+                node = stack.pop()
+                if isinstance(node, Element):
+                    if node.tag == want_one:
+                        out.append(node)
+                    if node.children:
+                        stack.extend(node.children[::-1])
+            return out
         want = set(names)
-        if "*" in want:
-            return list(self.iter_elements())
-        return [e for e in self.iter_elements() if e.tag in want]
+        everything = "*" in want
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Element):
+                if everything or node.tag in want:
+                    out.append(node)
+                if node.children:
+                    stack.extend(node.children[::-1])
+        return out
 
     def next_node(
         self, ignore_self_and_kids: bool = False, within: Optional["Element"] = None

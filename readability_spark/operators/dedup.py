@@ -78,15 +78,19 @@ def _shingles(col, size: int = 3):
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16) -> DataFrame:
     """K minhash values per doc. 'Permutation' k = md5 keyed by the hash
-    index; the minimum is lexicographic over hex strings (portable)."""
-    sh = _shingles(F.col("text"))
+    index; the minimum is lexicographic over hex strings (portable).
+
+    Plan shape: explode shingles → K md5s per (doc, shingle) → groupBy-min.
+    The explode prevents Catalyst's CollapseProject from re-inlining (and
+    re-computing) the shingle expression K times, and the min-aggregate gets
+    map-side partial aggregation — one cheap shuffle of K×32-byte rows.
+    """
+    exploded = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
     sig_cols = [
-        F.array_min(
-            F.transform(sh, lambda s, k=k: F.md5(F.concat(F.lit(f"{k}:"), s)))
-        ).alias(f"mh{k}")
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"mh{k}")
         for k in range(num_hashes)
     ]
-    return docs.select("doc_id", *sig_cols)
+    return exploded.groupBy("doc_id").agg(*sig_cols)
 
 
 def minhash_lsh_pairs(
