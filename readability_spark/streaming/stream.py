@@ -38,10 +38,18 @@ def stream_events(
 ):
     """availableNow streaming run of the same windowed aggregation, with a
     10-minute watermark; results land in an in-memory sink table."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    import os
+
+    # file streams require a directory source; stage the table into one
+    src_dir = os.path.join(checkpoint_dir + "_src", "events")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch.write.mode("overwrite").parquet(src_dir)
+    schema = batch.schema
     stream = (
         spark.readStream.schema(schema)
-        .parquet(f"{sf_dir}/events.parquet")
+        .parquet(src_dir)
+        # watermarks require TIMESTAMP (parquet column is TIMESTAMP_NTZ)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))

@@ -1,0 +1,161 @@
+"""Spark-level integration tests: the golden corpus through mapInPandas,
+checkpoint/resume, metrics, streaming parity, and determinism under
+partitioning."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from readability_spark.sources import fixtures
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def fixture_pages(spark):
+    rows = list(fixtures.input_rows())
+    if not rows:
+        pytest.skip("reference fixture corpus not present")
+    return spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+@pytest.fixture(scope="module")
+def expected_texts(spark):
+    rows = [
+        (f"http://fakehost/test/{name}/page.html", fixtures.expected_text(fixtures.load_case(name)))
+        for name in fixtures.fixture_names()
+    ]
+    return spark.createDataFrame(rows, "url string, expected_text string")
+
+
+def test_corpus_through_spark_byte_identical(spark, fixture_pages, expected_texts):
+    """The north-rule invariant, end to end through the Spark engine."""
+    from readability_spark.operators.extract import extract
+
+    out = extract(fixture_pages, include_html=False)
+    joined = out.join(expected_texts, "url", "inner")
+    assert joined.count() == fixture_pages.count()
+    mismatches = joined.filter(
+        ~F.col("ok") | (F.col("text") != F.col("expected_text"))
+    ).count()
+    assert mismatches == 0
+
+
+def test_determinism_under_partitioning(spark, fixture_pages):
+    """Identical output regardless of partition layout (SURVEY.md §7.3)."""
+    from readability_spark.operators.extract import extract
+
+    one = extract(fixture_pages.coalesce(1), include_html=False)
+    many = extract(fixture_pages.repartition(13), include_html=False)
+    a = {r["url"]: (r["ok"], r["text"], r["title"]) for r in one.collect()}
+    b = {r["url"]: (r["ok"], r["text"], r["title"]) for r in many.collect()}
+    assert a == b
+
+
+def test_failure_isolation(spark):
+    """Broken html must produce ok=false rows, not task failures."""
+    from readability_spark.operators.extract import extract
+
+    df = spark.createDataFrame(
+        [("u1", None), ("u2", b"<html><body><p>" + b"hello world, " * 60 + b"</p></body></html>")],
+        "url string, html binary",
+    )
+    rows = {r["url"]: r for r in extract(df).collect()}
+    assert rows["u1"]["ok"] is False and rows["u1"]["err"] is not None
+    assert rows["u2"]["ok"] is True
+
+
+def test_observed_extract_metrics(spark, fixture_pages):
+    from readability_spark.plans.pipeline import observed_extract
+
+    result, obs = observed_extract(fixture_pages, include_html=True, n_buckets=16)
+    n = result.count()
+    m = dict(obs.get)
+    assert m["docs"] == n == fixture_pages.count()
+    assert m["docs_ok"] >= n - 2
+    assert m["html_bytes"] > m["content_bytes"] > 0  # boilerplate was stripped
+
+
+def test_resume_protocol(spark, fixture_pages, tmp_path):
+    from readability_spark.plans.pipeline import (
+        append_manifest,
+        pending_buckets,
+        read_manifest,
+        with_bucket,
+    )
+
+    manifest_path = os.path.join(str(tmp_path), "manifest")
+    pages = with_bucket(fixture_pages, n_buckets=8)
+    # simulate a prior run that completed buckets {0..3}
+    done = pages.filter(F.col("bucket") < 4).withColumn("ok", F.lit(True))
+    append_manifest(done, manifest_path)
+
+    manifest = read_manifest(spark, manifest_path)
+    remaining = pending_buckets(pages, manifest)
+    assert remaining.filter(F.col("bucket") < 4).count() == 0
+    assert remaining.count() == pages.filter(F.col("bucket") >= 4).count()
+
+
+def test_salted_repartition_balance(spark, fixture_pages):
+    from readability_spark.plans.pipeline import salted_repartition
+
+    parts = (
+        salted_repartition(fixture_pages, 8)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    sizes = [r["count"] for r in parts]
+    # the salt must spread input-ordered rows across several partitions and
+    # never concentrate everything in one (8 hash values → >=4 partitions whp)
+    assert len(sizes) >= 4
+    assert max(sizes) < sum(sizes)
+
+
+def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+    from readability_spark.streaming.stream import (
+        stream_events,
+        windowed_event_counts_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in windowed_event_counts_batch(spark, sf).collect()
+    }
+    streamed = stream_events(spark, sf, str(tmp_path / "ckpt"))
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in streamed.collect()
+    }
+    assert got == batch
+
+
+def test_streaming_extract(spark, tmp_path, fixture_pages):
+    from readability_spark.streaming.stream import stream_extract
+
+    pages_path = str(tmp_path / "pages")
+    fixture_pages.limit(10).write.parquet(pages_path)
+    out = stream_extract(
+        spark, pages_path, str(tmp_path / "ckpt2"), str(tmp_path / "articles")
+    )
+    assert out.count() == 10
+    assert out.filter("ok").count() >= 9
+
+
+def test_media_plumbing(spark):
+    from readability_spark.operators.multimodal import (
+        extract_media_metadata,
+        synthesize_media,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    meta = extract_media_metadata(synthesize_media(docs))
+    rows = meta.collect()
+    assert len(rows) == 50
+    assert all(r["byte_len"] > 0 and r["width"] >= 1 for r in rows)
