@@ -56,7 +56,13 @@ def main() -> int:
     queries: dict = {}
 
     # -- headline: full extraction throughput over the synthesized corpus
+    # (replicated 10x so worker spin-up amortizes out of the steady-state rate)
+    repl = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "10"))
     pages = synthesize_pages(spark, SF_DIR)
+    reps = spark.range(repl).select(F.col("id").alias("rep"))
+    pages = pages.crossJoin(reps).select(
+        F.concat("url", F.lit("?r="), "rep").alias("url"), "html"
+    )
     pages = salted_repartition(pages, CPUS * 2).persist()
     n_docs = pages.count()  # materialize input outside the timed section
 

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Scaling-efficiency measurement (BASELINE.json north rule).
+
+No real cluster exists in this sandbox, so the two-cluster-size criterion is
+evidenced by running the SAME spark-submit job (packaged with --py-files) on
+the SAME input at two parallelism levels — local[N] and local[4N] — and
+reporting throughput at both plus efficiency = (thr_4N / thr_N) / 4.
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_SMALL = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+N_BIG = 4 * N_SMALL
+REPLICATION = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "20"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def make_zip(tmp: str) -> str:
+    zpath = os.path.join(tmp, "readability_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        pkg = os.path.join(REPO, "readability_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def prepare_input(tmp: str) -> tuple:
+    """Materialize the replicated page table once (shared by both runs)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from readability_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, SF_DIR)
+    reps = spark.range(REPLICATION).select(F.col("id").alias("rep"))
+    big = pages.crossJoin(reps).select(
+        F.concat("url", F.lit("?r="), "rep").alias("url"), "warc_ts", "html", "text", "lang"
+    )
+    path = os.path.join(tmp, "pages")
+    big.repartition(128).write.parquet(path)
+    n = spark.read.parquet(path).count()
+    spark.stop()
+    return path, n
+
+
+def run_job(cpus: int, zpath: str, input_path: str, tmp: str) -> dict:
+    out = os.path.join(tmp, f"out_{cpus}")
+    cmd = [
+        "spark-submit",
+        "--master",
+        f"local[{cpus}]",
+        "--driver-memory",
+        "24g",
+        "--conf",
+        f"spark.sql.shuffle.partitions={max(cpus, 8)}",
+        "--conf",
+        "spark.ui.enabled=false",
+        "--py-files",
+        zpath,
+        os.path.join(REPO, "readability_spark", "job.py"),
+        "--input",
+        input_path,
+        "--output",
+        out,
+        "--no-html",
+        "--partitions",
+        str(cpus * 2),
+        "--buckets",
+        "64",
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(proc.stdout[-3000:] + "\n" + proc.stderr[-5000:])
+        raise RuntimeError(f"job at local[{cpus}] produced no JSON")
+    return json.loads(lines[-1])
+
+
+def main() -> int:
+    tmp = tempfile.mkdtemp(prefix="rs_scale_")
+    try:
+        zpath = make_zip(tmp)
+        input_path, n_docs = prepare_input(tmp)
+        results = {}
+        for cpus in (N_SMALL, N_BIG):
+            m = run_job(cpus, zpath, input_path, tmp)
+            results[cpus] = m
+        thr_small = results[N_SMALL]["docs_per_sec"]
+        thr_big = results[N_BIG]["docs_per_sec"]
+        efficiency = round((thr_big / thr_small) / (N_BIG / N_SMALL), 3)
+        summary = {
+            "metric": "extraction scaling efficiency local[N] vs local[4N]",
+            "n_docs": n_docs,
+            "n_small": N_SMALL,
+            "n_big": N_BIG,
+            "docs_per_sec_small": thr_small,
+            "docs_per_sec_big": thr_big,
+            "wall_small_sec": results[N_SMALL]["wall_sec"],
+            "wall_big_sec": results[N_BIG]["wall_sec"],
+            "efficiency": efficiency,
+            "target": 0.8,
+            "pass": efficiency >= 0.8,
+        }
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+            f.write(
+                f"""# BENCH/BASELINE — measured numbers
+
+## Scaling efficiency (north-rule criterion, sandbox proxy)
+
+Same `spark-submit --py-files readability_spark.zip` extraction job, same
+input ({n_docs} synthesized Common-Crawl-shaped pages from {SF_DIR}),
+two parallelism levels:
+
+| config | wall (s) | throughput (docs/sec) |
+|---|---|---|
+| local[{N_SMALL}] | {results[N_SMALL]['wall_sec']} | {thr_small} |
+| local[{N_BIG}] | {results[N_BIG]['wall_sec']} | {thr_big} |
+
+**Scaling efficiency (thr_{N_BIG} / thr_{N_SMALL}) / {N_BIG // N_SMALL} = {efficiency}**
+(target >= 0.8: {"PASS" if efficiency >= 0.8 else "FAIL"})
+
+Measured via `scripts/bench_scaling.py` (JVM startup excluded; job-internal
+wall time covers scan -> salted repartition -> mapInPandas extraction ->
+partitioned parquet write + manifest).
+"""
+            )
+        print(json.dumps(summary))
+        return 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
