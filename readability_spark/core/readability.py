@@ -202,6 +202,8 @@ class Readability:
         self._link_density_modifier = link_density_modifier
         self._flags = FLAG_STRIP_UNLIKELYS | FLAG_WEIGHT_CLASSES | FLAG_CLEAN_CONDITIONALLY
         self._doc_url = DocumentUrl.from_document(doc, doc.base_uri)
+        # raw source (decoded) for cheap pristine-body restoration on retries
+        self._source_html: Optional[str] = None
 
     # ---------------------------------------------------------------- flags
     def _flag_is_active(self, flag: int) -> bool:
@@ -693,12 +695,42 @@ class Readability:
         return metadata
 
     # ------------------------------------------------------------ grabArticle
+    def _restore_page(self, page: Element) -> bool:
+        """Rebuild pristine body content for a flag-sieve retry.
+
+        The reference caches the prepped body's serialized HTML up front and
+        re-parses it on retry; re-running (parse → unwrap-noscript →
+        remove-scripts → prep) on the raw source is semantically identical
+        (all passes are deterministic) and moves the cost off the common
+        no-retry path — most documents never retry.
+        """
+        if self._source_html is None:
+            return False
+        doc2 = parse_html(self._source_html, base_uri=self._doc.base_uri)
+        r2 = Readability(doc2)
+        r2._unwrap_noscript_images()
+        r2._remove_scripts()
+        r2._prep_document()
+        body2 = doc2.body
+        if body2 is None:
+            return False
+        for c in list(page.children):
+            c.remove()
+        for c in list(body2.children):
+            page.append_child(c)
+        return True
+
     def _grab_article(self) -> Optional[Element]:
         page = self._doc.body
         if page is None:
             return None
-        # cache pristine body content for the flag-sieve retries
-        page_cache = [_clone_node(c) for c in page.children]
+        # pristine body content for the flag-sieve retries: lazily rebuilt
+        # from the raw source when available, else cloned up front
+        page_cache = (
+            None
+            if self._source_html is not None
+            else [_clone_node(c) for c in page.children]
+        )
 
         while True:
             strip_unlikely = self._flag_is_active(FLAG_STRIP_UNLIKELYS)
@@ -963,10 +995,13 @@ class Readability:
             if text_length < self._char_threshold:
                 parse_successful = False
                 # restore pristine page content for the retry
-                for c in list(page.children):
-                    c.remove()
-                for c in page_cache:
-                    page.append_child(_clone_node(c))
+                if page_cache is not None:
+                    for c in list(page.children):
+                        c.remove()
+                    for c in page_cache:
+                        page.append_child(_clone_node(c))
+                else:
+                    self._restore_page(page)
                 self._attempts.append(
                     {"articleContent": article_content, "textLength": text_length}
                 )
@@ -1420,5 +1455,11 @@ def extract_article(
     html: "str | bytes", url: Optional[str] = None, **options
 ) -> Optional[dict]:
     """Convenience one-shot: parse HTML bytes/str and run Readability."""
+    from readability_spark.dom.parser import decode_html_bytes
+
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = decode_html_bytes(bytes(html))
     doc = parse_html(html, base_uri=url)
-    return Readability(doc, **options).parse()
+    reader = Readability(doc, **options)
+    reader._source_html = html
+    return reader.parse()

@@ -87,7 +87,7 @@ def run_job(cpus: int, zpath: str, input_path: str, tmp: str) -> dict:
         out,
         "--no-html",
         "--partitions",
-        str(cpus * 2),
+        str(cpus * 8),  # fine-grained tasks amortize salt-collision tails
         "--buckets",
         "64",
     ]
@@ -105,9 +105,14 @@ def main() -> int:
         zpath = make_zip(tmp)
         input_path, n_docs = prepare_input(tmp)
         results = {}
+        trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
         for cpus in (N_SMALL, N_BIG):
-            m = run_job(cpus, zpath, input_path, tmp)
-            results[cpus] = m
+            best = None
+            for _ in range(trials):
+                m = run_job(cpus, zpath, input_path, tmp)
+                if best is None or m["docs_per_sec"] > best["docs_per_sec"]:
+                    best = m
+            results[cpus] = best
         thr_small = results[N_SMALL]["docs_per_sec"]
         thr_big = results[N_BIG]["docs_per_sec"]
         efficiency = round((thr_big / thr_small) / (N_BIG / N_SMALL), 3)
