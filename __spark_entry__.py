@@ -302,6 +302,42 @@ SELECT doc_id, cast({sim} as bigint) AS simhash FROM votes
 """
 
 
+def _simhash_pairs_oracle() -> str:
+    """Mirror of dedup.simhash_near_pairs: simhash over the dup-injected
+    table, 4-byte banding self-join, hamming<=3 verify (same floor-division
+    bit arithmetic as the Spark side)."""
+    nib = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1) "
+        f"* cast(pow(16, {7 - i}) as bigint)"
+        for i in range(8)
+    )
+    votes = ", ".join(
+        f"sum(case when (h // {2**i}) % 2 = 1 then 1 else -1 end) as v{i}" for i in range(32)
+    )
+    sim = " + ".join(f"(case when v{i} >= 0 then {2**i} else 0 end)" for i in range(32))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band, (simhash // {2 ** (8 * i)}) % 256 AS key FROM sims"
+        for i in range(4)
+    )
+    ham = " + ".join(f"((xor(sh_a, sh_b) // {2**i}) % 2)" for i in range(32))
+    return f"""
+WITH dup AS ({_DUP_DOCS}),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM dup),
+hashed AS (SELECT doc_id, ({nib}) AS h FROM toks),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+sims AS (SELECT doc_id, cast({sim} as bigint) AS simhash FROM votes),
+bands AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, cast({ham} as int) AS hamming
+FROM cands WHERE {ham} <= 3
+"""
+
+
 def _minhash_oracle() -> str:
     mh = ", ".join(
         f"list_min(list_transform(sh, s -> md5('{k}:' || s))) AS mh{k}" for k in range(16)
@@ -481,6 +517,7 @@ FROM dup GROUP BY 1 HAVING count(*) > 1
 """,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
+        "dedup_simhash_near_pairs": _simhash_pairs_oracle(),
         "dedup_ngram_jaccard": _ngram_oracle(),
         "ann_cosine_topk": _ann_cosine_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
@@ -523,6 +560,4 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1
 """,
-        # dedup_simhash_near_pairs: derivable but left rows-only this round
-        # (the banding self-join oracle mirrors dedup_minhash_lsh's shape)
     }

@@ -239,6 +239,7 @@ def _normalize_structure(doc: Document) -> None:
 
     # distribute stray direct children of <html>
     seen_body = False
+    pre_body_idx = 0  # stray pre-<body> content goes at the START of body
     for child in list(html.children):
         if child is head:
             continue
@@ -256,13 +257,13 @@ def _normalize_structure(doc: Document) -> None:
             and child.tag in _HEAD_CONTENT
         ):
             head.append_child(child)
+        elif seen_body:
+            body.append_child(child)
         else:
-            if seen_body:
-                body.append_child(child)
-            else:
-                # content before <body>: forces body
-                body.children.insert(0 if not body.children else len(body.children), child.remove())
-                child.parent = body
+            child.remove()
+            body.children.insert(pre_body_idx, child)
+            child.parent = body
+            pre_body_idx += 1
 
 
 def parse_html(source: "str | bytes", base_uri: Optional[str] = None) -> Document:

@@ -87,6 +87,12 @@ def main(argv=None) -> int:
         num_partitions=args.partitions or None,
     )
 
+    # Align write tasks with bucket dirs: without this, every extraction task
+    # writes up to `buckets` dynamic-partition files (tasks × buckets small
+    # files whose commit cost is serial on the driver and kills scaling).
+    from pyspark.sql import functions as F
+
+    result = result.repartition(args.buckets, F.col("bucket"))
     (
         result.write.mode("overwrite")
         .partitionBy("bucket")
@@ -101,12 +107,13 @@ def main(argv=None) -> int:
         (metrics.get("html_bytes") or 0) - (metrics.get("content_bytes") or 0)
     )
 
+    out_df = spark.read.parquet(args.output)
     if args.manifest:
-        append_manifest(spark.read.parquet(args.output), args.manifest)
+        append_manifest(out_df, args.manifest)
 
     hist = [
         {"len_bucket": r["len_bucket"], "n": r["n"]}
-        for r in length_histogram(spark.read.parquet(args.output)).collect()
+        for r in length_histogram(out_df).collect()
     ]
     metrics["length_histogram"] = hist
 

@@ -116,6 +116,48 @@ def extract(
     )
 
 
+def extract_debug(df: DataFrame, k: int = 5) -> DataFrame:
+    """Diagnostic variant: url + ranked top-candidate (path, score) structs
+    (the reference's ArtScr probe, SURVEY.md §2.1/§2.9 GetPath)."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    schema = StructType(
+        [
+            StructField("url", StringType(), True),
+            StructField(
+                "top_candidates",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("path", StringType(), True),
+                            StructField("score", DoubleType(), True),
+                        ]
+                    )
+                ),
+                True,
+            ),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        from readability_spark.core.candidates import top_candidates
+
+        for pdf in it:
+            out = []
+            for u, h in zip(pdf["url"], pdf["html"]):
+                try:
+                    ranked = top_candidates(h, url=u, k=k)
+                except Exception:
+                    ranked = []
+                out.append({"url": u, "top_candidates": ranked})
+            yield pd.DataFrame(out, columns=["url", "top_candidates"])
+
+    cols = [c for c in ("url", "html") if c in df.columns]
+    return df.select(*cols).mapInPandas(batches, schema)
+
+
 def readerable(df: DataFrame) -> DataFrame:
     """Cheap pre-filter column: url + readerable boolean
     (isProbablyReaderable; pipeline staging per SURVEY.md §4)."""
