@@ -166,6 +166,16 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(load_embeddings(spark, sf_dir))
 
 
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        load_embeddings,
+        with_injected_near_dups,
+    )
+
+    return embedding_near_dup_pairs(with_injected_near_dups(load_embeddings(spark, sf_dir)))
+
+
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.multimodal import extract_media_metadata, synthesize_media
 
@@ -245,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "dedup_embedding_cosine": _q_embedding_near_dups,
         "media_metadata": _q_media_metadata,
         "windowed_event_counts": _q_windowed_events,
         "resume_pending_buckets": _q_resume_pending,
@@ -413,6 +424,45 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
 """
 
 
+def _embedding_near_dup_oracle() -> str:
+    """Mirror of similarity.embedding_near_dup_pairs over the dup-injected
+    embeddings table: sign-bit buckets vs the first 8 original vectors,
+    bucket self-join, exact cosine rerank, threshold 0.9."""
+    dot_pv = (
+        "list_sum(list_transform(generate_series(1, len(v.embedding)), "
+        "i -> v.embedding[i]::double * p.embedding[i]::double))"
+    )
+    cos_ab = (
+        "floor((list_sum(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> a.embedding[i]::double * b.embedding[i]::double)) / "
+        "(sqrt(list_sum(list_transform(a.embedding, x -> x::double * x::double))) * "
+        "sqrt(list_sum(list_transform(b.embedding, x -> x::double * x::double))))) "
+        "* 10000.0 + 0.5) / 10000.0"
+    )
+    return f"""
+WITH dup AS (
+  SELECT vec_id, embedding FROM embeddings UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+),
+p AS (SELECT vec_id AS plane_id, embedding FROM dup WHERE vec_id < 8),
+bits AS (
+  SELECT v.vec_id, p.plane_id,
+         CASE WHEN {dot_pv} >= 0 THEN 1 ELSE 0 END AS bit
+  FROM dup v, p
+),
+buckets AS (
+  SELECT vec_id, sum(bit * cast(pow(2.0, plane_id) as bigint)) AS bucket
+  FROM bits GROUP BY vec_id
+),
+wb AS (SELECT e.vec_id, e.embedding, b.bucket FROM dup e JOIN buckets b USING (vec_id)),
+cands AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos_ab} AS cosine
+  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM cands WHERE cosine >= 0.9
+"""
+
+
 def _ann_lsh_oracle() -> str:
     dot_pv = (
         "list_sum(list_transform(generate_series(1, len(v.embedding)), "
@@ -521,6 +571,7 @@ FROM dup GROUP BY 1 HAVING count(*) > 1
         "dedup_ngram_jaccard": _ngram_oracle(),
         "ann_cosine_topk": _ann_cosine_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
+        "dedup_embedding_cosine": _embedding_near_dup_oracle(),
         "media_metadata": """
 SELECT doc_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image/png'

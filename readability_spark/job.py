@@ -6,7 +6,7 @@ Usage (packaged per SURVEY.md §3.4):
         --input  <parquet/iceberg path or 'synth:<sf_dir>'>  \\
         --output <parquet dir, partitioned by bucket>        \\
         --manifest <manifest parquet dir>                    \\
-        [--buckets 256] [--partitions 0] [--no-html] [--limit N]
+        [--buckets 256] [--no-salt] [--no-html] [--limit N]
 
 Resumable: completed buckets recorded in the manifest are skipped on restart
 (left anti-join). Output partitioned by bucket with dynamic partition
@@ -27,7 +27,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True)
     p.add_argument("--manifest", default=None)
     p.add_argument("--buckets", type=int, default=256)
-    p.add_argument("--partitions", type=int, default=0, help="salted repartition width (0=off)")
+    p.add_argument("--no-salt", action="store_true", help="skip the salted url-hash repartition")
     p.add_argument("--no-html", action="store_true", help="drop content_html from output")
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--char-threshold", type=int, default=None)
@@ -79,20 +79,17 @@ def main(argv=None) -> int:
         options["char_threshold"] = args.char_threshold
 
     t0 = time.time()
+    # observed_extract salts on the url-hash bucket, so extraction tasks are
+    # already aligned with bucket dirs: one shuffle total, and the
+    # partitioned write below adds none (a misaligned plan writes tasks x
+    # buckets small files whose serial driver-side commit kills scaling).
     result, obs = observed_extract(
         pages,
         options=options,
         include_html=not args.no_html,
         n_buckets=args.buckets,
-        num_partitions=args.partitions or None,
+        salt=not args.no_salt,
     )
-
-    # Align write tasks with bucket dirs: without this, every extraction task
-    # writes up to `buckets` dynamic-partition files (tasks × buckets small
-    # files whose commit cost is serial on the driver and kills scaling).
-    from pyspark.sql import functions as F
-
-    result = result.repartition(args.buckets, F.col("bucket"))
     (
         result.write.mode("overwrite")
         .partitionBy("bucket")
@@ -107,15 +104,19 @@ def main(argv=None) -> int:
         (metrics.get("html_bytes") or 0) - (metrics.get("content_bytes") or 0)
     )
 
-    out_df = spark.read.parquet(args.output)
-    if args.manifest:
-        append_manifest(out_df, args.manifest)
-
-    hist = [
-        {"len_bucket": r["len_bucket"], "n": r["n"]}
-        for r in length_histogram(out_df).collect()
-    ]
-    metrics["length_histogram"] = hist
+    if metrics.get("docs"):
+        out_df = spark.read.parquet(args.output)
+        if args.manifest:
+            append_manifest(out_df, args.manifest)
+        metrics["length_histogram"] = [
+            {"len_bucket": r["len_bucket"], "n": r["n"]}
+            for r in length_histogram(out_df).collect()
+        ]
+    else:
+        # fully-resumed run: every bucket already in the manifest, nothing
+        # extracted, and the empty output dir has no schema to re-read
+        metrics["docs"] = 0
+        metrics["length_histogram"] = []
 
     print(json.dumps(metrics, default=str))
     spark.stop()

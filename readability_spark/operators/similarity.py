@@ -89,6 +89,47 @@ def lsh_bucket(emb: DataFrame, planes: DataFrame, n_planes: int = 8) -> DataFram
     return signed
 
 
+def with_injected_near_dups(emb: DataFrame, every: int = 10) -> DataFrame:
+    """Deterministically re-append every `every`-th vector under a new id so
+    near-dup queries have a known non-empty answer (cosine == 1 pairs)."""
+    dups = emb.filter(F.col("vec_id") % every == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    return emb.unionByName(dups)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.9, n_planes: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (the scale path).
+
+    Identical/near-identical vectors land in the same sign-bit bucket with
+    high probability, so the quadratic compare runs per-bucket instead of
+    all-pairs: at 10^12 vectors with 2^n_planes buckets the candidate volume
+    is sum(b_i^2) ≈ N^2/2^n_planes — tune n_planes so the expected bucket
+    fits one task. The bucket self-join shuffles 8-byte keys only; embeddings
+    are re-joined for the exact cosine rerank afterwards.
+    """
+    buckets = lsh_bucket(emb, emb, n_planes)
+    wb = emb.join(buckets, "vec_id")
+    a = wb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    b = wb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    cands = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = cands.select(
+        "id_a",
+        "id_b",
+        round4(
+            _dot(F.col("emb_a"), F.col("emb_b"))
+            / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
+        ).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
 def lsh_topk(
     emb: DataFrame, n_queries: int = 5, k: int = 10, n_planes: int = 8, round_to: int = 4
 ) -> DataFrame:

@@ -159,3 +159,21 @@ def test_media_plumbing(spark):
     rows = meta.collect()
     assert len(rows) == 50
     assert all(r["byte_len"] > 0 and r["width"] >= 1 for r in rows)
+
+
+def test_embedding_near_dup_pairs(spark):
+    from readability_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        load_embeddings,
+        with_injected_near_dups,
+    )
+
+    emb = with_injected_near_dups(load_embeddings(spark, "/root/testdata/sf0.001"))
+    pairs = embedding_near_dup_pairs(emb).collect()
+    # every injected copy pairs with its original at cosine == 1
+    injected = {(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] == r["id_a"] + 1000000}
+    n_orig = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        "vec_id % 10 = 0"
+    ).count()
+    assert len(injected) == n_orig
+    assert all(r["cosine"] >= 0.9 for r in pairs)
