@@ -1,0 +1,86 @@
+"""Physical-plan regression tests: the scale claims in docs/SCALE.md are
+properties of the plan, not prose — assert them so refactors can't silently
+reintroduce a shuffle or widen a scan (the plan shape is what survives the
+jump from sf0.1 to 100 TB)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extraction_plan_single_shuffle(spark):
+    """scan -> salted bucket repartition -> mapInPandas: exactly ONE exchange.
+
+    A second exchange means the write-alignment reshuffle crept back in
+    (measured cost: 0.63 vs 0.81 scaling efficiency 4->16 cores)."""
+    from readability_spark.plans.pipeline import observed_extract, with_bucket
+
+    pages = with_bucket(spark.read.parquet(f"{SF}/documents.parquet")
+                        .select(F.col("doc_id").cast("string").alias("url"),
+                                F.encode("text", "utf-8").alias("html")), 16)
+    result, _ = observed_extract(pages, include_html=False, n_buckets=16)
+    plan = plan_of(result)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_extraction_scan_prunes_columns(spark):
+    """Only url+html reach the parquet scan: html is ~99% of table bytes and
+    every other column scanned is pure waste at 100 TB."""
+    from readability_spark.operators.extract import extract
+
+    pages = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "utf-8").alias("html"),
+        F.col("lang"),
+        F.col("source"),
+    )
+    out = extract(pages, include_html=False)
+    plan = plan_of(out)
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "doc_id" in scan_line and "text" in scan_line
+    assert "lang" not in scan_line and "source" not in scan_line, scan_line
+
+
+def test_dimension_joins_broadcast(spark):
+    """TPC-H-style revenue query: nation/customer dims must broadcast —
+    a sort-merge join of a dimension table against the fact table is the
+    classic does-not-survive-100x plan."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["tpch_revenue_by_nation"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_manifest_antijoin_broadcast(spark):
+    """Resume anti-join broadcasts the tiny manifest, never shuffles pages."""
+    from readability_spark.plans.pipeline import pending_buckets, with_bucket
+
+    pages = with_bucket(
+        spark.read.parquet(f"{SF}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("url")
+        ),
+        16,
+    )
+    manifest = spark.range(4).select(F.col("id").alias("bucket"))
+    pending = pending_buckets(pages, manifest)
+    plan = plan_of(pending)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """length/lang pre-filters must reach the parquet scan as PushedFilters."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        (F.col("lang") == "en") & (F.col("n_chars") < 10000)
+    )
+    plan = plan_of(docs.select("doc_id"))
+    assert "PushedFilters: [" in plan
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "lang" in pushed and "n_chars" in pushed, pushed
