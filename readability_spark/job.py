@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-html", action="store_true", help="drop content_html from output")
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--char-threshold", type=int, default=None)
+    p.add_argument(
+        "--readerable-prefilter",
+        action="store_true",
+        help="skip full extraction for pages failing isProbablyReaderable",
+    )
     return p
 
 
@@ -77,6 +82,8 @@ def main(argv=None) -> int:
     options = {}
     if args.char_threshold is not None:
         options["char_threshold"] = args.char_threshold
+    if args.readerable_prefilter:
+        options["readerable_prefilter"] = True
 
     t0 = time.time()
     # observed_extract salts on the url-hash bucket, so extraction tasks are

@@ -46,9 +46,17 @@ ARTICLE_SCHEMA = StructType(
 
 
 def _extract_one(url: Optional[str], html, options: dict, include_html: bool) -> dict:
-    """Extract a single document; never raises."""
+    """Extract a single document; never raises.
+
+    options["readerable_prefilter"]: run isProbablyReaderable on the parsed
+    DOM and skip the expensive grab/cleanup passes for pages that fail it
+    (err="not_readerable"). One parse serves both — on crawl-shaped corpora
+    where most pages are nav/listing/login, this skips the majority of the
+    per-doc cost without a second pipeline stage (SURVEY.md §4: Catalyst
+    cannot stage around an opaque UDF, so the staging lives inside it).
+    """
     # imports resolved once per worker via module import, cheap here
-    from readability_spark.core.readability import extract_article
+    from readability_spark.core.readability import Readability, extract_article
     from readability_spark.core.text import canonical_text
 
     row = {k.name: None for k in ARTICLE_SCHEMA.fields}
@@ -58,7 +66,25 @@ def _extract_one(url: Optional[str], html, options: dict, include_html: bool) ->
         if html is None:
             row["err"] = "null html"
             return row
-        art = extract_article(html, url=url, **options)
+        if options.get("readerable_prefilter"):
+            from readability_spark.core.readerable import is_probably_readerable
+            from readability_spark.dom.parser import decode_html_bytes, parse_html
+
+            html_s = (
+                decode_html_bytes(bytes(html))
+                if isinstance(html, (bytes, bytearray, memoryview))
+                else html
+            )
+            doc = parse_html(html_s, base_uri=url)
+            if not is_probably_readerable(doc):
+                row["err"] = "not_readerable"
+                return row
+            opts = {k: v for k, v in options.items() if k != "readerable_prefilter"}
+            reader = Readability(doc, **opts)
+            reader._source_html = html_s
+            art = reader.parse()
+        else:
+            art = extract_article(html, url=url, **options)
         if art is None:
             row["err"] = "no article found"
             return row

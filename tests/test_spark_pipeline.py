@@ -177,3 +177,26 @@ def test_embedding_near_dup_pairs(spark):
     ).count()
     assert len(injected) == n_orig
     assert all(r["cosine"] >= 0.9 for r in pairs)
+
+
+def test_readerable_prefilter(spark, fixture_pages):
+    from readability_spark.operators.extract import extract
+
+    sample = fixture_pages.limit(30)
+    base = {r["url"]: r["text"] for r in extract(sample, include_html=False).collect()}
+    pre = extract(
+        sample, options={"readerable_prefilter": True}, include_html=False
+    ).collect()
+    skipped = [r for r in pre if r["err"] == "not_readerable"]
+    # pages that pass the prefilter must extract byte-identically
+    for r in pre:
+        if r["ok"]:
+            assert r["text"] == base[r["url"]]
+    # a plainly non-readerable page is skipped cheaply
+    tiny = spark.createDataFrame(
+        [("http://x/nav.html", b"<html><body><a href='/'>home</a></body></html>")],
+        "url string, html binary",
+    )
+    row = extract(tiny, options={"readerable_prefilter": True}).collect()[0]
+    assert not row["ok"] and row["err"] == "not_readerable"
+    assert isinstance(skipped, list)
