@@ -238,6 +238,40 @@ def _q_tpch_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_region_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table star join: all dimensions broadcast, one scan of lineitem."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+def _q_docs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(lang, source) corpus stats — the grouping-sets pattern used for
+    per-partition lineage/metrics dashboards at scale."""
+    docs = _docs(spark, sf_dir)
+    return docs.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_articles": _q_extract_articles,
@@ -261,6 +295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_pending_buckets": _q_resume_pending,
         "tpch_pricing_summary": _q_tpch_pricing,
         "tpch_revenue_by_nation": _q_tpch_revenue_by_nation,
+        "tpch_region_part_revenue": _q_tpch_region_part_revenue,
+        "docs_rollup_stats": _q_docs_rollup,
     }
 
 
@@ -610,5 +646,21 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1
+""",
+        "tpch_region_part_revenue": """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items,
+       count(DISTINCT s_suppkey) AS n_suppliers
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+""",
+        "docs_rollup_stats": """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars)::bigint AS total_chars
+FROM documents GROUP BY ROLLUP (lang, source)
 """,
     }
