@@ -58,6 +58,10 @@ def main(argv=None) -> int:
         SparkSession.builder.appName("readability-spark-extract")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # cap Arrow batch bytes: rows x avg_page must fit worker memory —
+        # the default 10k rows x ~100KB crawl pages is ~1 GB per in-flight
+        # batch per worker (docs/SCALE.md); 512 keeps it ~50 MB
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .getOrCreate()
     )
