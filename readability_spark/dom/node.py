@@ -21,6 +21,14 @@ from typing import Callable, Iterable, Iterator, Optional
 
 _WS_RE = re.compile(r"\s+")
 
+# Global tree-mutation epoch: every structural mutation bumps it, and
+# Element.text_content caches (epoch, text). Invalidation is deliberately
+# coarse (any mutation anywhere invalidates every cache) — the win is the
+# read-heavy scoring phases, where link-density/char-count/content-length
+# queries re-walk overlapping ancestor subtrees hundreds of times per
+# document with no mutations in between.
+_EPOCH = [0]
+
 
 class Node:
     __slots__ = ("parent",)
@@ -75,6 +83,7 @@ class Node:
         if self.parent is not None:
             self.parent.children.remove(self)
             self.parent = None
+            _EPOCH[0] += 1
         return self
 
     def replace_with(self, other: "Node") -> None:
@@ -85,6 +94,7 @@ class Node:
         parent.children[i] = other
         other.parent = parent
         self.parent = None
+        _EPOCH[0] += 1
 
     def insert_before(self, new: "Node") -> None:
         """Insert ``new`` as previous sibling of self."""
@@ -93,6 +103,7 @@ class Node:
         i = self.parent.children.index(self)
         self.parent.children.insert(i, new)
         new.parent = self.parent
+        _EPOCH[0] += 1
 
     def insert_after(self, new: "Node") -> None:
         assert self.parent is not None
@@ -100,6 +111,7 @@ class Node:
         i = self.parent.children.index(self)
         self.parent.children.insert(i + 1, new)
         new.parent = self.parent
+        _EPOCH[0] += 1
 
     # -- text --------------------------------------------------------------
     @property
@@ -150,7 +162,7 @@ class Comment(Node):
 
 
 class Element(Node):
-    __slots__ = ("tag", "attrs", "children", "readability", "_flags")
+    __slots__ = ("tag", "attrs", "children", "readability", "_flags", "_tc")
 
     is_element = True
 
@@ -162,6 +174,7 @@ class Element(Node):
         # side-band annotation slot (JS: node.readability = {contentScore})
         self.readability: Optional[dict] = None
         self._flags: int = 0  # bit flags: 1=svg-namespace, 2=data-table mark
+        self._tc = None  # (epoch, text_content) cache
 
     # SVG-namespace mark: in a real DOM, SVG elements have a non-string
     # className, which makes every class-string heuristic skip them.
@@ -211,6 +224,7 @@ class Element(Node):
         node.remove()
         self.children.append(node)
         node.parent = self
+        _EPOCH[0] += 1
         return node
 
     def element_children(self) -> list["Element"]:
@@ -327,18 +341,22 @@ class Element(Node):
     # -- text ------------------------------------------------------------------
     @property
     def text_content(self) -> str:
+        ep = _EPOCH[0]
+        tc = self._tc
+        if tc is not None and tc[0] == ep:
+            return tc[1]
+        # compose from children so nested cached subtrees are reused by
+        # every ancestor query (the scoring phases query overlapping chains)
         parts: list[str] = []
         append = parts.append
-
-        def walk(children: list) -> None:
-            for node in children:
-                if node.is_text:
-                    append(node.data)
-                elif node.is_element and node.children:
-                    walk(node.children)
-
-        walk(self.children)
-        return "".join(parts)
+        for node in self.children:
+            if node.is_text:
+                append(node.data)
+            elif node.is_element:
+                append(node.text_content)
+        text = "".join(parts)
+        self._tc = (ep, text)
+        return text
 
     def set_text(self, text: str) -> None:
         for c in list(self.children):
