@@ -200,3 +200,25 @@ def test_readerable_prefilter(spark, fixture_pages):
     row = extract(tiny, options={"readerable_prefilter": True}).collect()[0]
     assert not row["ok"] and row["err"] == "not_readerable"
     assert isinstance(skipped, list)
+
+
+def test_stream_dedup_first_seen(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from readability_spark.streaming.stream import stream_dedup_first_seen
+
+    pages_path = str(tmp_path / "pages")
+    base = spark.range(100).select(
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url"),
+        F.lit(b"<html></html>").alias("html"),
+    )
+    # two files with a 50-url overlap: the duplicate crawl must be dropped
+    base.coalesce(1).write.mode("append").parquet(pages_path)
+    base.filter(F.col("url").substr(10, 10).cast("long") >= 50).coalesce(1).write.mode(
+        "append"
+    ).parquet(pages_path)
+    out = stream_dedup_first_seen(spark, pages_path, str(tmp_path / "ck"))
+    rows = out.collect()
+    urls = [r["url"] for r in rows]
+    assert len(urls) == 100
+    assert len(set(urls)) == 100
