@@ -114,14 +114,16 @@ def make_extract_batches(options: Optional[dict] = None, include_html: bool = Tr
     def extract_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        names = [f.name for f in ARTICLE_SCHEMA.fields]
         for pdf in batches:
-            urls = pdf["url"] if "url" in pdf.columns else [None] * len(pdf)
-            htmls = pdf["html"]
-            out = [
+            # numpy iteration: pandas Series.__iter__ boxes per element
+            urls = pdf["url"].to_numpy() if "url" in pdf.columns else [None] * len(pdf)
+            htmls = pdf["html"].to_numpy()
+            rows = [
                 _extract_one(u, h, options, include_html)
                 for u, h in zip(urls, htmls)
             ]
-            yield pd.DataFrame(out, columns=[f.name for f in ARTICLE_SCHEMA.fields])
+            yield pd.DataFrame(rows, columns=names)
 
     return extract_batches
 

@@ -108,7 +108,7 @@ def observed_extract(
 
         for pdf in it:
             rows = []
-            for u, h in zip(pdf["url"], pdf["html"]):
+            for u, h in zip(pdf["url"].to_numpy(), pdf["html"].to_numpy()):
                 row = _extract_one(u, h, opts, include_html)
                 row["html_bytes"] = len(h) if h is not None else 0
                 rows.append(row)
