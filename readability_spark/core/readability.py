@@ -285,9 +285,24 @@ class Readability:
             return False
         if node.tag in PHRASING_ELEMS:
             return True
-        return node.tag in ("a", "del", "ins") and all(
-            self._is_phrasing_content(c) for c in node.children
-        )
+        # iterative equivalent of the JS recursion (a/del/ins count as
+        # phrasing iff every child is phrasing) — depth-safe for nested links
+        if node.tag not in ("a", "del", "ins"):
+            return False
+        stack = list(node.children)
+        while stack:
+            c = stack.pop()
+            if isinstance(c, Text):
+                continue
+            if not isinstance(c, Element):
+                return False
+            if c.tag in PHRASING_ELEMS:
+                continue
+            if c.tag in ("a", "del", "ins"):
+                stack.extend(c.children)
+            else:
+                return False
+        return True
 
     @staticmethod
     def _is_whitespace(node: Node) -> bool:
@@ -315,10 +330,15 @@ class Readability:
         )
 
     def _has_child_block_element(self, el: Element) -> bool:
-        for c in el.children:
-            if isinstance(c, Element):
-                if c.tag in DIV_TO_P_ELEMS or self._has_child_block_element(c):
-                    return True
+        # any descendant element with a block tag (iterative — depth-safe)
+        stack = [c for c in el.children if c.is_element]
+        while stack:
+            c = stack.pop()
+            if c.tag in DIV_TO_P_ELEMS:
+                return True
+            for k in c.children:
+                if k.is_element:
+                    stack.append(k)
         return False
 
     def _is_valid_byline(self, el: Element, match_string: str) -> bool:
@@ -1107,15 +1127,21 @@ class Readability:
                     table.replace_with(cell)
 
     def _clean_styles(self, el: Element) -> None:
-        if el.tag == "svg":
-            return
-        for attr in PRESENTATIONAL_ATTRIBUTES:
-            el.remove_attr(attr)
-        if el.tag in DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
-            el.remove_attr("width")
-            el.remove_attr("height")
-        for child in el.element_children():
-            self._clean_styles(child)
+        # iterative pre-order walk, skipping svg subtrees entirely (the JS
+        # recursion early-returns on svg, leaving its descendants untouched)
+        stack = [el]
+        while stack:
+            node = stack.pop()
+            if node.tag == "svg":
+                continue
+            for attr in PRESENTATIONAL_ATTRIBUTES:
+                node.remove_attr(attr)
+            if node.tag in DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
+                node.remove_attr("width")
+                node.remove_attr("height")
+            for c in node.children:
+                if c.is_element:
+                    stack.append(c)
 
     def _mark_data_tables(self, root: Element) -> None:
         for table in root.get_elements_by_tag_name("table"):
@@ -1400,13 +1426,18 @@ class Readability:
             node = node.next_node()
 
     def _clean_classes(self, el: Element) -> None:
-        preserved = [c for c in el.class_list() if c in self._classes_to_preserve]
-        if preserved:
-            el.set_attr("class", " ".join(preserved))
-        else:
-            el.remove_attr("class")
-        for child in el.element_children():
-            self._clean_classes(child)
+        # iterative pre-order walk (depth-safe)
+        stack = [el]
+        while stack:
+            node = stack.pop()
+            preserved = [c for c in node.class_list() if c in self._classes_to_preserve]
+            if preserved:
+                node.set_attr("class", " ".join(preserved))
+            else:
+                node.remove_attr("class")
+            for c in node.children:
+                if c.is_element:
+                    stack.append(c)
 
     # ------------------------------------------------------------------ parse
     def parse(self) -> Optional[dict]:

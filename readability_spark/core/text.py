@@ -81,20 +81,29 @@ def canonical_text(el) -> str:
             if norm:
                 parts.append(norm)
 
-    def walk(element):
-        for node in element.children:
+    if not isinstance(el, Element):
+        return ""
+    # iterative (children, index) walk — depth-safe; entering an element
+    # flushes the pending run, and so does leaving it (comments are invisible
+    # and do not break a text run — the golden corpus generator strips them)
+    stack: list = []
+    children = el.children
+    i, n = 0, len(children)
+    while True:
+        while i < n:
+            node = children[i]
+            i += 1
             if isinstance(node, Text):
                 run.append(node.data)
             elif isinstance(node, Element):
                 flush()
-                walk(node)
-                flush()
-            # comments are invisible and do not break a text run (the golden
-            # corpus generator strips them entirely)
-
-    if isinstance(el, Element):
-        walk(el)
+                stack.append((children, i, n))
+                children = node.children
+                i, n = 0, len(children)
         flush()
+        if not stack:
+            break
+        children, i, n = stack.pop()
     return " ".join(parts)
 
 

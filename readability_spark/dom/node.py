@@ -256,35 +256,48 @@ class Element(Node):
 
     def get_elements_by_tag_name(self, *names: str) -> list["Element"]:
         """Static snapshot (like querySelectorAll) of descendant elements by
-        tag, in document order. Hot path — recursive child-list walk avoids
-        the reversed-slice allocations of an explicit stack."""
+        tag, in document order. Hot path — iterative (children, index) stack
+        walk: no recursion (broken crawl HTML nests thousands deep) and no
+        reversed-slice allocations."""
         out: list = []
         if len(names) == 1 and names[0] != "*":
             want_one = names[0]
-
-            def walk_one(children: list) -> None:
-                for node in children:
+            stack: list = []
+            children = self.children
+            i, n = 0, len(children)
+            while True:
+                while i < n:
+                    node = children[i]
+                    i += 1
                     if node.is_element:
                         if node.tag == want_one:
                             out.append(node)
                         if node.children:
-                            walk_one(node.children)
-
-            walk_one(self.children)
-            return out
+                            stack.append((children, i, n))
+                            children = node.children
+                            i, n = 0, len(children)
+                if not stack:
+                    return out
+                children, i, n = stack.pop()
         want = set(names)
         everything = "*" in want
-
-        def walk(children: list) -> None:
-            for node in children:
+        stack = []
+        children = self.children
+        i, n = 0, len(children)
+        while True:
+            while i < n:
+                node = children[i]
+                i += 1
                 if node.is_element:
                     if everything or node.tag in want:
                         out.append(node)
                     if node.children:
-                        walk(node.children)
-
-        walk(self.children)
-        return out
+                        stack.append((children, i, n))
+                        children = node.children
+                        i, n = 0, len(children)
+            if not stack:
+                return out
+            children, i, n = stack.pop()
 
     def next_node(
         self, ignore_self_and_kids: bool = False, within: Optional["Element"] = None
@@ -345,15 +358,32 @@ class Element(Node):
         tc = self._tc
         if tc is not None and tc[0] == ep:
             return tc[1]
-        # compose from children so nested cached subtrees are reused by
-        # every ancestor query (the scoring phases query overlapping chains)
+        # Iterative flat pre-order walk (broken crawl HTML nests thousands of
+        # elements deep — recursion would overflow). Fresh descendant caches
+        # are consumed in place, so the common bottom-up access pattern of the
+        # scoring phases (per-paragraph inner_text, then overlapping ancestor
+        # chains) still reuses cached subtrees; only the queried root's cache
+        # is filled.
         parts: list[str] = []
         append = parts.append
-        for node in self.children:
+        stack: list = list(self.children)
+        stack.reverse()
+        pop = stack.pop
+        while stack:
+            node = pop()
             if node.is_text:
                 append(node.data)
             elif node.is_element:
-                append(node.text_content)
+                ntc = node._tc
+                if ntc is not None and ntc[0] == ep:
+                    append(ntc[1])
+                else:
+                    kids = node.children
+                    if kids:
+                        if len(kids) == 1:
+                            stack.append(kids[0])
+                        else:
+                            stack.extend(reversed(kids))
         text = "".join(parts)
         self._tc = (ep, text)
         return text
@@ -371,14 +401,30 @@ class Element(Node):
 
     def clone(self, deep: bool = True) -> "Element":
         el = Element(self.tag, dict(self.attrs))
-        if deep:
-            for c in self.children:
-                if isinstance(c, Element):
-                    el.append_child(c.clone(deep=True))
-                elif isinstance(c, Text):
-                    el.append_child(Text(c.data))
+        if not deep:
+            return el
+        # iterative pairwise walk (src element, dst copy) — depth-safe
+        stack: list = [(self, el)]
+        while stack:
+            src, dst = stack.pop()
+            kids = dst.children
+            for c in src.children:
+                if c.is_element:
+                    copy = Element(c.tag, dict(c.attrs))
+                    copy._flags = c._flags
+                    copy.parent = dst
+                    kids.append(copy)
+                    if c.children:
+                        stack.append((c, copy))
+                elif c.is_text:
+                    t = Text(c.data)
+                    t.parent = dst
+                    kids.append(t)
                 elif isinstance(c, Comment):
-                    el.append_child(Comment(c.data))
+                    cm = Comment(c.data)
+                    cm.parent = dst
+                    kids.append(cm)
+        _EPOCH[0] += 1
         return el
 
     def __repr__(self) -> str:  # pragma: no cover

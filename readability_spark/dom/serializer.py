@@ -9,7 +9,7 @@ JS innerHTML output, which this follows rather than the C# pretty-printer.)
 
 from __future__ import annotations
 
-from readability_spark.dom.node import Comment, Element, Node, Text
+from readability_spark.dom.node import Comment, Element, Text
 from readability_spark.dom.parser import VOID_ELEMENTS
 
 _RAW_TEXT = frozenset({"script", "style", "xmp", "iframe", "noembed", "noframes", "plaintext"})
@@ -25,35 +25,43 @@ def _escape_attr(s: str) -> str:
     return s.replace("&", "&amp;").replace('"', "&quot;").replace("\xa0", "&nbsp;")
 
 
-def _serialize_into(node: Node, out: list, raw_parent: bool) -> None:
-    if isinstance(node, Text):
-        out.append(node.data if raw_parent else _escape_text(node.data))
-    elif isinstance(node, Comment):
-        out.append(f"<!--{node.data}-->")
-    elif isinstance(node, Element):
-        tag = node.tag
-        out.append("<")
-        out.append(tag)
-        for name, value in node.attrs.items():
-            out.append(f' {name}="{_escape_attr(value)}"')
-        out.append(">")
-        if tag in VOID_ELEMENTS:
-            return
-        raw = tag in _NO_ESCAPE_PARENT
-        for child in node.children:
-            _serialize_into(child, out, raw)
-        out.append(f"</{tag}>")
+def _serialize_nodes(nodes: list, out: list, raw_parent: bool) -> None:
+    """Iterative pre-order serialize (explicit work stack — depth-safe for
+    pathologically nested crawl HTML). Work items are either a Node paired
+    with its parent's raw-text flag, or a close-tag string to emit."""
+    stack: list = [(n, raw_parent) for n in reversed(nodes)]
+    while stack:
+        item = stack.pop()
+        if type(item) is str:  # deferred close tag
+            out.append(item)
+            continue
+        node, raw = item
+        if isinstance(node, Text):
+            out.append(node.data if raw else _escape_text(node.data))
+        elif isinstance(node, Comment):
+            out.append(f"<!--{node.data}-->")
+        elif isinstance(node, Element):
+            tag = node.tag
+            out.append("<")
+            out.append(tag)
+            for name, value in node.attrs.items():
+                out.append(f' {name}="{_escape_attr(value)}"')
+            out.append(">")
+            if tag in VOID_ELEMENTS:
+                continue
+            stack.append(f"</{tag}>")
+            child_raw = tag in _NO_ESCAPE_PARENT
+            for child in reversed(node.children):
+                stack.append((child, child_raw))
 
 
 def inner_html(el: Element) -> str:
     out: list = []
-    raw = el.tag in _NO_ESCAPE_PARENT
-    for child in el.children:
-        _serialize_into(child, out, raw)
+    _serialize_nodes(el.children, out, el.tag in _NO_ESCAPE_PARENT)
     return "".join(out)
 
 
 def outer_html(el: Element) -> str:
     out: list = []
-    _serialize_into(el, out, False)
+    _serialize_nodes([el], out, False)
     return "".join(out)

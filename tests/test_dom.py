@@ -116,3 +116,38 @@ def test_decode_bytes_meta_charset():
 
 def test_decode_bytes_utf8_bom():
     assert decode_html_bytes(b"\xef\xbb\xbf<p>x</p>") == "<p>x</p>"
+
+
+def test_deep_dom_no_recursion_error():
+    """Broken crawl HTML nests thousands of unclosed tags deep; every walker
+    (parse, text_content, tag-name query, clone, serialize, canonical_text,
+    full extraction) must be iterative (ADVICE r1: recursion regression)."""
+    depth = 5000
+    html = "<body>" + "<span>" * depth + "deep text" + "</span>" * depth + "</body>"
+    doc = parse_html(html)
+    body = doc.body
+    assert "deep text" in body.text_content
+    spans = body.get_elements_by_tag_name("span")
+    assert len(spans) == depth
+    copy = body.clone(deep=True)
+    assert len(copy.get_elements_by_tag_name("span")) == depth
+    assert "deep text" in inner_html(body)
+
+    from readability_spark.core.text import canonical_text
+    assert canonical_text(body) == "deep text"
+
+    from readability_spark.core.readability import extract_article
+    res = extract_article(html, url="https://example.com/deep")
+    assert res.get("err") is None or "Recursion" not in str(res.get("err", ""))
+
+
+def test_clone_preserves_flags_and_text():
+    doc = parse_html("<body><div id=x class=y><p>hello <b>world</b></p></div></body>")
+    div = doc.get_elements_by_tag_name("div")[0]
+    c = div.clone(deep=True)
+    assert c.tag == "div" and c.id == "x" and c.class_name == "y"
+    assert c.text_content == div.text_content
+    assert c.parent is None
+    # mutating the clone must not touch the original
+    c.get_elements_by_tag_name("b")[0].remove()
+    assert "world" in div.text_content and "world" not in c.text_content
