@@ -148,6 +148,18 @@ def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(with_injected_duplicates(_docs(spark, sf_dir)))
 
 
+def _q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def _q_simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.dedup import simhash64_near_pairs, with_injected_duplicates
+
+    return simhash64_near_pairs(with_injected_duplicates(_docs(spark, sf_dir)))
+
+
 def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.dedup import ngram_jaccard_pairs, with_injected_duplicates
 
@@ -286,6 +298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_near_pairs": _q_simhash_near_pairs,
+        "dedup_simhash64": _q_simhash64,
+        "dedup_simhash64_near_pairs": _q_simhash64_near_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
@@ -385,6 +399,69 @@ FROM cands WHERE {ham} <= 3
 """
 
 
+def _h32_sql(offset: int = 0) -> str:
+    """DuckDB mirror of dedup._hash32_expr: 32-bit int from 8 md5 hex chars."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(tok), {offset + i + 1}, 1)) - 1) "
+        f"* cast(pow(16, {7 - i}) as bigint)"
+        for i in range(8)
+    )
+
+
+def _simhash64_core_sql(source: str) -> str:
+    """Shared CTE chain: token hash halves → 64 votes → (sim_hi, sim_lo)."""
+    votes = ", ".join(
+        f"sum(case when (h_hi // {2**i}) % 2 = 1 then 1 else -1 end) as hv{i}"
+        for i in range(32)
+    ) + ", " + ", ".join(
+        f"sum(case when (h_lo // {2**i}) % 2 = 1 then 1 else -1 end) as lv{i}"
+        for i in range(32)
+    )
+    sim_hi = " + ".join(f"(case when hv{i} >= 0 then {2**i} else 0 end)" for i in range(32))
+    sim_lo = " + ".join(f"(case when lv{i} >= 0 then {2**i} else 0 end)" for i in range(32))
+    return f"""
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {source}),
+hashed AS (SELECT doc_id, ({_h32_sql(0)}) AS h_hi, ({_h32_sql(8)}) AS h_lo FROM toks),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+sims AS (SELECT doc_id, cast({sim_hi} as bigint) AS sim_hi, cast({sim_lo} as bigint) AS sim_lo FROM votes)"""
+
+
+def _simhash64_oracle() -> str:
+    return f"""
+WITH {_simhash64_core_sql('documents')}
+SELECT doc_id, sim_hi, sim_lo FROM sims
+"""
+
+
+def _simhash64_pairs_oracle() -> str:
+    """Mirror of dedup.simhash64_near_pairs: 4×16-bit banding over the
+    dup-injected table, distinct self-join, popcount(hamming)<=3 verify."""
+    band_rows = " UNION ALL ".join(
+        [
+            "SELECT doc_id, sim_hi, sim_lo, 0 AS band, sim_hi // 65536 AS key FROM sims",
+            "SELECT doc_id, sim_hi, sim_lo, 1 AS band, sim_hi % 65536 AS key FROM sims",
+            "SELECT doc_id, sim_hi, sim_lo, 2 AS band, sim_lo // 65536 AS key FROM sims",
+            "SELECT doc_id, sim_hi, sim_lo, 3 AS band, sim_lo % 65536 AS key FROM sims",
+        ]
+    )
+    ham = " + ".join(f"((xor(hi_a, hi_b) // {2**i}) % 2)" for i in range(32)) + " + " + " + ".join(
+        f"((xor(lo_a, lo_b) // {2**i}) % 2)" for i in range(32)
+    )
+    return f"""
+WITH dup AS ({_DUP_DOCS}),
+{_simhash64_core_sql('dup')},
+bands AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sim_hi AS hi_a, a.sim_lo AS lo_a, b.sim_hi AS hi_b, b.sim_lo AS lo_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, cast({ham} as int) AS hamming
+FROM cands WHERE {ham} <= 3
+"""
+
+
 def _minhash_oracle() -> str:
     mh = ", ".join(
         f"list_min(list_transform(sh, s -> md5('{k}:' || s))) AS mh{k}" for k in range(16)
@@ -417,21 +494,28 @@ WHERE floor((len(list_intersect(sa.sh, sb.sh))::double / (len(sa.sh) + len(sb.sh
 
 
 def _ngram_oracle() -> str:
+    """Mirror of dedup.ngram_jaccard_pairs with the DF shingle cap: only
+    discriminative shingles (2 <= df <= 100) generate candidates; Jaccard is
+    verified exactly on full shingle sets."""
+    jac = (
+        "floor((len(list_intersect(sa.sh, sb.sh))::double / "
+        "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) "
+        "* 10000.0 + 0.5) / 10000.0"
+    )
     return f"""
 WITH dup AS ({_DUP_DOCS}),
 sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM dup),
 exploded AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+rare AS (SELECT g FROM exploded GROUP BY g HAVING count(*) BETWEEN 2 AND 100),
+filtered AS (SELECT doc_id, g FROM exploded JOIN rare USING (g)),
 cands AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-  FROM exploded a JOIN exploded b ON a.g = b.g
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM filtered a JOIN filtered b ON a.g = b.g
   WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
-SELECT id_a, id_b,
-  floor((common::double / (na.n + nb.n - common)) * 10000.0 + 0.5) / 10000.0 AS jaccard
-FROM cands JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
-WHERE floor((common::double / (na.n + nb.n - common)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+)
+SELECT id_a, id_b, {jac} AS jaccard
+FROM cands JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+WHERE {jac} >= 0.5
 """
 
 
@@ -598,12 +682,14 @@ FROM documents
         "dedup_exact_groups": f"""
 WITH dup AS ({_DUP_DOCS})
 SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keep_id,
-       string_agg(doc_id::varchar, ',' ORDER BY doc_id) AS dup_ids
+       array_to_string(list_sort(list(doc_id))[1:100], ',') AS dup_ids
 FROM dup GROUP BY 1 HAVING count(*) > 1
 """,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_simhash_near_pairs": _simhash_pairs_oracle(),
+        "dedup_simhash64": _simhash64_oracle(),
+        "dedup_simhash64_near_pairs": _simhash64_pairs_oracle(),
         "dedup_ngram_jaccard": _ngram_oracle(),
         "ann_cosine_topk": _ann_cosine_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),

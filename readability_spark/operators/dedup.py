@@ -41,15 +41,21 @@ def with_injected_duplicates(docs: DataFrame, every: int = 10) -> DataFrame:
 # 1. Exact dedup: hash-groupBy (map-side combine; one shuffle on the hash)
 # ---------------------------------------------------------------------------
 
-def exact_duplicates(docs: DataFrame) -> DataFrame:
-    """Groups of byte-identical texts: (fp, n_copies, keep_id, dup_ids...)."""
+def exact_duplicates(docs: DataFrame, max_ids: int = 100) -> DataFrame:
+    """Groups of byte-identical texts: (fp, n_copies, keep_id, dup_ids...).
+
+    ``doc_ids`` is capped at the ``max_ids`` smallest ids per group —
+    an adversarial corpus can put millions of copies behind one fingerprint,
+    and an unbounded collect_list would blow executor memory on that single
+    group. ``n_copies`` always carries the true count.
+    """
     return (
         docs.select(F.md5("text").alias("fp"), "doc_id")
         .groupBy("fp")
         .agg(
             F.count("*").alias("n_copies"),
             F.min("doc_id").alias("keep_id"),
-            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, max_ids).alias("doc_ids"),
         )
         .filter(F.col("n_copies") > 1)
     )
@@ -149,13 +155,14 @@ def minhash_lsh_pairs(
 # 3. SimHash (32-bit, portable nibble arithmetic) + byte-banding near-dup
 # ---------------------------------------------------------------------------
 
-def _hash32_expr(token_col: str, locate_fn: str = "instr") -> str:
-    """32-bit integer from the first 8 hex chars of md5 — via nibble decode,
-    identical semantics in Spark SQL (instr) and DuckDB (strpos)."""
+def _hash32_expr(token_col: str, locate_fn: str = "instr", offset: int = 0) -> str:
+    """32-bit integer from 8 hex chars of md5 (starting at ``offset``) — via
+    nibble decode, identical semantics in Spark SQL (instr) and DuckDB
+    (strpos)."""
     parts = []
     for i in range(8):
         parts.append(
-            f"({locate_fn}('0123456789abcdef', substr(md5({token_col}), {i + 1}, 1)) - 1) "
+            f"({locate_fn}('0123456789abcdef', substr(md5({token_col}), {offset + i + 1}, 1)) - 1) "
             f"* cast(pow(16, {7 - i}) as bigint)"
         )
     return "(" + " + ".join(parts) + ")"
@@ -223,27 +230,150 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 4. N-gram Jaccard (shared-shingle candidate join, no LSH approximation)
+# 3b. SimHash64 (two portable 32-bit halves) + 4×16-bit banding — prod path
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def simhash64(docs: DataFrame, use_xxhash64: bool = False) -> DataFrame:
+    """Per-doc 64-bit simhash as two 32-bit halves (sim_hi, sim_lo).
+
+    The 32-bit variant's 8-bit band keys cap out at 256 buckets per band —
+    quadratic candidate joins at 10^9+ docs (VERDICT r1). 64 bits with
+    4×16-bit bands gives 65,536 buckets per band, and the wider hash stops
+    false bit-collisions dominating the vote sums at corpus scale.
+
+    Token hash = first 16 hex chars of md5 (hi: chars 1-8, lo: 9-16) — the
+    same nibble arithmetic runs in DuckDB, so the full pipeline keeps an
+    exact SQL oracle. ``use_xxhash64=True`` swaps in Spark's JVM-native
+    ``xxhash64`` split into two halves — cheaper per token, for prod jobs
+    that don't need cross-engine oracle parity.
+    """
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    if use_xxhash64:
+        # xxhash64 is signed; take the low 32 bits of each half via
+        # floor-division against 2^32 after shifting into non-negative space
+        h64 = F.xxhash64("tok")
+        toks = toks.withColumn("h_hi", F.shiftrightunsigned(h64, 32)).withColumn(
+            "h_lo", h64.bitwiseAND(F.lit(0xFFFFFFFF))
+        )
+    else:
+        toks = toks.withColumn("h_hi", F.expr(_hash32_expr("tok"))).withColumn(
+            "h_lo", F.expr(_hash32_expr("tok", offset=8))
+        )
+    votes = [
+        F.sum(
+            F.when(((F.col("h_hi") / F.lit(2**i)).cast("long") % 2) == 1, 1).otherwise(-1)
+        ).alias(f"hv{i}")
+        for i in range(32)
+    ] + [
+        F.sum(
+            F.when(((F.col("h_lo") / F.lit(2**i)).cast("long") % 2) == 1, 1).otherwise(-1)
+        ).alias(f"lv{i}")
+        for i in range(32)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim_hi = sum(
+        F.when(F.col(f"hv{i}") >= 0, F.lit(2**i)).otherwise(F.lit(0)) for i in range(32)
+    )
+    sim_lo = sum(
+        F.when(F.col(f"lv{i}") >= 0, F.lit(2**i)).otherwise(F.lit(0)) for i in range(32)
+    )
+    return agg.select(
+        "doc_id", sim_hi.cast("long").alias("sim_hi"), sim_lo.cast("long").alias("sim_lo")
+    )
+
+
+def simhash64_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, use_xxhash64: bool = False
+) -> DataFrame:
+    """Near-dup pairs on the 64-bit simhash: 4 bands of 16 bits each
+    (pigeonhole: hamming<=3 ⇒ at least one band equal), verify by popcount.
+
+    Scale shape: 65,536 buckets per band keep per-bucket membership ~N/2^16
+    — the self-join stays near-linear where the 8-bit variant went quadratic.
+    """
+    sh = simhash64(docs, use_xxhash64=use_xxhash64)
+    band_structs = [
+        F.struct(F.lit(0).alias("band"), (F.col("sim_hi") / F.lit(65536)).cast("long").alias("key")),
+        F.struct(F.lit(1).alias("band"), (F.col("sim_hi") % 65536).alias("key")),
+        F.struct(F.lit(2).alias("band"), (F.col("sim_lo") / F.lit(65536)).cast("long").alias("key")),
+        F.struct(F.lit(3).alias("band"), (F.col("sim_lo") % 65536).alias("key")),
+    ]
+    bands = sh.select(
+        "doc_id", "sim_hi", "sim_lo", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "doc_id", "sim_hi", "sim_lo",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sim_hi").alias("hi_a"),
+            F.col("a.sim_lo").alias("lo_a"),
+            F.col("b.sim_hi").alias("hi_b"),
+            F.col("b.sim_lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    xor_hi, xor_lo = F.expr("hi_a ^ hi_b"), F.expr("lo_a ^ lo_b")
+    ham = sum(((xor_hi / F.lit(2**i)).cast("long") % 2) for i in range(32)) + sum(
+        ((xor_lo / F.lit(2**i)).cast("long") % 2) for i in range(32)
+    )
+    return (
+        cands.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. N-gram Jaccard (DF-capped shingle candidate join + exact set verify)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_df: int = 100
+) -> DataFrame:
+    """Exact-Jaccard near-dup pairs with a document-frequency shingle cap.
+
+    Candidate generation joins docs on *shared shingles*, which goes
+    quadratic on any shingle common to many documents (one 3-gram shared by
+    a million docs → 10^12 candidate rows — VERDICT r1). Fix: compute each
+    shingle's document frequency first and use only discriminative shingles
+    (2 <= df <= max_df) for the candidate join; df=1 shingles can't form a
+    pair, df>max_df shingles are boilerplate that says nothing about
+    similarity. The Jaccard itself is then verified *exactly* on the full
+    shingle sets of candidate pairs only, so reported values are identical
+    to the uncapped computation — only pairs whose every shared shingle is
+    ultra-common (not near-dups at any meaningful threshold) can be missed.
+    """
     sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
     exploded = sh.select("doc_id", F.explode("sh").alias("g"))
-    a, b = exploded.alias("a"), exploded.alias("b")
+    rare = (
+        exploded.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("g")
+    )
+    filtered = exploded.join(rare, "g")
+    a, b = filtered.alias("a"), filtered.alias("b")
     cands = (
         a.join(b, "g")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
+        .distinct()
     )
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
     return (
-        cands.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        cands.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .withColumn(
             "jaccard",
-            round4(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))),
+            round4(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -1,0 +1,103 @@
+"""Scale-shape tests for the dedup operators (VERDICT r1 items 1 & 8).
+
+These assert *candidate volume*, not just answers: at 10x duplicate density
+the banded/DF-capped candidate joins must stay near-linear in the number of
+true duplicate pairs, never quadratic in corpus size.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from readability_spark.operators.dedup import (
+    exact_duplicates,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash64_near_pairs,
+    with_injected_duplicates,
+)
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_simhash64_matches_injected_duplicates(spark, docs):
+    # every injected copy (identical text) must come back at hamming 0
+    dense = with_injected_duplicates(docs, every=1)  # 10x the default density
+    pairs = simhash64_near_pairs(dense).collect()
+    n = docs.count()
+    exact = {(r.id_a, r.id_b) for r in pairs if r.hamming == 0}
+    for d in docs.select("doc_id").collect():
+        assert (d.doc_id, d.doc_id + 1_000_000) in exact
+    # bounded candidates: near-linear in n, nowhere near the n^2 cross join
+    assert len(pairs) < 10 * n
+
+
+def test_simhash64_xxhash_variant_finds_duplicates(spark, docs):
+    dense = with_injected_duplicates(docs, every=10)
+    pairs = simhash64_near_pairs(dense, use_xxhash64=True)
+    exact = {(r.id_a, r.id_b) for r in pairs.collect() if r.hamming == 0}
+    expected = {
+        (d.doc_id, d.doc_id + 1_000_000)
+        for d in docs.filter(F.col("doc_id") % 10 == 0).select("doc_id").collect()
+    }
+    assert expected <= exact
+
+
+def test_simhash64_band_buckets_stay_small(spark, docs):
+    """The 16-bit band keys must spread the corpus: no bucket may hold a
+    macroscopic fraction of docs (the 8-bit variant's failure mode)."""
+    sh = simhash64(with_injected_duplicates(docs, every=1))
+    bands = sh.select(
+        F.explode(
+            F.array(
+                (F.col("sim_hi") / 65536).cast("long"),
+                F.col("sim_hi") % 65536,
+                (F.col("sim_lo") / 65536).cast("long"),
+                F.col("sim_lo") % 65536,
+            )
+        ).alias("key")
+    )
+    top = bands.groupBy("key").count().agg(F.max("count")).first()[0]
+    n = sh.count()
+    # identical injected copies necessarily share keys, and template-similar
+    # synthetic docs legitimately collide on some bands — but the biggest
+    # bucket must stay a sliver of the corpus, not a macroscopic pile-up
+    assert top <= max(8, n // 10)
+
+
+def test_ngram_jaccard_df_cap_bounds_candidates(spark, docs):
+    dense = with_injected_duplicates(docs, every=1)
+    n = dense.count()
+    pairs = ngram_jaccard_pairs(dense).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    for d in docs.select("doc_id").collect():
+        assert (d.doc_id, d.doc_id + 1_000_000) in found
+    for r in pairs:
+        if r.id_b == r.id_a + 1_000_000:
+            assert r.jaccard == 1.0
+    assert len(pairs) < 5 * n  # not quadratic
+
+
+def test_ngram_jaccard_hot_shingle_is_dropped(spark):
+    """A boilerplate shingle shared by every doc must not generate the
+    all-pairs candidate explosion: docs sharing ONLY that shingle produce
+    zero pairs under the DF cap."""
+    rows = [(i, f"common boilerplate footer unique{i} a b c d e f g") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.1, max_df=100)
+    assert pairs.count() == 0
+
+
+def test_exact_duplicates_id_list_capped(spark):
+    rows = [(i, "the same text") for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    g = exact_duplicates(docs, max_ids=100).first()
+    assert g.n_copies == 500  # true count retained
+    assert len(g.doc_ids) == 100  # bounded payload
+    assert g.doc_ids == sorted(g.doc_ids) and g.keep_id == 0
