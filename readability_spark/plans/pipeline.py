@@ -116,6 +116,12 @@ def observed_extract(
 
     result = pages.select("url", "html").mapInPandas(batches, schema)
     result = with_bucket(result, n_buckets)
+    if not salt:
+        # salt=False opts out of the pre-extraction skew shuffle only; the
+        # bucket-partitioned write still needs alignment, or every task
+        # writes into every bucket dir — a tasks x buckets small-file commit
+        # storm. Align on the extracted output instead (one shuffle, post-UDF).
+        result = result.repartition(n_buckets, F.col("bucket"))
 
     obs = Observation("extract_metrics")
     result = result.observe(

@@ -71,67 +71,89 @@ def stream_dedup_first_seen(
     spark: SparkSession,
     pages_path: str,
     checkpoint_dir: str,
-    n_buckets: int = 64,
     out_path: "str | None" = None,
+    ttl_minutes: "float | None" = None,
 ):
     """Custom stateful streaming operator (applyInPandasWithState): emit each
     url the first time it is ever seen across micro-batches, drop re-crawls.
 
-    State is partitioned by the url-hash bucket (the same salt key as the
-    batch pipeline) so per-key state stays bounded and shuffles are keyed on
-    8 bytes. Each bucket's state is the set of url fingerprints seen so far —
-    at production scale back this with the RocksDB state store and a TTL
-    (timeout) instead of the default in-memory store; the operator shape is
-    identical.
+    State is keyed *per url fingerprint* (xxhash64 — the shuffle key is 8
+    bytes), so each key's state is a single boolean record: re-seen urls
+    touch existing keys without rewriting anything, and state size equals the
+    number of distinct urls ever seen — never rewritten, never resorted.
+    (The r1 design kept one sorted list of every fingerprint per bucket and
+    rewrote it each batch: O(total urls) churn per bucket per batch.)
+
+    Null urls are filtered out before keying (a crawl feed does contain
+    them; they must not crash the query). ``ttl_minutes`` opts into
+    processing-time state expiry — a url not re-seen within the TTL is
+    forgotten and would be re-emitted later; leave ``None`` for exact
+    "first seen ever" semantics. At production scale run this on the RocksDB
+    state store provider; the operator shape is identical.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
-        ArrayType,
+        BooleanType,
         LongType,
         StringType,
         StructField,
         StructType,
     )
 
+    out_cols = ["url", "fp", "first_seen_ms"]
     out_schema = StructType(
         [
-            StructField("bucket", LongType(), True),
             StructField("url", StringType(), True),
-            StructField("first_seen_batch", LongType(), True),
+            StructField("fp", LongType(), True),
+            StructField("first_seen_ms", LongType(), True),
         ]
     )
-    state_schema = StructType([StructField("seen", ArrayType(StringType()), True)])
+    state_schema = StructType([StructField("seen", BooleanType(), True)])
+    ttl_ms = int(ttl_minutes * 60_000) if ttl_minutes else None
 
     def dedup_fn(key, pdfs, state: "GroupState"):
-        import hashlib
-
         import pandas as pd
 
-        seen = set(state.get[0]) if state.exists else set()
-        batch_id = len(seen)  # monotone-ish marker; exact id not required
-        out = []
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=out_cols)
+            return
+        first_url = None
         for pdf in pdfs:
-            for u in pdf["url"]:
-                fp = hashlib.md5(u.encode("utf-8")).hexdigest()
-                if fp not in seen:
-                    seen.add(fp)
-                    out.append((key[0], u, batch_id))
-        state.update((sorted(seen),))
-        yield pd.DataFrame(out, columns=["bucket", "url", "first_seen_batch"])
+            if first_url is None and len(pdf):
+                first_url = pdf["url"].iloc[0]
+        if state.exists or first_url is None:
+            # re-seen url: keep the existing single-record state untouched
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield pd.DataFrame([], columns=out_cols)
+            return
+        state.update((True,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        # processing-time stamp of the emitting micro-batch (the state API
+        # exposes no batch ordinal; this is an honest, monotone marker)
+        now = state.getCurrentProcessingTimeMs()
+        yield pd.DataFrame([(first_url, key[0], now)], columns=out_cols)
 
     schema = spark.read.parquet(pages_path).schema
     pages = spark.readStream.schema(schema).parquet(pages_path)
     keyed = (
         pages.select("url")
-        .withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)))
-        .groupBy("bucket")
+        .filter(F.col("url").isNotNull())
+        .withColumn("fp", F.xxhash64("url"))
+        .groupBy("fp")
     )
     deduped = keyed.applyInPandasWithState(
         dedup_fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     writer = deduped.writeStream.outputMode("append").option(
         "checkpointLocation", checkpoint_dir

@@ -196,22 +196,32 @@ def main() -> int:
         if os.environ.get("_RS_PREPARE_INPROC"):
             input_path, n_docs = prepare_input(tmp)
         else:
-            prep = subprocess.run(
+            # start the prep in its own session so its whole process group —
+            # including any orphaned py4j gateway JVM, observed burning a
+            # core during measured runs — can be reaped precisely, without
+            # touching unrelated Spark jobs on a shared box
+            prep_proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--prepare", tmp],
-                capture_output=True,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
                 text=True,
-                timeout=1800,
+                start_new_session=True,
             )
-            lines = [l for l in prep.stdout.splitlines() if l.startswith("{")]
+            try:
+                prep_out, prep_err = prep_proc.communicate(timeout=1800)
+            finally:
+                import signal as _signal
+
+                try:
+                    os.killpg(prep_proc.pid, _signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    pass
+            lines = [l for l in prep_out.splitlines() if l.startswith("{")]
             if not lines:
-                sys.stderr.write(prep.stdout[-2000:] + "\n" + prep.stderr[-4000:])
+                sys.stderr.write(prep_out[-2000:] + "\n" + prep_err[-4000:])
                 raise RuntimeError("input preparation subprocess failed")
             meta = json.loads(lines[-1])
             input_path, n_docs = meta["path"], meta["n_docs"]
-        # the prep subprocess's py4j gateway JVM can outlive it as an
-        # orphan and was observed burning a core during measured runs
-        subprocess.run(["pkill", "-f", "SparkSubmit"], check=False)
-        subprocess.run(["pkill", "-f", "pyspark.daemon"], check=False)
         import time as _time
 
         _time.sleep(2)

@@ -23,7 +23,9 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    yield df
+    df.unpersist()  # a leaked cache swaps other tests' parquet scans for InMemoryTableScan
 
 
 def test_simhash64_matches_injected_duplicates(spark, docs):

@@ -212,13 +212,54 @@ def test_stream_dedup_first_seen(spark, tmp_path):
         F.concat(F.lit("http://h/"), F.col("id")).alias("url"),
         F.lit(b"<html></html>").alias("html"),
     )
-    # two files with a 50-url overlap: the duplicate crawl must be dropped
+    # two files with a 50-url overlap: the duplicate crawl must be dropped;
+    # a null url must be skipped, not crash the query (ADVICE r1)
     base.coalesce(1).write.mode("append").parquet(pages_path)
-    base.filter(F.col("url").substr(10, 10).cast("long") >= 50).coalesce(1).write.mode(
-        "append"
-    ).parquet(pages_path)
+    overlap = base.filter(F.col("url").substr(10, 10).cast("long") >= 50)
+    with_null = overlap.unionByName(
+        spark.createDataFrame([(None, b"<html></html>")], "url string, html binary")
+    )
+    with_null.coalesce(1).write.mode("append").parquet(pages_path)
     out = stream_dedup_first_seen(spark, pages_path, str(tmp_path / "ck"))
     rows = out.collect()
     urls = [r["url"] for r in rows]
     assert len(urls) == 100
     assert len(set(urls)) == 100
+    assert None not in urls
+
+
+def test_stream_dedup_incremental_state_bounded(spark, tmp_path):
+    """Two-run incremental check (VERDICT r1 item 3): re-running over re-seen
+    urls emits nothing new, and the state store holds exactly one key per
+    distinct url — it does not grow with re-seen traffic."""
+    from pyspark.sql import functions as F
+
+    from readability_spark.streaming.stream import stream_dedup_first_seen
+
+    pages_path = str(tmp_path / "pages")
+    ck = str(tmp_path / "ck")
+    sink = str(tmp_path / "sink")
+
+    def urls(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(F.concat(F.lit("http://h/"), F.col("id")).alias("url"))
+        )
+
+    urls(0, 100).coalesce(1).write.mode("append").parquet(pages_path)
+    out1 = stream_dedup_first_seen(spark, pages_path, ck, out_path=sink)
+    assert out1.count() == 100
+
+    # run 2: 50 re-seen + 10 new
+    urls(50, 110).coalesce(1).write.mode("append").parquet(pages_path)
+    out2 = stream_dedup_first_seen(spark, pages_path, ck, out_path=sink)
+    assert out2.count() == 110
+
+    # run 3: pure re-seen traffic → no new emissions
+    urls(0, 110).coalesce(1).write.mode("append").parquet(pages_path)
+    out3 = stream_dedup_first_seen(spark, pages_path, ck, out_path=sink)
+    assert out3.count() == 110
+
+    # state keys == distinct urls, even after 270 total input rows
+    state = spark.read.format("statestore").load(ck)
+    assert state.count() == 110
