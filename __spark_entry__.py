@@ -399,12 +399,24 @@ FROM cands WHERE {ham} <= 3
 """
 
 
-def _h32_sql(offset: int = 0) -> str:
+def _h32_sql(offset: int = 0, tok: str = "tok") -> str:
     """DuckDB mirror of dedup._hash32_expr: 32-bit int from 8 md5 hex chars."""
     return " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(tok), {offset + i + 1}, 1)) - 1) "
+        f"(strpos('0123456789abcdef', substr(md5({tok}), {offset + i + 1}, 1)) - 1) "
         f"* cast(pow(16, {7 - i}) as bigint)"
         for i in range(8)
+    )
+
+
+def _planes_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB mirror of similarity.seeded_planes: md5-nibble PRNG components
+    in [-1, 1), bit-identical to the Spark-generated planes."""
+    tok = f"'{seed}:' || pid::varchar || ':' || j::varchar"
+    comp = f"({_h32_sql(tok=tok)}) / 2147483648.0 - 1.0"
+    return (
+        f"SELECT pid AS plane_id, "
+        f"list_transform(generate_series(0, {dim - 1}), j -> {comp}) AS p_emb "
+        f"FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS pid)"
     )
 
 
@@ -544,19 +556,36 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
 """
 
 
-def _embedding_near_dup_oracle() -> str:
-    """Mirror of similarity.embedding_near_dup_pairs over the dup-injected
-    embeddings table: sign-bit buckets vs the first 8 original vectors,
-    bucket self-join, exact cosine rerank, threshold 0.9."""
+def _lsh_keys_sql(src: str, b: int, n_tables: int) -> str:
+    """Shared CTE tail: banded LSH keys (vec_id, tbl, key) over ``src`` —
+    mirrors similarity.lsh_table_keys with seeded planes."""
     dot_pv = (
         "list_sum(list_transform(generate_series(1, len(v.embedding)), "
-        "i -> v.embedding[i]::double * p.embedding[i]::double))"
+        "i -> v.embedding[i]::double * p.p_emb[i]))"
     )
+    return f"""
+p AS ({_planes_sql(b * n_tables)}),
+bits AS (
+  SELECT v.vec_id, p.plane_id,
+         CASE WHEN {dot_pv} >= 0 THEN 1 ELSE 0 END AS bit
+  FROM {src} v, p
+),
+keys AS (
+  SELECT vec_id, plane_id // {b} AS tbl,
+         sum(bit * cast(pow(2.0, plane_id % {b}) as bigint)) AS key
+  FROM bits GROUP BY vec_id, tbl
+)"""
+
+
+def _embedding_near_dup_oracle(b: int = 8, n_tables: int = 8) -> str:
+    """Mirror of similarity.embedding_near_dup_pairs over the dup-injected
+    embeddings table: banded seeded-plane keys, any-table bucket self-join,
+    exact cosine rerank, threshold 0.9."""
     cos_ab = (
-        "floor((list_sum(list_transform(generate_series(1, len(a.embedding)), "
-        "i -> a.embedding[i]::double * b.embedding[i]::double)) / "
-        "(sqrt(list_sum(list_transform(a.embedding, x -> x::double * x::double))) * "
-        "sqrt(list_sum(list_transform(b.embedding, x -> x::double * x::double))))) "
+        "floor((list_sum(list_transform(generate_series(1, len(ea.embedding)), "
+        "i -> ea.embedding[i]::double * eb.embedding[i]::double)) / "
+        "(sqrt(list_sum(list_transform(ea.embedding, x -> x::double * x::double))) * "
+        "sqrt(list_sum(list_transform(eb.embedding, x -> x::double * x::double))))) "
         "* 10000.0 + 0.5) / 10000.0"
     )
     return f"""
@@ -564,46 +593,34 @@ WITH dup AS (
   SELECT vec_id, embedding FROM embeddings UNION ALL
   SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
 ),
-p AS (SELECT vec_id AS plane_id, embedding FROM dup WHERE vec_id < 8),
-bits AS (
-  SELECT v.vec_id, p.plane_id,
-         CASE WHEN {dot_pv} >= 0 THEN 1 ELSE 0 END AS bit
-  FROM dup v, p
-),
-buckets AS (
-  SELECT vec_id, sum(bit * cast(pow(2.0, plane_id) as bigint)) AS bucket
-  FROM bits GROUP BY vec_id
-),
-wb AS (SELECT e.vec_id, e.embedding, b.bucket FROM dup e JOIN buckets b USING (vec_id)),
+{_lsh_keys_sql('dup', b, n_tables)},
 cands AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos_ab} AS cosine
-  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.key = b.key
+  WHERE a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, cosine FROM cands WHERE cosine >= 0.9
+SELECT id_a, id_b, {cos_ab} AS cosine
+FROM cands JOIN dup ea ON ea.vec_id = id_a JOIN dup eb ON eb.vec_id = id_b
+WHERE {cos_ab} >= 0.9
 """
 
 
-def _ann_lsh_oracle() -> str:
-    dot_pv = (
-        "list_sum(list_transform(generate_series(1, len(v.embedding)), "
-        "i -> v.embedding[i]::double * p.embedding[i]::double))"
-    )
+def _ann_lsh_oracle(b: int = 3, n_tables: int = 16) -> str:
+    """Mirror of similarity.lsh_topk: banded seeded-plane keys (L tables of
+    b bits), any-table candidate union, exact cosine rerank top-k."""
     return f"""
-WITH p AS (SELECT vec_id AS plane_id, embedding FROM embeddings WHERE vec_id < 8),
-bits AS (
-  SELECT v.vec_id, p.plane_id,
-         CASE WHEN {dot_pv} >= 0 THEN 1 ELSE 0 END AS bit
-  FROM embeddings v, p
+WITH {_lsh_keys_sql('embeddings', b, n_tables)},
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+qk AS (SELECT vec_id AS query_id, tbl, key AS probe FROM keys WHERE vec_id < 5),
+cands AS (
+  SELECT DISTINCT qk.query_id, vk.vec_id
+  FROM keys vk JOIN qk ON vk.tbl = qk.tbl AND vk.key = qk.probe
+  WHERE vk.vec_id != qk.query_id
 ),
-buckets AS (
-  SELECT vec_id, sum(bit * cast(pow(2.0, plane_id) as bigint)) AS bucket
-  FROM bits GROUP BY vec_id
-),
-wb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b USING (vec_id)),
-q AS (SELECT vec_id AS query_id, embedding, bucket AS q_bucket FROM wb WHERE vec_id < 5),
 scored AS (
-  SELECT q.query_id, v.vec_id, {_COSINE} AS cosine
-  FROM wb v JOIN q ON v.bucket = q.q_bucket AND v.vec_id != q.query_id
+  SELECT c.query_id, c.vec_id, {_COSINE} AS cosine
+  FROM cands c JOIN embeddings v ON v.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
 ),
 ranked AS (
   SELECT query_id, vec_id, cosine,
