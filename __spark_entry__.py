@@ -716,11 +716,18 @@ SELECT doc_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image/png'
             WHEN doc_id % 3 = 1 THEN 'audio/wav'
             ELSE 'video/mp4' END AS media_type,
-       length(text)::bigint AS byte_len,
-       (length(text) % 640 + 1)::int AS width,
-       (length(text) % 480 + 1)::int AS height,
-       (CASE WHEN doc_id % 3 = 2 THEN length(text) % 30 + 1 ELSE 1 END)::int AS n_frames,
-       substr(sha256(text), 1, 16) AS sha
+       (CASE WHEN doc_id % 3 = 0 THEN 73
+             WHEN doc_id % 3 = 1 THEN 44 + 2 * (doc_id % 100 + 1)
+             ELSE 28 END)::bigint AS byte_len,
+       (CASE WHEN doc_id % 3 = 0 THEN doc_id % 640 + 1 END)::int AS width,
+       (CASE WHEN doc_id % 3 = 0 THEN doc_id % 480 + 1 END)::int AS height,
+       (CASE WHEN doc_id % 3 = 1 THEN 8000 * (1 + (doc_id // 3) % 3) END)::int AS sample_rate,
+       (CASE WHEN doc_id % 3 = 1 THEN doc_id % 100 + 1 END)::int AS n_samples,
+       (CASE WHEN doc_id % 3 = 1
+             THEN ((doc_id % 100 + 1) * 1000000) // (8000 * (1 + (doc_id // 3) % 3))
+        END)::bigint AS duration_us,
+       (CASE WHEN doc_id % 3 = 2 THEN doc_id % 30 + 1 ELSE 1 END)::int AS n_frames,
+       true AS ok
 FROM documents
 """,
         "windowed_event_counts": """

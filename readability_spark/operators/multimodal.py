@@ -1,20 +1,37 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, with REAL
+header codecs.
 
-Images/audio/video are carried as ``binary`` columns with typed metadata
-structs; decode / feature-extract run as Arrow-batched ``mapInPandas`` (the
-same execution shape as the html extraction UDF). The actual codec step is a
-deterministic STUB (no image/audio libraries in this container — see
-``decode_image_stub``); the Spark-side plumbing — schema, batch shape,
-partitioning, binary transport — is real and tested.
+Images/audio/video are carried as ``binary`` columns; decode runs as
+Arrow-batched ``mapInPandas`` (the same execution shape as the html
+extraction UDF). The codecs are real pure-stdlib parsers — no PIL/ffmpeg in
+this container, but none is needed for container metadata:
+
+- PNG: signature check + IHDR parse (width/height/bit depth/color type)
+  with CRC32 verification of the IHDR chunk;
+- WAV: RIFF chunk walk (fmt → channels/sample rate/bits; data → sample
+  count, duration);
+- MP4 (ISO-BMFF): box walk (ftyp brand; frame count carried in a box
+  payload).
+
+Pixel/sample *content* decoding (JPEG DCT, H.264, ...) genuinely needs
+native libs and stays a declared stub: :func:`decode_pixels` raises
+``NotImplementedError`` unless PIL is importable. Synthesis builds fully
+valid container bytes (correct lengths + CRCs) so the decoders are
+exercised on real structure, and every synthesized parameter is a
+deterministic function of ``doc_id`` so the DuckDB oracle can verify the
+full synthesize → binary → parse round trip.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import struct
+import zlib
+from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -29,57 +46,233 @@ MEDIA_META_SCHEMA = StructType(
         StructField("byte_len", LongType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("duration_us", LongType(), True),
         StructField("n_frames", IntegerType(), True),
-        StructField("sha", StringType(), True),
+        StructField("ok", BooleanType(), True),
     ]
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# builders (valid container bytes; parameters deterministic per doc)
+# ---------------------------------------------------------------------------
+
+def build_png(width: int, height: int, idat: bytes = b"\x00" * 16) -> bytes:
+    """Minimal structurally-valid PNG: signature + IHDR + IDAT + IEND, all
+    chunk lengths and CRCs correct. (IDAT content is opaque filler — header
+    metadata never needs pixel decode.)"""
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def build_wav(sample_rate: int, n_samples: int, channels: int = 1, bits: int = 16) -> bytes:
+    """Valid PCM WAV: RIFF header + fmt + data chunks (silence payload)."""
+    block_align = channels * bits // 8
+    data = b"\x00" * (n_samples * block_align)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def build_mp4(n_frames: int) -> bytes:
+    """Minimal ISO-BMFF: ftyp box + a 'free' box whose payload carries the
+    frame count big-endian (stand-in for walking into moov/mvhd)."""
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
+    free = struct.pack(">I", 12) + b"free" + struct.pack(">I", n_frames)
+    return ftyp + free
+
+
+# ---------------------------------------------------------------------------
+# parsers (header-only, pure stdlib)
+# ---------------------------------------------------------------------------
+
+def parse_png(b: bytes) -> dict:
+    """PNG IHDR metadata; raises ValueError on malformed data (bad
+    signature, short/invalid IHDR, CRC mismatch)."""
+    if b[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    (length,) = struct.unpack_from(">I", b, 8)
+    tag = b[12:16]
+    if tag != b"IHDR" or length != 13 or len(b) < 16 + 13 + 4:
+        raise ValueError("missing IHDR")
+    data = b[16 : 16 + 13]
+    (crc,) = struct.unpack_from(">I", b, 16 + 13)
+    if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+        raise ValueError("IHDR CRC mismatch")
+    width, height, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
+    return {"width": width, "height": height, "bit_depth": bit_depth, "color_type": color_type}
+
+
+def parse_wav(b: bytes) -> dict:
+    """RIFF/WAVE chunk walk; raises ValueError on malformed data."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not RIFF/WAVE")
+    pos, end = 12, min(len(b), 8 + struct.unpack_from("<I", b, 4)[0])
+    channels = sample_rate = bits = None
+    data_len = None
+    while pos + 8 <= end:
+        tag = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        if tag == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            _fmt, channels, sample_rate, _brate, _align, bits = struct.unpack_from(
+                "<HHIIHH", b, pos + 8
+            )
+        elif tag == b"data":
+            data_len = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or data_len is None:
+        raise ValueError("missing fmt/data chunk")
+    n_samples = data_len // (channels * bits // 8)
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "bits": bits,
+        "n_samples": n_samples,
+        "duration_us": n_samples * 1_000_000 // sample_rate,
+    }
+
+
+def parse_mp4(b: bytes) -> dict:
+    """ISO-BMFF box walk; raises ValueError on malformed data."""
+    pos, brand, n_frames = 0, None, None
+    while pos + 8 <= len(b):
+        (size,) = struct.unpack_from(">I", b, pos)
+        tag = b[pos + 4 : pos + 8]
+        if size < 8 or pos + size > len(b):
+            raise ValueError("bad box size")
+        if tag == b"ftyp":
+            brand = b[pos + 8 : pos + 12].decode("ascii", "replace")
+        elif tag == b"free" and size >= 12:
+            (n_frames,) = struct.unpack_from(">I", b, pos + 8)
+        pos += size
+    if brand is None:
+        raise ValueError("no ftyp box")
+    return {"brand": brand, "n_frames": n_frames}
+
+
+def decode_pixels(payload: bytes):  # pragma: no cover - needs PIL
+    """Pixel-content decode: genuinely requires a native imaging lib. Gated
+    behind an import so environments with PIL get it for free; this
+    container does not have it, so callers treat pixels as opaque."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError("pixel decoding requires PIL") from exc
+    return Image.open(io.BytesIO(payload))
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+def _media_params(doc_id: int) -> tuple:
+    """Deterministic synthesis parameters per doc (mirrored in the oracle)."""
+    kind = doc_id % 3
+    if kind == 0:
+        return ("image/png", doc_id % 640 + 1, doc_id % 480 + 1, None, None, None)
+    if kind == 1:
+        rate = 8000 * (1 + (doc_id // 3) % 3)
+        return ("audio/wav", None, None, rate, doc_id % 100 + 1, None)
+    return ("video/mp4", None, None, None, None, doc_id % 30 + 1)
+
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
-    """documents → (doc_id, media_type, payload: binary). Deterministic fake
-    payloads (utf-8 of text) standing in for image/audio bytes."""
-    return docs.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
-        .otherwise(F.lit("video/mp4"))
-        .alias("media_type"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    """documents → (doc_id, media_type, payload: binary). Payloads are
+    *valid* PNG/WAV/MP4 container bytes built per doc."""
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("media_type", StringType(), True),
+            StructField("payload", BinaryType(), True),
+        ]
     )
 
-
-def decode_image_stub(payload: bytes) -> tuple:
-    """STUB decode: real deployments plug PIL/ffmpeg here. Deterministic fake
-    dimensions derived from the payload length so tests/oracles can verify
-    the plumbing end-to-end. Raises NotImplementedError for real codecs."""
-    n = len(payload)
-    return (n % 640 + 1, n % 480 + 1, n % 30 + 1)
-
-
-def extract_media_metadata(media: DataFrame) -> DataFrame:
-    """Arrow-batched metadata extraction over the binary column."""
-
     def batches(it: Iterator) -> Iterator:
-        import hashlib
-
         import pandas as pd
 
         for pdf in it:
             rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mt, w, h, rate, n_samp, n_frames = _media_params(d)
+                if mt == "image/png":
+                    payload = build_png(w, h)
+                elif mt == "audio/wav":
+                    payload = build_wav(rate, n_samp)
+                else:
+                    payload = build_mp4(n_frames)
+                rows.append({"doc_id": d, "media_type": mt, "payload": payload})
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    return docs.select("doc_id").mapInPandas(batches, out_schema)
+
+
+def extract_media_metadata(media: DataFrame) -> DataFrame:
+    """Arrow-batched header decode over the binary column; malformed
+    payloads produce ok=False rows instead of failing the job (same
+    failure-isolation contract as html extraction)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = [f.name for f in MEDIA_META_SCHEMA.fields]
+        for pdf in it:
+            rows = []
             for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
-                w, h, nf = decode_image_stub(raw)
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "media_type": mt,
-                        "byte_len": len(raw),
-                        "width": w,
-                        "height": h,
-                        "n_frames": nf if mt == "video/mp4" else 1,
-                        "sha": hashlib.sha256(raw).hexdigest()[:16],
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA.fields])
+                row = {
+                    "doc_id": int(doc_id),
+                    "media_type": mt,
+                    "byte_len": len(raw),
+                    "width": None,
+                    "height": None,
+                    "sample_rate": None,
+                    "n_samples": None,
+                    "duration_us": None,
+                    "n_frames": None,
+                    "ok": True,
+                }
+                try:
+                    if mt == "image/png":
+                        meta = parse_png(raw)
+                        row["width"], row["height"] = meta["width"], meta["height"]
+                        row["n_frames"] = 1
+                    elif mt == "audio/wav":
+                        meta = parse_wav(raw)
+                        row["sample_rate"] = meta["sample_rate"]
+                        row["n_samples"] = meta["n_samples"]
+                        row["duration_us"] = meta["duration_us"]
+                        row["n_frames"] = 1
+                    elif mt == "video/mp4":
+                        meta = parse_mp4(raw)
+                        row["n_frames"] = meta["n_frames"]
+                    else:
+                        row["ok"] = False
+                except (ValueError, struct.error):
+                    row["ok"] = False
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(batches, MEDIA_META_SCHEMA)

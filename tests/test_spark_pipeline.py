@@ -149,6 +149,8 @@ def test_streaming_extract(spark, tmp_path, fixture_pages):
 
 
 def test_media_plumbing(spark):
+    """Round trip: synthesized valid PNG/WAV/MP4 container bytes → Arrow
+    batch transport → real header parse recovers the synthesis params."""
     from readability_spark.operators.multimodal import (
         extract_media_metadata,
         synthesize_media,
@@ -158,7 +160,39 @@ def test_media_plumbing(spark):
     meta = extract_media_metadata(synthesize_media(docs))
     rows = meta.collect()
     assert len(rows) == 50
-    assert all(r["byte_len"] > 0 and r["width"] >= 1 for r in rows)
+    assert all(r["ok"] for r in rows)
+    for r in rows:
+        d = r["doc_id"]
+        if r["media_type"] == "image/png":
+            assert (r["width"], r["height"]) == (d % 640 + 1, d % 480 + 1)
+        elif r["media_type"] == "audio/wav":
+            assert r["sample_rate"] == 8000 * (1 + (d // 3) % 3)
+            assert r["n_samples"] == d % 100 + 1
+            assert r["duration_us"] == r["n_samples"] * 1_000_000 // r["sample_rate"]
+        else:
+            assert r["n_frames"] == d % 30 + 1
+
+
+def test_media_codecs_reject_malformed(spark):
+    """Malformed payloads become ok=False rows, not job failures."""
+    from readability_spark.operators.multimodal import (
+        build_png,
+        extract_media_metadata,
+        parse_png,
+    )
+
+    good = build_png(10, 20)
+    # flip a byte inside IHDR: CRC check must catch it
+    bad = good[:18] + bytes([good[18] ^ 0xFF]) + good[19:]
+    with pytest.raises(ValueError):
+        parse_png(bad)
+    media = spark.createDataFrame(
+        [(1, "image/png", good), (2, "image/png", bad), (3, "audio/wav", b"junk")],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_media_metadata(media).collect()}
+    assert rows[1]["ok"] and rows[1]["width"] == 10 and rows[1]["height"] == 20
+    assert not rows[2]["ok"] and not rows[3]["ok"]
 
 
 def test_embedding_near_dup_pairs(spark):
