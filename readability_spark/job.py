@@ -30,6 +30,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-salt", action="store_true", help="skip the salted url-hash repartition")
     p.add_argument("--no-html", action="store_true", help="drop content_html from output")
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument(
+        "--max-html-bytes",
+        type=int,
+        default=0,
+        help="drop pages larger than this before extraction (0 = no cap); "
+        "uses a pushed-down scan filter when the input carries an html_len "
+        "column, else a pre-UDF length() filter",
+    )
     p.add_argument("--char-threshold", type=int, default=None)
     p.add_argument(
         "--readerable-prefilter",
@@ -75,9 +83,23 @@ def main(argv=None) -> int:
         with_bucket,
     )
 
+    from pyspark.sql import functions as F
+
     pages = load_input(spark, args.input)
     if args.limit:
         pages = pages.limit(args.limit)
+    if args.max_html_bytes:
+        # oversized pages (SURVEY §4 / reference maxElemsToParse analogue):
+        # cap BEFORE the expensive per-doc UDF. When the table carries a
+        # materialized html_len column (recommended for crawl tables — an
+        # 8-byte column lets parquet/Iceberg prune at the scan via
+        # PushedFilters + row-group stats), filter on it; otherwise fall
+        # back to length(html), which still runs scan-side, before the
+        # shuffle and the Python UDF.
+        if "html_len" in pages.columns:
+            pages = pages.filter(F.col("html_len") <= args.max_html_bytes)
+        else:
+            pages = pages.filter(F.length(F.col("html")) <= args.max_html_bytes)
 
     pages = with_bucket(pages, args.buckets)
     manifest = read_manifest(spark, args.manifest) if args.manifest else None

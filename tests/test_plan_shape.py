@@ -84,3 +84,39 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "PushedFilters: [" in plan
     pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
     assert "lang" in pushed and "n_chars" in pushed, pushed
+
+
+def test_max_html_bytes_filter_pushed(spark, tmp_path):
+    """--max-html-bytes: with a materialized html_len column the cap lands
+    in the parquet scan's PushedFilters (row-group pruning at 100 TB); the
+    length(html) fallback still filters scan-side, below the shuffle and
+    the Python UDF."""
+    from readability_spark.plans.pipeline import observed_extract
+
+    path = str(tmp_path / "pages")
+    (
+        spark.range(100)
+        .select(
+            F.concat(F.lit("http://h/"), F.col("id")).alias("url"),
+            F.encode(F.concat(F.lit("<html><body>"), F.col("id")), "utf-8").alias("html"),
+        )
+        .withColumn("html_len", F.length("html").cast("long"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    pages = spark.read.parquet(path).filter(F.col("html_len") <= 100_000)
+    result, _ = observed_extract(pages, include_html=False, n_buckets=8)
+    plan = plan_of(result)
+    scan_line = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "html_len" in scan_line and "100000" in scan_line, scan_line
+
+    # fallback path: expression filter can't reach PushedFilters, but must
+    # sit in the scan stage — strictly before the exchange and the UDF
+    pages2 = spark.read.parquet(path).filter(F.length("html") <= 100_000)
+    result2, _ = observed_extract(pages2, include_html=False, n_buckets=8)
+    plan2 = plan_of(result2)
+    filter_pos = plan2.index("length(html")
+    # printed tree: deeper in the string = earlier in execution — the filter
+    # must execute before the exchange and the UDF
+    assert filter_pos > plan2.index("Exchange")
+    assert plan2.index("MapInPandas") < filter_pos, plan2
