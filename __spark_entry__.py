@@ -88,6 +88,22 @@ def _q_extract_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_candidate_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top elected-candidate path + score per page (the ArtScr probe as a
+    distributed query). On the synthetic template the election is provably
+    the article div, with score 5 (div prior) + REPEAT x (1 base + 1 comma
+    segment + capped length bonus) and zero link density — exactly
+    recomputable in SQL."""
+    from readability_spark.operators.extract import extract_debug
+
+    out = extract_debug(_pages(spark, sf_dir), k=1)
+    return out.select(
+        "url",
+        F.col("top_candidates")[0]["path"].alias("top_path"),
+        F.col("top_candidates")[0]["score"].alias("top_score"),
+    )
+
+
 def _q_readerable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.extract import readerable
 
@@ -290,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics": _q_extract_metrics,
         "extract_length_histogram": _q_extract_length_histogram,
         "readerable_pages": _q_readerable,
+        "candidate_paths": _q_candidate_paths,
         "text_token_stats": _q_token_stats,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -664,6 +681,12 @@ FROM documents GROUP BY 1
         "readerable_pages": f"""
 SELECT {url} AS url,
        (CASE WHEN n_chars > 140 THEN {_REPEAT} * sqrt(n_chars - 140) > 20 ELSE false END) AS readerable
+FROM documents
+""",
+        "candidate_paths": f"""
+SELECT {url} AS url,
+       '/div#doc[doc]' AS top_path,
+       (5 + {_REPEAT} * (2 + least(length(text) // 100, 3)))::double AS top_score
 FROM documents
 """,
         "text_token_stats": f"""

@@ -124,9 +124,42 @@ class _TreeBuilder(HTMLParser):
                 if t in boundary or t in ("html", "body"):
                     break
 
+    def _exit_head_if_open(self) -> None:
+        """HTML5 'in head' mode: flow content implies </head> and <body> —
+        pages that omit <body> (common in minified crawl HTML) must not
+        accumulate their whole article inside <head>."""
+        head_idx = None
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == "head":
+                head_idx = i
+                break
+        if head_idx is None:
+            return
+        while len(self.stack) > head_idx:
+            self._close_top()
+        html = self.stack[-1] if self.stack[-1].tag == "html" else self.document.document_element
+        if html is None:
+            return
+        body = None
+        for c in html.children:
+            if isinstance(c, Element) and c.tag == "body":
+                body = c
+                break
+        if body is None:
+            body = Element("body")
+            html.append_child(body)
+        if self.stack[-1] is html:
+            self.stack.append(body)
+
     # -- HTMLParser hooks -----------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
         tag = tag.lower()
+        if (
+            self._foreign_depth == 0
+            and tag not in _HEAD_CONTENT
+            and tag not in ("html", "head")
+        ):
+            self._exit_head_if_open()
         if tag in ("html", "head", "body"):
             # merge attrs into existing structural element if present
             existing = None
@@ -180,6 +213,8 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data: str) -> None:
         if not data:
             return
+        if self.top.tag == "head" and data.strip():
+            self._exit_head_if_open()
         top = self.top
         last = top.children[-1] if top.children else None
         if isinstance(last, Text):
