@@ -44,6 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="skip full extraction for pages failing isProbablyReaderable",
     )
+    p.add_argument(
+        "--iceberg-warehouse",
+        default=None,
+        help="warehouse dir for a hadoop Iceberg catalog named 'local' "
+        "(needs the iceberg-spark-runtime jar on the cluster); enables "
+        "iceberg:<db.tbl> for --input/--output",
+    )
     return p
 
 
@@ -53,7 +60,9 @@ def load_input(spark, spec: str):
 
         return synthesize_pages(spark, spec[len("synth:") :])
     if spec.startswith("iceberg:"):
-        return spark.read.format("iceberg").load(spec[len("iceberg:") :])
+        from readability_spark.sources.iceberg import read_pages
+
+        return read_pages(spark, spec[len("iceberg:") :])
     return spark.read.parquet(spec)
 
 
@@ -62,7 +71,7 @@ def main(argv=None) -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.appName("readability-spark-extract")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -71,8 +80,12 @@ def main(argv=None) -> int:
         # batch per worker (docs/SCALE.md); 512 keeps it ~50 MB
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        .getOrCreate()
     )
+    if args.iceberg_warehouse:
+        from readability_spark.sources.iceberg import apply_iceberg_conf
+
+        builder = apply_iceberg_conf(builder, args.iceberg_warehouse)
+    spark = builder.getOrCreate()
 
     from readability_spark.plans.pipeline import (
         append_manifest,
@@ -123,11 +136,16 @@ def main(argv=None) -> int:
         n_buckets=args.buckets,
         salt=not args.no_salt,
     )
-    (
-        result.write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(args.output)
-    )
+    if args.output.startswith("iceberg:"):
+        from readability_spark.sources.iceberg import write_result
+
+        write_result(result, args.output[len("iceberg:") :])
+    else:
+        (
+            result.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(args.output)
+        )
     elapsed = time.time() - t0
 
     metrics = dict(obs.get)
@@ -138,7 +156,14 @@ def main(argv=None) -> int:
     )
 
     if metrics.get("docs"):
-        out_df = spark.read.parquet(args.output)
+        if args.output.startswith("iceberg:"):
+            from readability_spark.sources.iceberg import qualify
+
+            out_df = spark.read.format("iceberg").load(
+                qualify(args.output[len("iceberg:") :])
+            )
+        else:
+            out_df = spark.read.parquet(args.output)
         if args.manifest:
             append_manifest(out_df, args.manifest)
         metrics["length_histogram"] = [
