@@ -523,27 +523,36 @@ WHERE floor((len(list_intersect(sa.sh, sb.sh))::double / (len(sa.sh) + len(sb.sh
 
 
 def _ngram_oracle() -> str:
-    """Mirror of dedup.ngram_jaccard_pairs with the DF shingle cap: only
-    discriminative shingles (2 <= df <= 100) generate candidates; Jaccard is
-    verified exactly on full shingle sets."""
+    """Mirror of dedup.ngram_jaccard_pairs: DF-capped candidate generation
+    (2 <= df <= 100) with counted common shingles, completed by the hot-
+    shingle posting join; Jaccard exact for every discovered pair."""
     jac = (
-        "floor((len(list_intersect(sa.sh, sb.sh))::double / "
-        "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) "
+        "floor(((common_rare + coalesce(common_hot, 0))::double / "
+        "(na.n + nb.n - common_rare - coalesce(common_hot, 0))) "
         "* 10000.0 + 0.5) / 10000.0"
     )
     return f"""
 WITH dup AS ({_DUP_DOCS}),
 sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM dup),
 exploded AS (SELECT doc_id, unnest(sh) AS g FROM sh),
-rare AS (SELECT g FROM exploded GROUP BY g HAVING count(*) BETWEEN 2 AND 100),
-filtered AS (SELECT doc_id, g FROM exploded JOIN rare USING (g)),
+dfreq AS (SELECT g, count(*) AS df FROM exploded GROUP BY g),
+rare AS (SELECT e.doc_id, e.g FROM exploded e JOIN dfreq USING (g) WHERE df BETWEEN 2 AND 100),
+hot AS (SELECT e.doc_id, e.g FROM exploded e JOIN dfreq USING (g) WHERE df > 100),
 cands AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM filtered a JOIN filtered b ON a.g = b.g
-  WHERE a.doc_id < b.doc_id
-)
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common_rare
+  FROM rare a JOIN rare b ON a.g = b.g
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+hc AS (
+  SELECT c.id_a, c.id_b, count(*) AS common_hot
+  FROM cands c JOIN hot ha ON ha.doc_id = c.id_a
+  JOIN hot hb ON hb.doc_id = c.id_b AND hb.g = ha.g
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
 SELECT id_a, id_b, {jac} AS jaccard
-FROM cands JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+FROM cands LEFT JOIN hc USING (id_a, id_b)
+JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
 WHERE {jac} >= 0.5
 """
 

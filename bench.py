@@ -81,6 +81,7 @@ def main() -> int:
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_simhash",
+        "dedup_simhash64_near_pairs",
         "ann_cosine_topk",
         "ann_lsh_topk",
         "text_quality",
@@ -91,6 +92,43 @@ def main() -> int:
     ):
         fn = qmap[name]
         queries[name] = timed(lambda fn=fn: fn(spark, SF_DIR).count())
+
+    # -- per-stage candidate cardinalities for the banded dedup pipelines:
+    # candidate volume relative to corpus size is what predicts behavior at
+    # 100x (a near-linear count here stays near-linear; quadratic explodes)
+    from readability_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash64_near_pairs,
+        with_injected_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dup = with_injected_duplicates(docs).persist()
+    n_dup_docs = dup.count()
+    cardinalities: dict = {"dedup_input_docs": n_dup_docs}
+    st: dict = {}
+    result_n = minhash_lsh_pairs(dup, _stages=st).count()
+    cardinalities["minhash"] = {
+        "band_rows": st["band_rows"].count(),
+        "candidate_pairs": st["candidate_pairs"].count(),
+        "verified_pairs": result_n,
+    }
+    st = {}
+    result_n = simhash64_near_pairs(dup, _stages=st).count()
+    cardinalities["simhash64"] = {
+        "candidate_pairs": st["candidate_pairs"].count(),
+        "verified_pairs": result_n,
+    }
+    st = {}
+    result_n = ngram_jaccard_pairs(dup, _stages=st).count()
+    cardinalities["ngram_jaccard"] = {
+        "shingle_rows": st["shingle_rows"].count(),
+        "discriminative_shingle_rows": st["discriminative_shingle_rows"].count(),
+        "candidate_pairs": st["candidate_pairs"].count(),
+        "verified_pairs": result_n,
+    }
+    dup.unpersist()
 
     total = round(sum(queries.values()), 3)
     result = {
@@ -104,6 +142,7 @@ def main() -> int:
         "extract_docs_per_sec": round(n_docs / queries["extract_articles"], 2)
         if queries["extract_articles"]
         else None,
+        "cardinalities": cardinalities,
     }
     print(json.dumps(result))
     spark.stop()

@@ -104,12 +104,17 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.5,
+    _stages: "dict | None" = None,
 ) -> DataFrame:
     """Candidate pairs from LSH banding, verified with exact shingle Jaccard.
 
     Scale shape: one shuffle to explode (doc, band, band_key), a self-join on
     (band, band_key) — only same-bucket pairs materialize — then the verify
     join recomputes shingle sets for candidates only.
+
+    ``_stages``: optional dict the intermediate DataFrames are stuffed into
+    (bench cardinality reporting — candidate volume is the number that
+    predicts 100x behavior).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes)
@@ -135,6 +140,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
+    if _stages is not None:
+        _stages["band_rows"] = buckets
+        _stages["candidate_pairs"] = cands
     sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
     return (
         cands.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -283,7 +291,10 @@ def simhash64(docs: DataFrame, use_xxhash64: bool = False) -> DataFrame:
 
 
 def simhash64_near_pairs(
-    docs: DataFrame, max_hamming: int = 3, use_xxhash64: bool = False
+    docs: DataFrame,
+    max_hamming: int = 3,
+    use_xxhash64: bool = False,
+    _stages: "dict | None" = None,
 ) -> DataFrame:
     """Near-dup pairs on the 64-bit simhash: 4 bands of 16 bits each
     (pigeonhole: hamming<=3 ⇒ at least one band equal), verify by popcount.
@@ -318,6 +329,8 @@ def simhash64_near_pairs(
         )
         .distinct()
     )
+    if _stages is not None:
+        _stages["candidate_pairs"] = cands
     xor_hi, xor_lo = F.expr("hi_a ^ hi_b"), F.expr("lo_a ^ lo_b")
     ham = sum(((xor_hi / F.lit(2**i)).cast("long") % 2) for i in range(32)) + sum(
         ((xor_lo / F.lit(2**i)).cast("long") % 2) for i in range(32)
@@ -334,47 +347,68 @@ def simhash64_near_pairs(
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, max_df: int = 100
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_df: int = 100,
+    _stages: "dict | None" = None,
 ) -> DataFrame:
     """Exact-Jaccard near-dup pairs with a document-frequency shingle cap.
 
     Candidate generation joins docs on *shared shingles*, which goes
     quadratic on any shingle common to many documents (one 3-gram shared by
     a million docs → 10^12 candidate rows — VERDICT r1). Fix: compute each
-    shingle's document frequency first and use only discriminative shingles
-    (2 <= df <= max_df) for the candidate join; df=1 shingles can't form a
-    pair, df>max_df shingles are boilerplate that says nothing about
-    similarity. The Jaccard itself is then verified *exactly* on the full
-    shingle sets of candidate pairs only, so reported values are identical
-    to the uncapped computation — only pairs whose every shared shingle is
-    ultra-common (not near-dups at any meaningful threshold) can be missed.
+    shingle's document frequency first and generate candidates only from
+    discriminative shingles (2 <= df <= max_df); df=1 shingles can't form a
+    pair, df>max_df shingles are boilerplate. Only pairs whose *every*
+    shared shingle is hot can be missed — LSH-style documented discovery
+    approximation; the reported Jaccard values themselves are exact.
+
+    Every shuffle here carries longs/short strings, never shingle arrays:
+    the candidate groupBy counts shared discriminative shingles directly,
+    and the count is completed to the exact full-set intersection by a
+    second bounded join of candidate pairs against the *hot* posting rows
+    (few distinct hot shingles by construction). Exact |intersection| =
+    common_rare + common_hot; sizes come from the per-doc shingle arrays.
     """
+    from pyspark.sql.window import Window
+
     sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
     exploded = sh.select("doc_id", F.explode("sh").alias("g"))
-    rare = (
-        exploded.groupBy("g")
-        .agg(F.count("*").alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
-        .select("g")
-    )
-    filtered = exploded.join(rare, "g")
-    a, b = filtered.alias("a"), filtered.alias("b")
+    # tag every posting row with its shingle's document frequency via a
+    # window over g: ONE shuffle, and the identical tagged subtree under
+    # rare-a / rare-b / hot-a / hot-b is shared through ReusedExchange
+    # (a dfreq groupBy + join would recompute the shingle explode per branch)
+    tagged = exploded.withColumn("df", F.count("*").over(Window.partitionBy("g")))
+    rare = tagged.filter((F.col("df") >= 2) & (F.col("df") <= max_df)).select("doc_id", "g")
+    hot_src = tagged.filter(F.col("df") > max_df).select("doc_id", "g")
+    a, b = rare.alias("a"), rare.alias("b")
     cands = (
         a.join(b, "g")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common_rare"))
     )
+    if _stages is not None:
+        _stages["shingle_rows"] = exploded
+        _stages["discriminative_shingle_rows"] = rare
+        _stages["candidate_pairs"] = cands
+    hot_a = hot_src.select(F.col("doc_id").alias("id_a"), "g")
+    hot_b = hot_src.select(F.col("doc_id").alias("id_b"), "g")
+    common_hot = (
+        cands.select("id_a", "id_b")
+        .join(hot_a, "id_a")
+        .join(hot_b, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common_hot"))
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    common = F.col("common_rare") + F.coalesce(F.col("common_hot"), F.lit(0))
     return (
-        cands.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            round4(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ),
-        )
+        cands.join(common_hot, ["id_a", "id_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn("jaccard", round4(common / (F.col("n_a") + F.col("n_b") - common)))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
