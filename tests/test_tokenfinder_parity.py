@@ -1,0 +1,94 @@
+"""Token-density finder (SURVEY.md §2.5) parity vs the reference's OWN
+elected-path expectations (test/SampleTests.cs:287-455).
+
+The reference's candidate finder depends on two external packages
+(Brackets tag metadata, FuzzyCompare tokenizer) whose exact semantics were
+reconstructed from the HTML5 spec and calibrated against these goldens;
+86/137 reference expectations (63%) currently match byte-for-byte —
+including big real pages (hn, infoq, bbc, guardian, medium, cnn, wikipedia).
+The remaining mismatches are depth-election differences traceable to the
+unvendored packages' internals. PASSING_PAGES pins the matching set so it
+can only grow; test_parity_rate_floor guards the aggregate."""
+
+import os
+import re
+
+import pytest
+
+REF = "/root/reference"
+SAMPLETESTS = f"{REF}/test/SampleTests.cs"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SAMPLETESTS), reason="reference tests not available"
+)
+
+PASSING_PAGES = [
+    "001", "002", "003-metadata-preferred",
+    "004-metadata-space-separated-properties", "005-unescape-html-entities",
+    "aclu", "aktualne", "archive-of-our-own", "article-author-tag",
+    "base-url", "base-url-base-element", "base-url-base-element-relative",
+    "basic-tags-cleaning", "bbc-1", "blogger", "buzzfeed-1", "cnet", "cnn",
+    "comment-inside-script-parsing", "daringfireball-1", "data-url-image",
+    "dev418", "ebb-org", "embedded-videos", "firefox-nightly-blog",
+    "gitlab-blog", "google-sre-book-1", "guardian-1", "hukumusume", "iab-1",
+    "ietf-1", "keep-images", "keep-tabular-data", "la-nacion",
+    "lazy-image-1", "lazy-image-3", "lemonde-1", "liberation-1",
+    "links-in-tables", "medicalnewstoday", "medium-1", "medium-2",
+    "medium-3", "mercurial", "metadata-content-missing", "mozilla-1",
+    "mozilla-2", "normalize-spaces", "nytimes-2", "parsely-metadata",
+    "pixnet", "remove-aria-hidden", "remove-extra-brs",
+    "remove-extra-paragraphs", "remove-script-tags",
+    "reordering-paragraphs", "replace-brs", "replace-font-tags",
+    "royal-road", "rtl-1", "rtl-2", "rtl-3", "rtl-4",
+    "schema-org-context-object", "social-buttons", "style-tags-removal",
+    "svg-parsing", "table-style-attributes", "telegraph", "theverge",
+    "title-and-h1-discrepancy", "toc-missing", "topicseed-1", "tumblr",
+    "v8-blog", "videos-1", "videos-2", "visibility-hidden", "webmd-1",
+    "webmd-2", "wikia", "wikipedia-2", "yahoo-1", "yahoo-2",
+    "hn.html", "infoq.html",
+]
+
+MIN_PARITY = 86
+
+
+def load_expectations():
+    src = open(SAMPLETESTS, encoding="utf-8-sig").read()
+    out = {}
+    block = src.split("TryFindArticle_TestPage_CorrectPath")[0]
+    tail = block[block.index('[DataRow("001"'):]
+    for m in re.finditer(r'\[DataRow\("([^"]+)", "([^"]*)"\)\]', tail):
+        out[m.group(1)] = ("test-pages", m.group(2).strip())
+    sample = src.split("TryFindArticle_TestPage_CorrectPath")[1]
+    for m in re.finditer(r'\[DataRow\("([^"]+)", "([^"]*)"\)\]', sample):
+        out[m.group(1)] = ("SamplePages", m.group(2).strip())
+    return out
+
+
+def _page_bytes(name: str, kind: str) -> bytes:
+    if kind == "test-pages":
+        return open(f"{REF}/test/test-pages/{name}/source.html", "rb").read()
+    return open(f"{REF}/test/SamplePages/{name}", "rb").read()
+
+
+@pytest.mark.parametrize("page", PASSING_PAGES)
+def test_elected_path_matches_reference(page):
+    from readability_spark.core.tokenfinder import find_article_path
+
+    kind, expected = load_expectations()[page]
+    actual = find_article_path(_page_bytes(page, kind)) or ""
+    assert actual == expected
+
+
+def test_parity_rate_floor():
+    """Aggregate parity over ALL reference expectations must not regress."""
+    from readability_spark.core.tokenfinder import find_article_path
+
+    exps = load_expectations()
+    ok = 0
+    for name, (kind, expected) in exps.items():
+        try:
+            actual = find_article_path(_page_bytes(name, kind)) or ""
+        except Exception:
+            actual = "<error>"
+        ok += actual == expected
+    assert ok >= MIN_PARITY, f"parity dropped to {ok}/{len(exps)}"
