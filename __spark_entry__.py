@@ -406,7 +406,7 @@ def _simhash_pairs_oracle() -> str:
         f"SELECT doc_id, simhash, {i} AS band, (simhash // {2 ** (8 * i)}) % 256 AS key FROM sims"
         for i in range(4)
     )
-    ham = " + ".join(f"((xor(sh_a, sh_b) // {2**i}) % 2)" for i in range(32))
+    ham = "bit_count(xor(sh_a, sh_b))"
     return f"""
 WITH dup AS ({_DUP_DOCS}),
 toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM dup),
@@ -482,9 +482,7 @@ def _simhash64_pairs_oracle() -> str:
             "SELECT doc_id, sim_hi, sim_lo, 3 AS band, sim_lo % 65536 AS key FROM sims",
         ]
     )
-    ham = " + ".join(f"((xor(hi_a, hi_b) // {2**i}) % 2)" for i in range(32)) + " + " + " + ".join(
-        f"((xor(lo_a, lo_b) // {2**i}) % 2)" for i in range(32)
-    )
+    ham = "bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))"
     return f"""
 WITH dup AS ({_DUP_DOCS}),
 {_simhash64_core_sql('dup')},

@@ -180,7 +180,7 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """Per-doc 32-bit simhash: sign of per-bit vote sums over token hashes."""
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).withColumn("h", F.expr(_hash32_expr("tok")))
+    ).withColumn("h", F.expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)"))
     votes = [
         F.sum(
             F.when(((F.col("h") / F.lit(2**i)).cast("long") % 2) == 1, 1).otherwise(-1)
@@ -228,8 +228,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         .distinct()
     )
-    xor = F.expr("sh_a ^ sh_b")
-    ham = sum(((xor / F.lit(2**i)).cast("long") % 2) for i in range(32))
+    ham = F.expr("bit_count(sh_a ^ sh_b)")
     return (
         cands.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
@@ -264,8 +263,12 @@ def simhash64(docs: DataFrame, use_xxhash64: bool = False) -> DataFrame:
             "h_lo", h64.bitwiseAND(F.lit(0xFFFFFFFF))
         )
     else:
-        toks = toks.withColumn("h_hi", F.expr(_hash32_expr("tok"))).withColumn(
-            "h_lo", F.expr(_hash32_expr("tok", offset=8))
+        # conv(hex, 16, 10) == the oracle's nibble arithmetic (verified
+        # value-identical) at 1/8 the expression work per token
+        toks = toks.withColumn(
+            "h_hi", F.expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)")
+        ).withColumn(
+            "h_lo", F.expr("cast(conv(substr(md5(tok), 9, 8), 16, 10) as bigint)")
         )
     votes = [
         F.sum(
@@ -331,10 +334,8 @@ def simhash64_near_pairs(
     )
     if _stages is not None:
         _stages["candidate_pairs"] = cands
-    xor_hi, xor_lo = F.expr("hi_a ^ hi_b"), F.expr("lo_a ^ lo_b")
-    ham = sum(((xor_hi / F.lit(2**i)).cast("long") % 2) for i in range(32)) + sum(
-        ((xor_lo / F.lit(2**i)).cast("long") % 2) for i in range(32)
-    )
+    # native popcount on both engines (Spark bit_count / DuckDB bit_count)
+    ham = F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)")
     return (
         cands.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
