@@ -209,7 +209,11 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_injected_near_dups,
     )
 
-    return embedding_near_dup_pairs(with_injected_near_dups(load_embeddings(spark, sf_dir)))
+    # n_planes pinned: the oracle mirrors b=8, L=8, dim=64 literally — a
+    # derived value would silently diverge at other table sizes/dims
+    return embedding_near_dup_pairs(
+        with_injected_near_dups(load_embeddings(spark, sf_dir)), n_planes=8, n_tables=8
+    )
 
 
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:

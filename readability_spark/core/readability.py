@@ -141,11 +141,7 @@ _SVG_CLASS_STRING = "[object SVGAnimatedString]"
 
 def _clone_node(node: Node) -> Node:
     if isinstance(node, Element):
-        el = Element(node.tag, dict(node.attrs))
-        el._flags = node._flags
-        for c in node.children:
-            el.append_child(_clone_node(c))
-        return el
+        return node.clone(deep=True)  # iterative, depth-safe, keeps flags
     if isinstance(node, Text):
         return Text(node.data)
     return Comment(node.data)  # type: ignore[union-attr]

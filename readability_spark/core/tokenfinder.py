@@ -253,7 +253,57 @@ def _has_one_child(el: Element) -> bool:
     return len(kids) == 1
 
 
-def try_count_tokens(el: Element) -> Optional[tuple]:
+class _Precomp:
+    """One bottom-up pass over the document computing, per element: direct
+    text token counts, subtree token counts (metadata/script subtrees
+    excluded), and subtree markup counts — so scoring every block candidate
+    is O(N) total instead of O(N^2) re-walks (the finder runs inside the
+    per-document Spark UDF; big crawl pages have 10k+ block elements)."""
+
+    __slots__ = ("direct", "agg", "markup_sub", "non_content")
+
+    def __init__(self, root: Element) -> None:
+        self.direct: dict = {}
+        self.agg: dict = {}
+        self.markup_sub: dict = {}
+        self.non_content: dict = {}
+        # iterative post-order
+        stack = [(root, False)]
+        while stack:
+            el, done = stack.pop()
+            if not done:
+                stack.append((el, True))
+                for c in el.children:
+                    if c.is_element:
+                        stack.append((c, False))
+                continue
+            dt = dw = dn = dp = 0
+            for c in el.children:
+                if c.is_text:
+                    t, w, n, p = count_tokens(c.data)
+                    dt += t
+                    dw += w
+                    dn += n
+                    dp += p
+            self.direct[id(el)] = (dt, dw, dn, dp)
+            at, aw, an, ap = dt, dw, dn, dp
+            msub = 0
+            for c in el.children:
+                if c.is_element:
+                    if not _is_metadata_or_script(c):
+                        ct, cw, cn, cp = self.agg[id(c)]
+                        at += ct
+                        aw += cw
+                        an += cn
+                        ap += cp
+                    nc = _is_non_content_element(c)
+                    self.non_content[id(c)] = nc
+                    msub += self.markup_sub[id(c)] + (1 if nc else 0)
+            self.agg[id(el)] = (at, aw, an, ap)
+            self.markup_sub[id(el)] = msub
+
+
+def try_count_tokens(el: Element, pre: "Optional[_Precomp]" = None) -> Optional[tuple]:
     """(token_count, token_density) or None (ArticleCandidate.cs:334-419)."""
     if _has_one_child(el):
         return None
@@ -263,14 +313,17 @@ def try_count_tokens(el: Element) -> Optional[tuple]:
         return None
 
     # direct content
-    total = words = numbers = puncts = 0
-    for c in el.children:
-        if c.is_text:
-            t, w, n, p = count_tokens(c.data)
-            total += t
-            words += w
-            numbers += n
-            puncts += p
+    if pre is not None:
+        total, words, numbers, puncts = pre.direct[id(el)]
+    else:
+        total = words = numbers = puncts = 0
+        for c in el.children:
+            if c.is_text:
+                t, w, n, p = count_tokens(c.data)
+                total += t
+                words += w
+                numbers += n
+                puncts += p
     if total > 0 and puncts < (words + numbers):
         token_count = words + numbers + puncts
         if token_count / total > 0:
@@ -278,20 +331,23 @@ def try_count_tokens(el: Element) -> Optional[tuple]:
             return None
 
     # all content
-    total = words = numbers = puncts = 0
-    stack = [el]
-    while stack:
-        node = stack.pop()
-        for c in node.children:
-            if c.is_text:
-                t, w, n, p = count_tokens(c.data)
-                total += t
-                words += w
-                numbers += n
-                puncts += p
-            elif c.is_element and not _is_metadata_or_script(c):
-                stack.append(c)
-            # metadata/script subtrees contribute nothing
+    if pre is not None:
+        total, words, numbers, puncts = pre.agg[id(el)]
+    else:
+        total = words = numbers = puncts = 0
+        stack = [el]
+        while stack:
+            node = stack.pop()
+            for c in node.children:
+                if c.is_text:
+                    t, w, n, p = count_tokens(c.data)
+                    total += t
+                    words += w
+                    numbers += n
+                    puncts += p
+                elif c.is_element and not _is_metadata_or_script(c):
+                    stack.append(c)
+                # metadata/script subtrees contribute nothing
     if total == 0 or puncts >= (words + numbers):
         return None
     token_count = words + numbers + puncts
@@ -325,7 +381,12 @@ def _is_non_content_element(el: Element) -> bool:
     return False
 
 
-def count_markup(el: Element) -> int:
+def count_markup(el: Element, pre: "Optional[_Precomp]" = None) -> int:
+    if pre is not None:
+        own = pre.non_content.get(id(el))
+        if own is None:
+            own = _is_non_content_element(el)
+        return pre.markup_sub[id(el)] + (1 if own else 0)
     n = 1 if _is_non_content_element(el) else 0
     for d in _iter_elements(el):
         if _is_non_content_element(d):
@@ -447,9 +508,14 @@ class Candidate:
         return candidate_path(self.root)
 
     def compare_to(self, other: "Candidate") -> int:
-        """Ratio comparator (ArticleCandidate.CompareTo)."""
-        token_ratio = self.token_count / float(other.token_count)
-        score_ratio = self.content_score / other.content_score
+        """Ratio comparator (ArticleCandidate.CompareTo). C# float division
+        by zero yields infinity, never an exception — mirror that."""
+        token_ratio = (
+            self.token_count / float(other.token_count) if other.token_count else math.inf
+        )
+        score_ratio = (
+            self.content_score / other.content_score if other.content_score else math.inf
+        )
         if token_ratio < 0.8 or score_ratio < 0.5:
             return -1
         if token_ratio > 0.8 and score_ratio > 0.5:
@@ -457,12 +523,17 @@ class Candidate:
         return 0
 
 
-def try_create(el: Element, document_root: Element, offset: int) -> Optional[Candidate]:
-    counted = try_count_tokens(el)
+def try_create(
+    el: Element,
+    document_root: Element,
+    offset: int,
+    pre: "Optional[_Precomp]" = None,
+) -> Optional[Candidate]:
+    counted = try_count_tokens(el, pre)
     if counted is None:
         return None
     token_count, token_density = counted
-    markup_count = count_markup(el)
+    markup_count = count_markup(el, pre)
     factor = element_factor(el, document_root)
     if token_count > markup_count and (markup_count > 0 or factor > 1.0):
         level = nesting_level(el)
@@ -513,6 +584,7 @@ def find_article_candidate(
                 break
 
     # score every block-level parent element, keep top-K in a bounded heap
+    pre = _Precomp(document_root)
     candidates: dict = {}
     heap: list = []  # (score, seq, Candidate) min-heap of size K
     seq = 0
@@ -521,7 +593,7 @@ def find_article_candidate(
             continue
         if not _child_nodes(el):
             continue
-        cand = try_create(el, document_root, offset)
+        cand = try_create(el, document_root, offset, pre)
         if cand is None:
             continue
         candidates[id(el)] = cand

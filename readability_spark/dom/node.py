@@ -401,6 +401,7 @@ class Element(Node):
 
     def clone(self, deep: bool = True) -> "Element":
         el = Element(self.tag, dict(self.attrs))
+        el._flags = self._flags  # keep svg-namespace / data-table marks
         if not deep:
             return el
         # iterative pairwise walk (src element, dst copy) — depth-safe

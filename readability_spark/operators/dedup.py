@@ -44,20 +44,31 @@ def with_injected_duplicates(docs: DataFrame, every: int = 10) -> DataFrame:
 def exact_duplicates(docs: DataFrame, max_ids: int = 100) -> DataFrame:
     """Groups of byte-identical texts: (fp, n_copies, keep_id, dup_ids...).
 
-    ``doc_ids`` is capped at the ``max_ids`` smallest ids per group —
-    an adversarial corpus can put millions of copies behind one fingerprint,
-    and an unbounded collect_list would blow executor memory on that single
-    group. ``n_copies`` always carries the true count.
+    ``doc_ids`` is capped at the ``max_ids`` smallest ids per group — an
+    adversarial corpus can put millions of copies behind one fingerprint.
+    The cap is applied BEFORE any list materializes: ids are ranked with a
+    window (sort-based, disk-spillable) and only rank <= max_ids rows reach
+    collect_list, so aggregation state is bounded too — a post-agg slice
+    would still buffer the full multi-million-element array first.
+    ``n_copies`` always carries the true count.
     """
-    return (
-        docs.select(F.md5("text").alias("fp"), "doc_id")
+    from pyspark.sql.window import Window
+
+    w_fp = docs.select(F.md5("text").alias("fp"), "doc_id")
+    stats = w_fp.groupBy("fp").agg(
+        F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_id")
+    )
+    rn = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    capped_ids = (
+        w_fp.withColumn("rn", rn)
+        .filter(F.col("rn") <= max_ids)
         .groupBy("fp")
-        .agg(
-            F.count("*").alias("n_copies"),
-            F.min("doc_id").alias("keep_id"),
-            F.slice(F.array_sort(F.collect_list("doc_id")), 1, max_ids).alias("doc_ids"),
-        )
-        .filter(F.col("n_copies") > 1)
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("doc_ids"))
+    )
+    return (
+        stats.filter(F.col("n_copies") > 1)
+        .join(capped_ids, "fp")
+        .select("fp", "n_copies", "keep_id", "doc_ids")
     )
 
 

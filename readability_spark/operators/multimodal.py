@@ -140,7 +140,10 @@ def parse_wav(b: bytes) -> dict:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None or data_len is None:
         raise ValueError("missing fmt/data chunk")
-    n_samples = data_len // (channels * bits // 8)
+    block_align = channels * bits // 8
+    if block_align <= 0 or sample_rate <= 0:
+        raise ValueError("degenerate fmt chunk (zero channels/bits/rate)")
+    n_samples = data_len // block_align
     return {
         "channels": channels,
         "sample_rate": sample_rate,
@@ -270,7 +273,7 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
                         row["n_frames"] = meta["n_frames"]
                     else:
                         row["ok"] = False
-                except (ValueError, struct.error):
+                except (ValueError, struct.error, ZeroDivisionError, OverflowError):
                     row["ok"] = False
                 rows.append(row)
             yield pd.DataFrame(rows, columns=cols)

@@ -176,6 +176,10 @@ def embedding_near_dup_pairs(
     ``n_planes=None`` derives the width from table size so the expected
     bucket fits one task. The self-join shuffles (tbl, key) longs only;
     embeddings are re-attached for the exact cosine rerank afterwards.
+
+    Note: ``n_planes=None`` costs one extra count() job to derive the width
+    — fine interactively; production jobs over huge tables should pass
+    ``n_planes`` explicitly (a layout decision, not per-run measurement).
     """
     if n_planes is None:
         n_planes = auto_n_planes(emb.count())

@@ -64,10 +64,22 @@ def read_pages(spark: SparkSession, table: str) -> DataFrame:
     return spark.read.format("iceberg").load(qualify(table))
 
 
-def write_result(df: DataFrame, table: str, mode: str = "append") -> None:
-    """Write extraction output to an Iceberg table (creates on first write)."""
+def write_result(df: DataFrame, table: str) -> None:
+    """Write extraction output to an Iceberg table, idempotently.
+
+    First write creates the table partitioned by ``bucket`` (same layout
+    contract as the parquet path, so bucket-filtered resume reads prune).
+    Subsequent writes use ``overwritePartitions`` — the Iceberg analogue of
+    dynamic partition overwrite — so a resumed/rerun bucket atomically
+    REPLACES its previous rows instead of appending duplicates.
+    """
+    from pyspark.sql import functions as F
+
     t = qualify(table)
-    if mode != "append" or not df.sparkSession.catalog.tableExists(t):
-        df.writeTo(t).createOrReplace()
+    if not df.sparkSession.catalog.tableExists(t):
+        writer = df.writeTo(t)
+        if "bucket" in df.columns:
+            writer = writer.partitionedBy(F.col("bucket"))
+        writer.create()
     else:
-        df.writeTo(t).append()
+        df.writeTo(t).overwritePartitions()

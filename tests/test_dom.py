@@ -151,3 +151,10 @@ def test_clone_preserves_flags_and_text():
     # mutating the clone must not touch the original
     c.get_elements_by_tag_name("b")[0].remove()
     assert "world" in div.text_content and "world" not in c.text_content
+
+
+def test_clone_preserves_root_flags():
+    doc = parse_html("<body><svg><circle/></svg></body>")
+    svg = doc.get_elements_by_tag_name("svg")[0]
+    assert svg.is_svg
+    assert svg.clone(deep=True).is_svg  # root flags copied, not just descendants

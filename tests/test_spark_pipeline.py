@@ -297,3 +297,21 @@ def test_stream_dedup_incremental_state_bounded(spark, tmp_path):
     # state keys == distinct urls, even after 270 total input rows
     state = spark.read.format("statestore").load(ck)
     assert state.count() == 110
+
+
+def test_media_degenerate_wav_is_err_row(spark):
+    """A fmt chunk declaring zero channels must yield ok=False, not a
+    ZeroDivisionError that kills the task (code-review r2)."""
+    import struct
+
+    from readability_spark.operators.multimodal import extract_media_metadata
+
+    fmt = struct.pack("<HHIIHH", 1, 0, 0, 0, 0, 0)  # channels=0, rate=0
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    bad = b"RIFF" + struct.pack("<I", len(body)) + body
+    media = spark.createDataFrame(
+        [(1, "audio/wav", bad)], "doc_id long, media_type string, payload binary"
+    )
+    row = extract_media_metadata(media).collect()[0]
+    assert not row["ok"]
