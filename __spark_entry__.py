@@ -118,6 +118,54 @@ def _q_readerable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readerable(_pages(spark, sf_dir))
 
 
+def _variant_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic url spellings per doc (tracking params, fragments,
+    default ports, mixed-case scheme/host) that must canonicalize to the
+    same url — the dedup fodder for _q_url_canonical_dedup."""
+    docs = _docs(spark, sf_dir)
+    base = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".Example.com/doc/"),
+        F.col("doc_id").cast("string"), F.lit(".html"),
+    )
+    variant = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(base, F.lit("?utm_source=feed&utm_medium=rss")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(base, F.lit("#section-2")))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("HTTP://"), F.col("source"), F.lit(".Example.com:80/doc/"),
+                F.col("doc_id").cast("string"), F.lit(".html"),
+            ),
+        )
+        .otherwise(F.concat(base, F.lit("?id="), F.col("doc_id").cast("string"),
+                            F.lit("&utm_campaign=x")))
+    )
+    plain = F.when(
+        F.col("doc_id") % 4 == 3,
+        F.concat(base, F.lit("?id="), F.col("doc_id").cast("string")),
+    ).otherwise(base)
+    return docs.select(plain.alias("url")).unionByName(docs.select(variant.alias("url")))
+
+
+def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.urltools import canonical_dedup_groups
+
+    return canonical_dedup_groups(_variant_urls(spark, sf_dir))
+
+
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.urltools import domain_stats
+
+    docs = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"), F.lit(".html"),
+        ).alias("url"),
+        "n_chars",
+    )
+    return domain_stats(docs)
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.textstats import token_stats
 
@@ -320,6 +368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readerable_pages": _q_readerable,
         "candidate_paths": _q_candidate_paths,
         "tokenfinder_paths": _q_tokenfinder_paths,
+        "url_canonical_dedup": _q_url_canonical_dedup,
+        "domain_stats": _q_domain_stats,
         "text_token_stats": _q_token_stats,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -696,6 +746,29 @@ FROM documents GROUP BY lang
 """,
         "extract_length_histogram": f"""
 SELECT cast(floor({_ORACLE_LEN} / 500.0) as bigint) AS len_bucket, count(*) AS n
+FROM documents GROUP BY 1
+""",
+        "url_canonical_dedup": """
+WITH base AS (
+  SELECT doc_id,
+         'http://' || lower(source) || '.example.com/doc/' || doc_id || '.html'
+           || (CASE WHEN doc_id % 4 = 3 THEN '?id=' || doc_id ELSE '' END) AS canonical_url,
+         'http://' || source || '.Example.com/doc/' || doc_id || '.html'
+           || (CASE WHEN doc_id % 4 = 3 THEN '?id=' || doc_id ELSE '' END) AS plain_url,
+         CASE
+           WHEN doc_id % 4 = 0 THEN 'http://' || source || '.Example.com/doc/' || doc_id || '.html?utm_source=feed&utm_medium=rss'
+           WHEN doc_id % 4 = 1 THEN 'http://' || source || '.Example.com/doc/' || doc_id || '.html#section-2'
+           WHEN doc_id % 4 = 2 THEN 'HTTP://' || source || '.Example.com:80/doc/' || doc_id || '.html'
+           ELSE 'http://' || source || '.Example.com/doc/' || doc_id || '.html?id=' || doc_id || '&utm_campaign=x'
+         END AS variant_url
+  FROM documents
+)
+SELECT canonical_url, 2::bigint AS n_variants, least(plain_url, variant_url) AS keep_url
+FROM base
+""",
+        "domain_stats": """
+SELECT lower(source) || '.example.com' AS host, count(*) AS n_docs,
+       sum(n_chars)::bigint AS total_chars
 FROM documents GROUP BY 1
 """,
         "readerable_pages": f"""
