@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
         "uses a pushed-down scan filter when the input carries an html_len "
         "column, else a pre-UDF length() filter",
     )
+    p.add_argument(
+        "--langs",
+        default=None,
+        help="comma-separated lang allowlist (e.g. en,es); an IN predicate "
+        "on the lang column, pushed into the scan (PushedFilters)",
+    )
     p.add_argument("--char-threshold", type=int, default=None)
     p.add_argument(
         "--readerable-prefilter",
@@ -113,6 +119,10 @@ def main(argv=None) -> int:
             pages = pages.filter(F.col("html_len") <= args.max_html_bytes)
         else:
             pages = pages.filter(F.length(F.col("html")) <= args.max_html_bytes)
+    if args.langs and "lang" in pages.columns:
+        # plain column IN-list: reaches PushedFilters, prunes parquet row
+        # groups / Iceberg files before any html byte is read
+        pages = pages.filter(F.col("lang").isin(args.langs.split(",")))
 
     pages = with_bucket(pages, args.buckets)
     manifest = read_manifest(spark, args.manifest) if args.manifest else None

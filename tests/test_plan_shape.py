@@ -120,3 +120,22 @@ def test_max_html_bytes_filter_pushed(spark, tmp_path):
     # must execute before the exchange and the UDF
     assert filter_pos > plan2.index("Exchange")
     assert plan2.index("MapInPandas") < filter_pos, plan2
+
+
+def test_lang_filter_pushed_to_scan(spark, tmp_path):
+    """--langs: the IN predicate must land in PushedFilters."""
+    path = str(tmp_path / "pages_lang")
+    (
+        spark.range(50)
+        .select(
+            F.concat(F.lit("http://h/"), F.col("id")).alias("url"),
+            F.encode(F.lit("<html><body>x</body></html>"), "utf-8").alias("html"),
+            F.when(F.col("id") % 2 == 0, "en").otherwise("es").alias("lang"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path).filter(F.col("lang").isin(["en"]))
+    plan = plan_of(df)
+    scan_line = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "lang" in scan_line, scan_line
