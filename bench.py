@@ -82,6 +82,8 @@ def main() -> int:
         "dedup_ngram_jaccard",
         "dedup_simhash",
         "dedup_simhash64_near_pairs",
+        "url_canonical_dedup",
+        "tokenfinder_paths",
         "ann_cosine_topk",
         "ann_lsh_topk",
         "text_quality",
