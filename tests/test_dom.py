@@ -158,3 +158,39 @@ def test_clone_preserves_root_flags():
     svg = doc.get_elements_by_tag_name("svg")[0]
     assert svg.is_svg
     assert svg.clone(deep=True).is_svg  # root flags copied, not just descendants
+
+
+def test_to_id_string():
+    from readability_spark.dom.serializer import to_id_string
+
+    doc = parse_html('<body><div id="a" class="x y"></div><p id="b"></p><span class="z"></span><em></em></body>')
+    div, p, span, em = (doc.get_elements_by_tag_name(t)[0] for t in ("div", "p", "span", "em"))
+    assert to_id_string(div) == 'div#a."x y"'
+    assert to_id_string(p) == "p#b"
+    assert to_id_string(span) == 'span."z"'
+    assert to_id_string(em) == "em"
+
+
+def test_pretty_html_shape():
+    from readability_spark.dom.serializer import pretty_html
+
+    doc = parse_html("<body><div id=a><p>hello <b>world</b></p><img src=x></div></body>")
+    out = pretty_html(doc.body)
+    lines = out.splitlines()
+    # block elements on their own lines, nested indentation, void self-closed
+    assert lines[0] == "<body>"
+    assert '    <div id="a">' in lines
+    assert any(l.strip() == "<p>" for l in lines)
+    assert any(l.strip() == 'hello <b>world</b>' or "hello" in l for l in lines)
+    assert any(l.strip() == '<img src="x" />' for l in lines)
+    assert lines[-1] == "</body>"
+    # inline content stays on one line with the text
+    assert "<b>world</b>" in out
+
+
+def test_pretty_html_deep_no_recursion():
+    from readability_spark.dom.serializer import pretty_html
+
+    doc = parse_html("<body>" + "<div>" * 3000 + "x" + "</div>" * 3000 + "</body>")
+    out = pretty_html(doc.body)
+    assert "x" in out
