@@ -270,6 +270,13 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_metadata(synthesize_media(_docs(spark, sf_dir)))
 
 
+
+def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.streaming.stream import user_sessions_batch
+
+    return user_sessions_batch(spark, sf_dir)
+
+
 def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.streaming.stream import windowed_event_counts_batch
 
@@ -386,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_embedding_near_dups,
         "media_metadata": _q_media_metadata,
         "windowed_event_counts": _q_windowed_events,
+        "user_sessions": _q_user_sessions,
         "resume_pending_buckets": _q_resume_pending,
         "tpch_pricing_summary": _q_tpch_pricing,
         "tpch_revenue_by_nation": _q_tpch_revenue_by_nation,
@@ -848,6 +856,24 @@ SELECT doc_id,
        (CASE WHEN doc_id % 3 = 2 THEN doc_id % 30 + 1 ELSE 1 END)::int AS n_frames,
        true AS ok
 FROM documents
+""",
+        "user_sessions": """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, value ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
 """,
         "windowed_event_counts": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -67,6 +67,63 @@ def stream_events(
     return spark.table(out_table)
 
 
+def user_sessions_batch(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session windows per user (batch form; oracle-checkable —
+    a session closes after `gap` of inactivity, Spark's session_window)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        events.groupBy(F.session_window(F.col("ts").cast("timestamp"), gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_user_sessions(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    out_table: str = "stream_sessions",
+):
+    """Streaming session windows: watermark + session_window, availableNow.
+    Sessionization is the canonical stateful-merge aggregation — windows
+    GROW as events arrive and only emit once the watermark passes."""
+    import os
+
+    src_dir = os.path.join(checkpoint_dir + "_src", "events")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch.write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(out_table)
+
+
 def stream_dedup_first_seen(
     spark: SparkSession,
     pages_path: str,

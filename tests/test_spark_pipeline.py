@@ -315,3 +315,54 @@ def test_media_degenerate_wav_is_err_row(spark):
     )
     row = extract_media_metadata(media).collect()[0]
     assert not row["ok"]
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """Session windows (stateful merging aggregation): availableNow stream
+    equals the batch computation."""
+    from readability_spark.streaming.stream import (
+        stream_user_sessions,
+        user_sessions_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in user_sessions_batch(spark, sf).collect()
+    }
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in stream_user_sessions(spark, sf, str(tmp_path / "ck_sess")).collect()
+    }
+    assert got == batch
+    assert len(batch) > 50
+
+
+def test_stream_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """The first-seen dedup must run unchanged on the RocksDB state store
+    provider (the at-scale state backend the operator documents)."""
+    from pyspark.sql import functions as F
+
+    from readability_spark.streaming.stream import stream_dedup_first_seen
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        pages_path = str(tmp_path / "pages_rdb")
+        (
+            spark.range(200)
+            .select(F.concat(F.lit("http://h/"), (F.col("id") % 120)).alias("url"))
+            .coalesce(1)
+            .write.parquet(pages_path)
+        )
+        out = stream_dedup_first_seen(spark, pages_path, str(tmp_path / "ck_rdb"))
+        urls = [r["url"] for r in out.collect()]
+        assert len(urls) == 120 and len(set(urls)) == 120
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
