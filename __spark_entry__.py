@@ -289,6 +289,15 @@ def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite selection: lang=en + quality>=0.5 + exact-dedup keepers."""
+    from readability_spark.operators.dedup import with_injected_duplicates
+    from readability_spark.plans.pipeline import select_training_corpus
+
+    return select_training_corpus(with_injected_duplicates(_docs(spark, sf_dir)))
+
+
 def _q_resume_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
     # resume protocol demo with a portable bucket key (prod uses xxhash64;
     # doc_id % N keeps the oracle engine-independent)
@@ -394,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_metadata,
         "windowed_event_counts": _q_windowed_events,
         "user_sessions": _q_user_sessions,
+        "training_corpus_select": _q_training_corpus,
         "resume_pending_buckets": _q_resume_pending,
         "tpch_pricing_summary": _q_tpch_pricing,
         "tpch_revenue_by_nation": _q_tpch_revenue_by_nation,
@@ -879,6 +889,21 @@ FROM s GROUP BY user_id, sid
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "training_corpus_select": f"""
+WITH dup AS ({_DUP_DOCS}),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM dup GROUP BY md5(text)
+),
+q AS (
+  SELECT doc_id,
+         {_r4(f"0.4::double * least(1.0::double, len(string_split(text, ' ')) / 64.0) + 0.3::double * least(1.0::double, ({_EN_HITS} / len(string_split(text, ' '))::double) * 4) + 0.3::double * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))::double)")} AS quality,
+         CASE WHEN {_EN_HITS} >= {_ES_HITS} THEN 'en' ELSE 'es' END AS lang_pred
+  FROM dup
+)
+SELECT k.doc_id, q.lang_pred, q.quality
+FROM keep k JOIN q ON q.doc_id = k.doc_id
+WHERE q.lang_pred = 'en' AND q.quality >= 0.5
 """,
         "resume_pending_buckets": """
 SELECT doc_id % 32 AS bucket, count(*) AS n_pending

@@ -145,3 +145,26 @@ def length_histogram(result: DataFrame, bucket_size: int = 500) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("len_bucket")
     )
+
+
+def select_training_corpus(
+    docs: "DataFrame", min_quality: float = 0.5, lang: str = "en"
+):
+    """End-to-end training-data selection: language filter + quality floor
+    + exact dedup (keep smallest doc_id per identical text), composed from
+    the individual operators — the pipeline the per-operator queries exist
+    to serve. All joins are slim (doc_id + a few scalars); one scan of the
+    text column feeds each branch and Catalyst collapses shared subtrees.
+    Returns (doc_id, lang_pred, quality)."""
+    from readability_spark.operators.dedup import dedup_exact
+    from readability_spark.operators.textstats import lang_id, quality_score
+
+    q = quality_score(docs).select("doc_id", "quality")
+    lid = lang_id(docs).select("doc_id", "lang_pred")
+    keep = dedup_exact(docs).select("doc_id")
+    return (
+        keep.join(q, "doc_id")
+        .join(lid, "doc_id")
+        .filter((F.col("lang_pred") == lang) & (F.col("quality") >= min_quality))
+        .select("doc_id", "lang_pred", "quality")
+    )
