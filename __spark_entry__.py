@@ -277,6 +277,17 @@ def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_sessions_batch(spark, sf_dir)
 
 
+
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.multimodal import (
+        extract_media_metadata,
+        sample_frames,
+        synthesize_media,
+    )
+
+    return sample_frames(extract_media_metadata(synthesize_media(_docs(spark, sf_dir))))
+
+
 def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.streaming.stream import windowed_event_counts_batch
 
@@ -401,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "dedup_embedding_cosine": _q_embedding_near_dups,
         "media_metadata": _q_media_metadata,
+        "media_frame_samples": _q_media_frames,
         "windowed_event_counts": _q_windowed_events,
         "user_sessions": _q_user_sessions,
         "training_corpus_select": _q_training_corpus,
@@ -884,6 +896,11 @@ s AS (
 SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM s GROUP BY user_id, sid
+""",
+        "media_frame_samples": """
+SELECT doc_id, unnest(generate_series(0, (doc_id % 30 + 1) - 1, 5))::int AS frame_idx,
+       (doc_id % 30 + 1)::int AS n_frames
+FROM documents WHERE doc_id % 3 = 2
 """,
         "windowed_event_counts": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

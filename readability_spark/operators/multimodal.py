@@ -232,6 +232,22 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, out_schema)
 
 
+def sample_frames(meta: DataFrame, every_n: int = 5) -> DataFrame:
+    """Frame-sampling plan over decoded video metadata: one row per sampled
+    frame index (0, every_n, 2*every_n, ... < n_frames). Pure column
+    expressions (sequence + explode) — the fan-out a real frame decoder
+    would map over; the pixel fetch itself stays behind decode_pixels.
+    Returns (doc_id, frame_idx, n_frames)."""
+    vids = meta.filter((F.col("media_type") == "video/mp4") & F.col("ok"))
+    return vids.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+        "n_frames",
+    )
+
+
 def extract_media_metadata(media: DataFrame) -> DataFrame:
     """Arrow-batched header decode over the binary column; malformed
     payloads produce ok=False rows instead of failing the job (same
