@@ -214,12 +214,6 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
-def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from readability_spark.operators.dedup import simhash_near_pairs, with_injected_duplicates
-
-    return simhash_near_pairs(with_injected_duplicates(_docs(spark, sf_dir)))
-
-
 def _q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.dedup import simhash64
 
@@ -403,8 +397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _q_fingerprints,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        # NOTE: the 32-bit `simhash_near_pairs` operator is intentionally NOT
+        # exposed here — its 8-bit band keys (256 buckets/band) go quadratic
+        # past ~10^8 docs. The prod near-dup surface is simhash64 below.
         "dedup_simhash": _q_dedup_simhash,
-        "dedup_simhash_near_pairs": _q_simhash_near_pairs,
         "dedup_simhash64": _q_simhash64,
         "dedup_simhash64_near_pairs": _q_simhash64_near_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -470,42 +466,6 @@ WITH toks AS (
   SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
 )
 SELECT doc_id, cast({sim} as bigint) AS simhash FROM votes
-"""
-
-
-def _simhash_pairs_oracle() -> str:
-    """Mirror of dedup.simhash_near_pairs: simhash over the dup-injected
-    table, 4-byte banding self-join, hamming<=3 verify (same floor-division
-    bit arithmetic as the Spark side)."""
-    nib = " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1) "
-        f"* cast(pow(16, {7 - i}) as bigint)"
-        for i in range(8)
-    )
-    votes = ", ".join(
-        f"sum(case when (h // {2**i}) % 2 = 1 then 1 else -1 end) as v{i}" for i in range(32)
-    )
-    sim = " + ".join(f"(case when v{i} >= 0 then {2**i} else 0 end)" for i in range(32))
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {i} AS band, (simhash // {2 ** (8 * i)}) % 256 AS key FROM sims"
-        for i in range(4)
-    )
-    ham = "bit_count(xor(sh_a, sh_b))"
-    return f"""
-WITH dup AS ({_DUP_DOCS}),
-toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM dup),
-hashed AS (SELECT doc_id, ({nib}) AS h FROM toks),
-votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
-sims AS (SELECT doc_id, cast({sim} as bigint) AS simhash FROM votes),
-bands AS ({band_rows}),
-cands AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.simhash AS sh_a, b.simhash AS sh_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-  WHERE a.doc_id < b.doc_id
-)
-SELECT id_a, id_b, cast({ham} as int) AS hamming
-FROM cands WHERE {ham} <= 3
 """
 
 
@@ -827,7 +787,7 @@ FROM documents
 SELECT doc_id,
        len({toks})::int AS n_tokens,
        {_r4(f"{_EN_HITS} / len({toks})::double")} AS stopword_ratio,
-       {_r4(f"(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / length(text)::double")} AS punct_ratio,
+       {_r4(f"(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / length(text)::double")} AS punct_ratio,
        {_r4(f"len(list_distinct({toks})) / len({toks})::double")} AS distinct_ratio,
        {_r4(f"0.4::double * least(1.0::double, len({toks}) / 64.0) + 0.3::double * least(1.0::double, ({_EN_HITS} / len({toks})::double) * 4) + 0.3::double * (len(list_distinct({toks})) / len({toks})::double)")} AS quality
 FROM documents
@@ -853,7 +813,6 @@ FROM dup GROUP BY 1 HAVING count(*) > 1
 """,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
-        "dedup_simhash_near_pairs": _simhash_pairs_oracle(),
         "dedup_simhash64": _simhash64_oracle(),
         "dedup_simhash64_near_pairs": _simhash64_pairs_oracle(),
         "dedup_ngram_jaccard": _ngram_oracle(),
@@ -867,13 +826,18 @@ SELECT doc_id,
             ELSE 'video/mp4' END AS media_type,
        (CASE WHEN doc_id % 3 = 0 THEN 73
              WHEN doc_id % 3 = 1 THEN 44 + 2 * (doc_id % 100 + 1)
-             ELSE 28 END)::bigint AS byte_len,
+             -- mp4: ftyp(28) + moov{mvhd(108) + trak/mdia/minf/stbl(32) +
+             -- stts(24 one entry / 32 two entries)} + moov header(8)
+             WHEN doc_id % 30 = 0 THEN 200
+             ELSE 208 END)::bigint AS byte_len,
        (CASE WHEN doc_id % 3 = 0 THEN doc_id % 640 + 1 END)::int AS width,
        (CASE WHEN doc_id % 3 = 0 THEN doc_id % 480 + 1 END)::int AS height,
        (CASE WHEN doc_id % 3 = 1 THEN 8000 * (1 + (doc_id // 3) % 3) END)::int AS sample_rate,
        (CASE WHEN doc_id % 3 = 1 THEN doc_id % 100 + 1 END)::int AS n_samples,
        (CASE WHEN doc_id % 3 = 1
              THEN ((doc_id % 100 + 1) * 1000000) // (8000 * (1 + (doc_id // 3) % 3))
+             -- mp4: mvhd duration = n_frames * 40 ticks at timescale 1000
+             WHEN doc_id % 3 = 2 THEN (doc_id % 30 + 1) * 40000
         END)::bigint AS duration_us,
        (CASE WHEN doc_id % 3 = 2 THEN doc_id % 30 + 1 ELSE 1 END)::int AS n_frames,
        true AS ok
@@ -882,8 +846,11 @@ FROM documents
         "user_sessions": """
 WITH o AS (
   SELECT user_id, ts, value,
+         -- >= not >: Spark's session_window merges on the half-open
+         -- [ts, ts+gap), so an event at exactly start+gap opens a NEW
+         -- session; the oracle must break on the same boundary.
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)

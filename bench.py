@@ -36,10 +36,22 @@ def build_spark(cpus: int):
     )
 
 
-def timed(fn) -> float:
-    t0 = time.time()
-    fn()
-    return round(time.time() - t0, 3)
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+ALL_TRIALS: dict = {}
+
+
+def timed(fn, name: "str | None" = None, trials: int = TRIALS) -> float:
+    """Best-of-N wall time. Single-trial numbers on this hypervisor-noisy VM
+    drift ±15% run-to-run (VERDICT r2: neither r1's nor r2's extract headline
+    reproduced); the min over N trials is the stable, comparable statistic."""
+    walls = []
+    for _ in range(max(1, trials)):
+        t0 = time.time()
+        fn()
+        walls.append(round(time.time() - t0, 3))
+    if name is not None:
+        ALL_TRIALS[name] = walls
+    return min(walls)
 
 
 def main() -> int:
@@ -74,7 +86,7 @@ def main() -> int:
             F.count("*").alias("n"), F.sum("length").alias("chars")
         ).collect()[0]["n"]
 
-    queries["extract_articles"] = timed(run_extract)
+    queries["extract_articles"] = timed(run_extract, "extract_articles")
 
     qmap = entrymod.queries()
     for name in (
@@ -93,7 +105,7 @@ def main() -> int:
         "tpch_revenue_by_nation",
     ):
         fn = qmap[name]
-        queries[name] = timed(lambda fn=fn: fn(spark, SF_DIR).count())
+        queries[name] = timed(lambda fn=fn: fn(spark, SF_DIR).count(), name)
 
     # -- per-stage candidate cardinalities for the banded dedup pipelines:
     # candidate volume relative to corpus size is what predicts behavior at
@@ -144,6 +156,8 @@ def main() -> int:
         "extract_docs_per_sec": round(n_docs / queries["extract_articles"], 2)
         if queries["extract_articles"]
         else None,
+        "bench_trials": TRIALS,
+        "query_trials": ALL_TRIALS,
         "cardinalities": cardinalities,
     }
     print(json.dumps(result))

@@ -75,6 +75,10 @@ class _TreeBuilder(HTMLParser):
         self.document = Document()
         self.stack: list[Element] = [self.document]
         self._foreign_depth = 0
+        # True only while a <head> element is on the open stack — lets
+        # _exit_head_if_open early-return without scanning the stack on
+        # every start tag (O(depth^2) on deeply nested crawl HTML).
+        self._head_open = False
 
     # -- helpers -----------------------------------------------------------
     @property
@@ -93,10 +97,14 @@ class _TreeBuilder(HTMLParser):
         self.stack.append(el)
         if tag in _FOREIGN:
             self._foreign_depth += 1
+        elif tag == "head":
+            self._head_open = True
         return el
 
     def _close_top(self) -> None:
         el = self.stack.pop()
+        if el.tag == "head":
+            self._head_open = False
         if el.tag in _FOREIGN:
             self._foreign_depth -= 1
 
@@ -128,6 +136,8 @@ class _TreeBuilder(HTMLParser):
         """HTML5 'in head' mode: flow content implies </head> and <body> —
         pages that omit <body> (common in minified crawl HTML) must not
         accumulate their whole article inside <head>."""
+        if not self._head_open:
+            return
         head_idx = None
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == "head":
@@ -178,6 +188,8 @@ class _TreeBuilder(HTMLParser):
                 if existing not in self.stack:
                     # re-enter (e.g. content after a premature </body>)
                     self.stack.append(existing)
+                    if tag == "head":
+                        self._head_open = True
                 return
         if self._foreign_depth == 0:
             self._close_implied(tag)

@@ -119,10 +119,17 @@ def main(argv=None) -> int:
             pages = pages.filter(F.col("html_len") <= args.max_html_bytes)
         else:
             pages = pages.filter(F.length(F.col("html")) <= args.max_html_bytes)
-    if args.langs and "lang" in pages.columns:
-        # plain column IN-list: reaches PushedFilters, prunes parquet row
-        # groups / Iceberg files before any html byte is read
-        pages = pages.filter(F.col("lang").isin(args.langs.split(",")))
+    if args.langs:
+        if "lang" in pages.columns:
+            # plain column IN-list: reaches PushedFilters, prunes parquet row
+            # groups / Iceberg files before any html byte is read
+            pages = pages.filter(F.col("lang").isin(args.langs.split(",")))
+        else:
+            raise SystemExit(
+                "--langs requested but the input table has no 'lang' column; "
+                "refusing to silently process the full unfiltered corpus "
+                "(drop --langs or add a lang column to the table)"
+            )
 
     pages = with_bucket(pages, args.buckets)
     manifest = read_manifest(spark, args.manifest) if args.manifest else None

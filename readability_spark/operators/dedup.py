@@ -206,9 +206,13 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs: band the 32-bit simhash into 4 bytes; pairs sharing
+    """DEMO ONLY — not a production path and not exposed in `queries()`.
+
+    Near-dup pairs: band the 32-bit simhash into 4 bytes; pairs sharing
     any byte are candidates (pigeonhole: hamming<=3 ⇒ one byte equal);
-    verify by popcount of xor."""
+    verify by popcount of xor. The 8-bit band keys cap at 256 buckets per
+    band, so the banded self-join goes quadratic past ~10^8 docs; use
+    `simhash64_near_pairs` (4×16-bit bands, 65,536 buckets) at scale."""
     sh = simhash(docs)
     bands = sh.select(
         "doc_id",
@@ -382,17 +386,27 @@ def ngram_jaccard_pairs(
     (few distinct hot shingles by construction). Exact |intersection| =
     common_rare + common_hot; sizes come from the per-doc shingle arrays.
     """
-    from pyspark.sql.window import Window
-
     sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
     exploded = sh.select("doc_id", F.explode("sh").alias("g"))
-    # tag every posting row with its shingle's document frequency via a
-    # window over g: ONE shuffle, and the identical tagged subtree under
-    # rare-a / rare-b / hot-a / hot-b is shared through ReusedExchange
-    # (a dfreq groupBy + join would recompute the shingle explode per branch)
-    tagged = exploded.withColumn("df", F.count("*").over(Window.partitionBy("g")))
-    rare = tagged.filter((F.col("df") >= 2) & (F.col("df") <= max_df)).select("doc_id", "g")
-    hot_src = tagged.filter(F.col("df") > max_df).select("doc_id", "g")
+    # Document frequency via groupBy (map-side combined: a hot shingle adds
+    # one partial count per input partition, never its full posting list in
+    # one task — the Window.partitionBy('g') variant this replaces routed
+    # every posting row of a hot boilerplate shingle through a single
+    # task's sort, recreating at the tagging stage the straggler the DF cap
+    # exists to avoid).
+    dfreq = exploded.groupBy("g").agg(F.count("*").alias("df"))
+    # The hot set is small by construction (boilerplate shingles above
+    # max_df document frequency) — broadcast it. Hot posting rows then
+    # never shuffle on g at all, and the rare join below is provably
+    # skew-free: every surviving key has at most max_df posting rows.
+    hot_set = dfreq.filter(F.col("df") > max_df).select("g")
+    rare_keys = dfreq.filter((F.col("df") >= 2) & (F.col("df") <= max_df)).select("g")
+    rare = (
+        exploded.join(F.broadcast(hot_set), "g", "left_anti")
+        .join(rare_keys, "g")
+        .select("doc_id", "g")
+    )
+    hot_src = exploded.join(F.broadcast(hot_set), "g").select("doc_id", "g")
     a, b = rare.alias("a"), rare.alias("b")
     cands = (
         a.join(b, "g")

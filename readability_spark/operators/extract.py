@@ -174,7 +174,9 @@ def extract_debug(df: DataFrame, k: int = 5) -> DataFrame:
 
         for pdf in it:
             out = []
-            for u, h in zip(pdf["url"], pdf["html"]):
+            # numpy iteration, like the main extract path: Series.__iter__
+            # boxes per element
+            for u, h in zip(pdf["url"].to_numpy(), pdf["html"].to_numpy()):
                 try:
                     ranked = top_candidates(h, url=u, k=k)
                 except Exception:
@@ -205,7 +207,7 @@ def extract_token_paths(df: DataFrame) -> DataFrame:
 
         for pdf in it:
             out = []
-            for u, h in zip(pdf["url"], pdf["html"]):
+            for u, h in zip(pdf["url"].to_numpy(), pdf["html"].to_numpy()):
                 try:
                     path = find_article_path(h)
                 except Exception:
@@ -237,7 +239,7 @@ def readerable(df: DataFrame) -> DataFrame:
 
         for pdf in it:
             out = []
-            for u, h in zip(pdf["url"], pdf["html"]):
+            for u, h in zip(pdf["url"].to_numpy(), pdf["html"].to_numpy()):
                 try:
                     ok = is_probably_readerable(parse_html(h))
                 except Exception:

@@ -90,12 +90,40 @@ def build_wav(sample_rate: int, n_samples: int, channels: int = 1, bits: int = 1
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def build_mp4(n_frames: int) -> bytes:
-    """Minimal ISO-BMFF: ftyp box + a 'free' box whose payload carries the
-    frame count big-endian (stand-in for walking into moov/mvhd)."""
-    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
-    free = struct.pack(">I", 12) + b"free" + struct.pack(">I", n_frames)
-    return ftyp + free
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def build_mp4(n_frames: int, timescale: int = 1000, frame_delta: int = 40) -> bytes:
+    """Minimal *real* ISO-BMFF movie: ftyp + moov{mvhd, trak{mdia{minf{stbl{
+    stts}}}}}. The frame count lives where a real MP4 carries it — the stts
+    time-to-sample table — and the movie duration in mvhd (v0 layout,
+    duration = n_frames * frame_delta ticks at `timescale` ticks/sec). When
+    n_frames > 1 the stts is split into two entries so parsers must sum
+    sample counts, as they would on variable-frame-timing files."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    duration = n_frames * frame_delta
+    mvhd_payload = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, timescale, duration)  # ctime mtime timescale duration
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)  # unity matrix
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2)  # next_track_ID
+    )
+    if n_frames > 1:
+        entries = [(n_frames - 1, frame_delta), (1, frame_delta)]
+    else:
+        entries = [(n_frames, frame_delta)]
+    stts_payload = b"\x00\x00\x00\x00" + struct.pack(">I", len(entries))
+    for count, delta in entries:
+        stts_payload += struct.pack(">II", count, delta)
+    stts = _box(b"stts", stts_payload)
+    trak = _box(b"trak", _box(b"mdia", _box(b"minf", _box(b"stbl", stts))))
+    moov = _box(b"moov", _box(b"mvhd", mvhd_payload) + trak)
+    return ftyp + moov
 
 
 # ---------------------------------------------------------------------------
@@ -153,22 +181,71 @@ def parse_wav(b: bytes) -> dict:
     }
 
 
+_MP4_CONTAINERS = frozenset({b"moov", b"trak", b"mdia", b"minf", b"stbl"})
+
+
 def parse_mp4(b: bytes) -> dict:
-    """ISO-BMFF box walk; raises ValueError on malformed data."""
-    pos, brand, n_frames = 0, None, None
-    while pos + 8 <= len(b):
-        (size,) = struct.unpack_from(">I", b, pos)
-        tag = b[pos + 4 : pos + 8]
-        if size < 8 or pos + size > len(b):
-            raise ValueError("bad box size")
-        if tag == b"ftyp":
-            brand = b[pos + 8 : pos + 12].decode("ascii", "replace")
-        elif tag == b"free" and size >= 12:
-            (n_frames,) = struct.unpack_from(">I", b, pos + 8)
-        pos += size
-    if brand is None:
+    """Real ISO-BMFF walk: descend container boxes, read the frame count by
+    summing stts sample counts and the duration from mvhd (v0 and v1
+    layouts, 64-bit `largesize` boxes handled). An MP4 without a moov/stts
+    (e.g. the old `free`-box stand-in, or a fragmented stream) parses with
+    n_frames=None — the frame count is never trusted from anywhere but the
+    sample table. Raises ValueError on malformed data."""
+    out = {"brand": None, "n_frames": None, "timescale": None, "duration": None}
+
+    def walk(pos: int, end: int, depth: int = 0) -> None:
+        if depth > 16:
+            raise ValueError("box nesting too deep")
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", b, pos)
+            tag = b[pos + 4 : pos + 8]
+            header = 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    raise ValueError("truncated largesize box")
+                (size,) = struct.unpack_from(">Q", b, pos + 8)
+                header = 16
+            if size < header or pos + size > end:
+                raise ValueError("bad box size")
+            body, body_end = pos + header, pos + size
+            if tag == b"ftyp":
+                out["brand"] = b[body : body + 4].decode("ascii", "replace")
+            elif tag in _MP4_CONTAINERS:
+                walk(body, body_end, depth + 1)
+            elif tag == b"mvhd":
+                if body_end - body < 4:
+                    raise ValueError("short mvhd")
+                version = b[body]
+                if version == 0:
+                    if body_end - body < 20:
+                        raise ValueError("short mvhd v0")
+                    out["timescale"], out["duration"] = struct.unpack_from(">II", b, body + 12)
+                else:
+                    if body_end - body < 32:
+                        raise ValueError("short mvhd v1")
+                    (out["timescale"],) = struct.unpack_from(">I", b, body + 20)
+                    (out["duration"],) = struct.unpack_from(">Q", b, body + 24)
+            elif tag == b"stts":
+                if body_end - body < 8:
+                    raise ValueError("short stts")
+                (entry_count,) = struct.unpack_from(">I", b, body + 4)
+                if body_end - body < 8 + 8 * entry_count:
+                    raise ValueError("truncated stts entries")
+                total = 0
+                for i in range(entry_count):
+                    (count,) = struct.unpack_from(">I", b, body + 8 + 8 * i)
+                    total += count
+                out["n_frames"] = (out["n_frames"] or 0) + total
+            pos = body_end
+
+    walk(0, len(b))
+    if out["brand"] is None:
         raise ValueError("no ftyp box")
-    return {"brand": brand, "n_frames": n_frames}
+    if out["timescale"] and out["duration"] is not None:
+        out["duration_us"] = out["duration"] * 1_000_000 // out["timescale"]
+    else:
+        out["duration_us"] = None
+    return out
 
 
 def decode_pixels(payload: bytes):  # pragma: no cover - needs PIL
@@ -287,6 +364,7 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
                     elif mt == "video/mp4":
                         meta = parse_mp4(raw)
                         row["n_frames"] = meta["n_frames"]
+                        row["duration_us"] = meta["duration_us"]
                     else:
                         row["ok"] = False
                 except (ValueError, struct.error, ZeroDivisionError, OverflowError):

@@ -53,8 +53,10 @@ def quality_score(docs: DataFrame) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     en_hits = F.expr(_hits_expr("text", EN_STOPWORDS))
+    # Lowercase first so uppercase letters aren't miscounted as punctuation
+    # (real crawl text is mixed-case even though the synthetic corpus is not).
     punct_chars = F.length("text") - F.length(
-        F.regexp_replace(F.col("text"), r"[^a-z0-9 ]", "")
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", "")
     )
     distinct_ratio = F.size(F.array_distinct(toks)) / n
     stop_ratio = en_hits / n

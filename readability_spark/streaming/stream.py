@@ -130,27 +130,42 @@ def stream_dedup_first_seen(
     checkpoint_dir: str,
     out_path: "str | None" = None,
     ttl_minutes: "float | None" = None,
+    _fp_expr: str = "xxhash64(url)",
 ):
     """Custom stateful streaming operator (applyInPandasWithState): emit each
     url the first time it is ever seen across micro-batches, drop re-crawls.
 
     State is keyed *per url fingerprint* (xxhash64 — the shuffle key is 8
-    bytes), so each key's state is a single boolean record: re-seen urls
-    touch existing keys without rewriting anything, and state size equals the
-    number of distinct urls ever seen — never rewritten, never resorted.
-    (The r1 design kept one sorted list of every fingerprint per bucket and
-    rewrote it each batch: O(total urls) churn per bucket per batch.)
+    bytes), so re-seen urls touch existing keys without rewriting anything,
+    and state size equals the number of distinct urls ever seen — never
+    rewritten, never resorted. (The r1 design kept one sorted list of every
+    fingerprint per bucket and rewrote it each batch: O(total urls) churn
+    per bucket per batch.)
+
+    Each key's state stores the list of *second*, independent 60-bit
+    fingerprints (md5-derived) seen under that xxhash64 key, and a match is
+    suppressed only when both hashes agree — two distinct urls colliding on
+    the 64-bit shuffle key (expected a-handful-of-times at the 10^10-url
+    design scale) are both emitted instead of the later one being silently
+    dropped (ADVICE r2). Effective fingerprint width is ~124 bits, so a
+    silent drop needs a simultaneous collision in two independent hashes;
+    the list is length 1 except on true xxhash64 collisions, so state stays
+    one short record per distinct url.
 
     Null urls are filtered out before keying (a crawl feed does contain
     them; they must not crash the query). ``ttl_minutes`` opts into
     processing-time state expiry — a url not re-seen within the TTL is
     forgotten and would be re-emitted later; leave ``None`` for exact
-    "first seen ever" semantics. At production scale run this on the RocksDB
+    "first seen ever" semantics. On a query restart, expired keys are
+    evicted before their data is consulted, so a url whose timer lapsed
+    while the query was down re-emits even if it arrives in the restart's
+    first batch (observed Spark semantics, pinned in
+    tests/test_spark_pipeline.py::test_stream_dedup_ttl_expiry). At production scale run this on the RocksDB
     state store provider; the operator shape is identical.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
-        BooleanType,
+        ArrayType,
         LongType,
         StringType,
         StructField,
@@ -165,7 +180,7 @@ def stream_dedup_first_seen(
             StructField("first_seen_ms", LongType(), True),
         ]
     )
-    state_schema = StructType([StructField("seen", BooleanType(), True)])
+    state_schema = StructType([StructField("fp2s", ArrayType(LongType()), True)])
     ttl_ms = int(ttl_minutes * 60_000) if ttl_minutes else None
 
     def dedup_fn(key, pdfs, state: "GroupState"):
@@ -175,30 +190,33 @@ def stream_dedup_first_seen(
             state.remove()
             yield pd.DataFrame([], columns=out_cols)
             return
-        first_url = None
-        for pdf in pdfs:
-            if first_url is None and len(pdf):
-                first_url = pdf["url"].iloc[0]
-        if state.exists or first_url is None:
-            # re-seen url: keep the existing single-record state untouched
-            if ttl_ms is not None:
-                state.setTimeoutDuration(ttl_ms)
-            yield pd.DataFrame([], columns=out_cols)
-            return
-        state.update((True,))
-        if ttl_ms is not None:
-            state.setTimeoutDuration(ttl_ms)
+        seen = list(state.get[0]) if state.exists else []
+        emitted = []
         # processing-time stamp of the emitting micro-batch (the state API
         # exposes no batch ordinal; this is an honest, monotone marker)
         now = state.getCurrentProcessingTimeMs()
-        yield pd.DataFrame([(first_url, key[0], now)], columns=out_cols)
+        for pdf in pdfs:
+            for url, fp2 in zip(pdf["url"].to_numpy(), pdf["fp2"].to_numpy()):
+                if fp2 not in seen:
+                    seen.append(int(fp2))
+                    emitted.append((url, key[0], now))
+        if emitted:
+            state.update((seen,))
+        if ttl_ms is not None and (state.exists or emitted):
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(emitted, columns=out_cols)
 
     schema = spark.read.parquet(pages_path).schema
     pages = spark.readStream.schema(schema).parquet(pages_path)
     keyed = (
         pages.select("url")
         .filter(F.col("url").isNotNull())
-        .withColumn("fp", F.xxhash64("url"))
+        # _fp_expr is test-only: forcing a constant key simulates shuffle-key
+        # collisions to exercise the fp2 verification path
+        .withColumn("fp", F.expr(_fp_expr))
+        # second, independent fingerprint (md5 high 60 bits) — verified
+        # against state on shuffle-key match before suppressing emission
+        .withColumn("fp2", F.expr("cast(conv(substr(md5(url), 1, 15), 16, 10) as bigint)"))
         .groupBy("fp")
     )
     deduped = keyed.applyInPandasWithState(
@@ -215,16 +233,45 @@ def stream_dedup_first_seen(
     writer = deduped.writeStream.outputMode("append").option(
         "checkpointLocation", checkpoint_dir
     ).trigger(availableNow=True)
+
+    def drain(query) -> None:
+        if ttl_ms is None:
+            query.awaitTermination()
+            return
+        # With ProcessingTimeTimeout timers registered, an availableNow query
+        # never terminates on its own: the microbatch engine keeps scheduling
+        # timer-poll batches indefinitely (observed: ~2 batches/sec forever;
+        # processAllAvailable() blocks on the same condition). Treat two
+        # consecutive zero-input-row batches as "drained" — real data is
+        # exhausted and only timer polling remains — then stop; timers that
+        # expire while the query is down fire on the first batch of the NEXT
+        # run (timeout timestamps live in the checkpointed state), which is
+        # the expiry semantic a periodically-run ingestion job wants. A
+        # continuously running production query doesn't hit this — it has no
+        # "done" state.
+        import time as _time
+
+        last_batch, empty_batches = -1, 0
+        while query.isActive and empty_batches < 2:
+            _time.sleep(0.25)
+            p = query.lastProgress
+            if p is None or p["batchId"] == last_batch:
+                continue
+            last_batch = p["batchId"]
+            empty_batches = empty_batches + 1 if p["numInputRows"] == 0 else 0
+        query.stop()
+        query.awaitTermination()
+
     if out_path:
         # durable sink: state + offsets recover across runs — re-running with
         # the same checkpoint emits only urls never seen before (incremental
         # crawl ingestion)
         query = writer.format("parquet").option("path", out_path).start()
-        query.awaitTermination()
+        drain(query)
         return spark.read.parquet(out_path)
     # memory sink for demos/tests (does not support checkpoint recovery)
     query = writer.format("memory").queryName("first_seen_urls").start()
-    query.awaitTermination()
+    drain(query)
     return spark.table("first_seen_urls")
 
 
