@@ -200,8 +200,14 @@ def candidate_path(el: Optional[Element]) -> str:
     name = el.get_attr("name")
     if name:
         path += "@" + name
-    # attribute values render whitespace-normalized (Brackets stores them so)
-    klass = " ".join(el.class_list())
+    # Brackets stores attribute values raw except for a trim: the goldens
+    # show interior whitespace preserved (SampleTests.cs lifehacker
+    # 'entry-content  new-annotation' keeps its double space) while
+    # leading/trailing whitespace never appears. Control whitespace maps to
+    # plain spaces (a C# string literal golden can't hold a raw newline).
+    import re as _re
+
+    klass = _re.sub(r"[\t\n\r\f]", " ", el.get_attr("class") or "").strip()
     if klass:
         path += "[" + klass + "]"
     return path

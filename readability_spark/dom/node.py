@@ -162,7 +162,7 @@ class Comment(Node):
 
 
 class Element(Node):
-    __slots__ = ("tag", "attrs", "children", "readability", "_flags", "_tc")
+    __slots__ = ("tag", "attrs", "children", "readability", "_flags", "_tc", "_itn")
 
     is_element = True
 
@@ -175,6 +175,7 @@ class Element(Node):
         self.readability: Optional[dict] = None
         self._flags: int = 0  # bit flags: 1=svg-namespace, 2=data-table mark
         self._tc = None  # (epoch, text_content) cache
+        self._itn = None  # (epoch, normalized inner_text) cache (core.text)
 
     # SVG-namespace mark: in a real DOM, SVG elements have a non-string
     # className, which makes every class-string heuristic skip them.

@@ -4,11 +4,16 @@ elected-path expectations (test/SampleTests.cs:287-455).
 The reference's candidate finder depends on two external packages
 (Brackets tag metadata, FuzzyCompare tokenizer) whose exact semantics were
 reconstructed from the HTML5 spec and calibrated against these goldens;
-93/137 reference expectations (67%) currently match byte-for-byte —
+94/137 reference expectations (69%) currently match byte-for-byte —
 including big real pages (hn, infoq, bbc, guardian, medium, cnn, wikipedia).
 The remaining mismatches are depth-election differences traceable to the
-unvendored packages' internals. PASSING_PAGES pins the matching set so it
-can only grow; test_parity_rate_floor guards the aggregate."""
+unvendored packages' internals. Reconstructions tried and DISPROVEN against
+the goldens (do not re-try): text-only parents as markup via vacuous
+All<Tag> (-9 net), headings dropped from PERMITS_PHRASING (net 0, loses 4
+cascade elections), per-char / per-same-char whitespace tokens (-14/-4),
+document-root-instead-of-html ancestry walks (neutral on all 137).
+PASSING_PAGES pins the matching set so it can only grow;
+test_parity_rate_floor guards the aggregate."""
 
 import os
 import re
@@ -59,6 +64,7 @@ PASSING_PAGES = [
     'lazy-image-1',
     'lazy-image-2',
     'lazy-image-3',
+    'lifehacker-post-comment-load',
     'lemonde-1',
     'liberation-1',
     'lifehacker-working',
@@ -118,7 +124,7 @@ PASSING_PAGES = [
     'infoq.html',
 ]
 
-MIN_PARITY = 93
+MIN_PARITY = 94
 
 
 def load_expectations():
