@@ -112,6 +112,47 @@ def _q_tokenfinder_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_token_paths(_pages(spark, sf_dir))
 
 
+def _tokenfinder_real_corpus() -> list:
+    """(name, url, html) for the reference fixture pages whose elected path
+    matches the reference golden (sources/fixtures.py single source)."""
+    from readability_spark.sources import fixtures
+
+    have = set(fixtures.fixture_names())
+    return [
+        (n, f"http://fakehost/test/{n}/page.html", fixtures.load_case(n)["source"])
+        for n in fixtures.TOKENFINDER_MATCHED_PAGES
+        if n in have
+    ]
+
+
+def _q_tokenfinder_real_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token-density elector probed on REAL reference pages (messy crawl
+    HTML), not the synthetic template — the oracle is the reference's own
+    elected-path goldens (test/SampleTests.cs DataRows), so this row checks
+    finder parity end to end through the Spark mapInPandas surface."""
+    from readability_spark.operators.extract import extract_token_paths
+
+    rows = [(url, html) for _n, url, html in _tokenfinder_real_corpus()]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    # no-article pages golden as '' in SampleTests.cs — align null with it
+    return extract_token_paths(df).select(
+        "url", F.coalesce(F.col("top_path"), F.lit("")).alias("top_path")
+    )
+
+
+def _tokenfinder_real_oracle() -> str:
+    from readability_spark.sources import fixtures
+
+    gold = fixtures.tokenfinder_path_goldens()
+    vals = ",\n".join(
+        "('{}', '{}')".format(url, gold[n][1].replace("'", "''"))
+        for n, url, _html in _tokenfinder_real_corpus()
+    )
+    if not vals:
+        return "SELECT ''::varchar AS url, ''::varchar AS top_path WHERE 1=0"
+    return f"SELECT * FROM (VALUES {vals}) AS t(url, top_path)"
+
+
 def _q_readerable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.extract import readerable
 
@@ -389,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readerable_pages": _q_readerable,
         "candidate_paths": _q_candidate_paths,
         "tokenfinder_paths": _q_tokenfinder_paths,
+        "tokenfinder_real_paths": _q_tokenfinder_real_paths,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "domain_stats": _q_domain_stats,
         "text_token_stats": _q_token_stats,
@@ -769,6 +811,7 @@ FROM documents
         "tokenfinder_paths": f"""
 SELECT {url} AS url, '/div#doc[doc]' AS top_path FROM documents
 """,
+        "tokenfinder_real_paths": _tokenfinder_real_oracle(),
         "candidate_paths": f"""
 SELECT {url} AS url,
        '/div#doc[doc]' AS top_path,

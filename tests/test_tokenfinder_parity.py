@@ -12,13 +12,18 @@ the goldens (do not re-try): text-only parents as markup via vacuous
 All<Tag> (-9 net), headings dropped from PERMITS_PHRASING (net 0, loses 4
 cascade elections), per-char / per-same-char whitespace tokens (-14/-4),
 document-root-instead-of-html ancestry walks (neutral on all 137).
-PASSING_PAGES pins the matching set so it can only grow;
-test_parity_rate_floor guards the aggregate."""
+The matched-page list lives in sources/fixtures.py (single source of truth
+shared with the `tokenfinder_real_paths` oracle query); it pins the set so
+it can only grow, and test_parity_rate_floor guards the aggregate."""
 
 import os
-import re
 
 import pytest
+
+from readability_spark.sources.fixtures import (
+    TOKENFINDER_MATCHED_PAGES,
+    tokenfinder_path_goldens,
+)
 
 REF = "/root/reference"
 SAMPLETESTS = f"{REF}/test/SampleTests.cs"
@@ -27,117 +32,13 @@ pytestmark = pytest.mark.skipif(
     not os.path.exists(SAMPLETESTS), reason="reference tests not available"
 )
 
-PASSING_PAGES = [
-    '001',
-    '002',
-    '003-metadata-preferred',
-    '004-metadata-space-separated-properties',
-    '005-unescape-html-entities',
-    'aclu',
-    'aktualne',
-    'archive-of-our-own',
-    'article-author-tag',
-    'base-url',
-    'base-url-base-element',
-    'base-url-base-element-relative',
-    'basic-tags-cleaning',
-    'bbc-1',
-    'blogger',
-    'buzzfeed-1',
-    'cnet',
-    'comment-inside-script-parsing',
-    'daringfireball-1',
-    'data-url-image',
-    'dev418',
-    'ebb-org',
-    'embedded-videos',
-    'firefox-nightly-blog',
-    'gitlab-blog',
-    'google-sre-book-1',
-    'guardian-1',
-    'hukumusume',
-    'iab-1',
-    'ietf-1',
-    'keep-images',
-    'keep-tabular-data',
-    'la-nacion',
-    'lazy-image-1',
-    'lazy-image-2',
-    'lazy-image-3',
-    'lifehacker-post-comment-load',
-    'lemonde-1',
-    'liberation-1',
-    'lifehacker-working',
-    'links-in-tables',
-    'medicalnewstoday',
-    'medium-1',
-    'medium-2',
-    'medium-3',
-    'mercurial',
-    'metadata-content-missing',
-    'mozilla-2',
-    'msn',
-    'normalize-spaces',
-    'nytimes-2',
-    'nytimes-3',
-    'nytimes-4',
-    'parsely-metadata',
-    'pixnet',
-    'qq',
-    'remove-aria-hidden',
-    'remove-extra-brs',
-    'remove-extra-paragraphs',
-    'remove-script-tags',
-    'reordering-paragraphs',
-    'replace-brs',
-    'replace-font-tags',
-    'royal-road',
-    'rtl-1',
-    'rtl-2',
-    'rtl-3',
-    'rtl-4',
-    'schema-org-context-object',
-    'seattletimes-1',
-    'simplyfound-1',
-    'social-buttons',
-    'style-tags-removal',
-    'svg-parsing',
-    'table-style-attributes',
-    'telegraph',
-    'theverge',
-    'title-and-h1-discrepancy',
-    'tmz-1',
-    'toc-missing',
-    'topicseed-1',
-    'tumblr',
-    'v8-blog',
-    'videos-1',
-    'videos-2',
-    'visibility-hidden',
-    'wapo-2',
-    'webmd-1',
-    'webmd-2',
-    'wikia',
-    'wikipedia-2',
-    'yahoo-1',
-    'yahoo-2',
-    'infoq.html',
-]
+PASSING_PAGES = TOKENFINDER_MATCHED_PAGES
 
 MIN_PARITY = 94
 
 
 def load_expectations():
-    src = open(SAMPLETESTS, encoding="utf-8-sig").read()
-    out = {}
-    block = src.split("TryFindArticle_TestPage_CorrectPath")[0]
-    tail = block[block.index('[DataRow("001"'):]
-    for m in re.finditer(r'\[DataRow\("([^"]+)", "([^"]*)"\)\]', tail):
-        out[m.group(1)] = ("test-pages", m.group(2).strip())
-    sample = src.split("TryFindArticle_TestPage_CorrectPath")[1]
-    for m in re.finditer(r'\[DataRow\("([^"]+)", "([^"]*)"\)\]', sample):
-        out[m.group(1)] = ("SamplePages", m.group(2).strip())
-    return out
+    return tokenfinder_path_goldens()
 
 
 def _page_bytes(name: str, kind: str) -> bytes:
