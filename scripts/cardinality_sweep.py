@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Second-decade dedup cardinality sweep: 55,000-doc dup-injected table.
+
+bench.py records per-stage candidate counts at the sf0.01 -> sf0.1 decade
+(550 -> 5,500 dup-injected docs). This script adds the next decade: a
+deterministic 10x expansion of the sf0.1 corpus (5,500 -> 55,000 docs) so
+the minhash-linear / banded-quadratic-knee claims in BENCH/CARDINALITY.md
+rest on two decades of measurement instead of one.
+
+The expansion must preserve the corpus's CROSS-document similarity
+structure (what drives banded candidate volume), so replica r of doc i is
+a split-splice: the first half of doc i's words + the second half of doc
+((i + 37*r) mod N)'s words. Each synthetic doc shares shingle mass with
+two parents, vocabulary statistics are unchanged, and everything is a
+deterministic column expression (re-runnable, no RNG).
+
+Usage: python scripts/cardinality_sweep.py [sf_dir] [reps]
+Prints one JSON line with per-stage cardinalities for the three banded
+pipelines at the expanded scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+REP_OFFSET = 100_000_000  # far above DUP_OFFSET: replica ids never collide
+
+
+def expanded_docs(spark, sf_dir: str, reps: int):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n = docs.count()
+    toks = F.split("text", " ")
+    half = (F.size(toks) / 2).cast("int")
+    left = docs.select(
+        "doc_id", F.concat_ws(" ", F.slice(toks, F.lit(1), half)).alias("l")
+    )
+    right = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, half + 1, F.size(toks) - half)).alias("r"),
+    )
+    parts = [docs]
+    for rep in range(1, reps):
+        partner = right.withColumn(
+            "doc_id", (F.col("doc_id") - F.lit(37 * rep) + F.lit(n)) % F.lit(n)
+        )
+        spliced = (
+            left.join(partner, "doc_id")
+            .select(
+                (F.col("doc_id") + F.lit(rep * REP_OFFSET)).alias("doc_id"),
+                F.concat_ws(" ", "l", "r").alias("text"),
+            )
+        )
+        parts.append(spliced)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    from readability_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash64_near_pairs,
+        with_injected_duplicates,
+    )
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("cardinality-sweep")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dup = with_injected_duplicates(expanded_docs(spark, SF_DIR, REPS)).persist()
+    n_docs = dup.count()
+    out: dict = {"sf_dir": SF_DIR, "reps": REPS, "dedup_input_docs": n_docs}
+
+    t0 = time.time()
+    st: dict = {}
+    verified = minhash_lsh_pairs(dup, _stages=st).count()
+    out["minhash"] = {
+        "band_rows": st["band_rows"].count(),
+        "candidate_pairs": st["candidate_pairs"].count(),
+        "verified_pairs": verified,
+        "wall_sec": round(time.time() - t0, 1),
+    }
+
+    t0 = time.time()
+    st = {}
+    verified = simhash64_near_pairs(dup, _stages=st).count()
+    out["simhash64"] = {
+        "candidate_pairs": st["candidate_pairs"].count(),
+        "verified_pairs": verified,
+        "wall_sec": round(time.time() - t0, 1),
+    }
+
+    t0 = time.time()
+    st = {}
+    verified = ngram_jaccard_pairs(dup, _stages=st).count()
+    out["ngram_jaccard"] = {
+        "shingle_rows": st["shingle_rows"].count(),
+        "discriminative_shingle_rows": st["discriminative_shingle_rows"].count(),
+        "candidate_pairs": st["candidate_pairs"].count(),
+        "verified_pairs": verified,
+        "wall_sec": round(time.time() - t0, 1),
+    }
+
+    dup.unpersist()
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -139,3 +139,20 @@ def test_lang_filter_pushed_to_scan(spark, tmp_path):
     plan = plan_of(df)
     scan_line = next(l for l in plan.splitlines() if "PushedFilters" in l)
     assert "lang" in scan_line, scan_line
+
+
+def test_ngram_df_tagging_skew_free(spark):
+    """The n-gram DF-tagging stage must not route a hot shingle's full
+    posting list through one task: document frequency comes from a map-side-
+    combined groupBy (HashAggregate, partial+final), the hot set is
+    broadcast, and NO Window over the shingle column appears in the plan
+    (ADVICE r2: Window.partitionBy(g) was the straggler at 100x)."""
+    from readability_spark.operators.dedup import ngram_jaccard_pairs, with_injected_duplicates
+
+    docs = with_injected_duplicates(
+        spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    )
+    plan = plan_of(ngram_jaccard_pairs(docs))
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "HashAggregate" in plan, plan
