@@ -231,6 +231,24 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.pii import pii_scrub, with_injected_pii
+
+    return pii_scrub(with_injected_pii(_docs(spark, sf_dir)))
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.similarity import ivf_topk, load_embeddings
+
+    return ivf_topk(load_embeddings(spark, sf_dir))
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.dedup import exact_duplicates, with_injected_duplicates
 
@@ -437,6 +455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprints": _q_fingerprints,
+        "text_repetition": _q_repetition,
+        "pii_scrub": _q_pii_scrub,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         # NOTE: the 32-bit `simhash_near_pairs` operator is intentionally NOT
@@ -448,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "dedup_embedding_cosine": _q_embedding_near_dups,
         "media_metadata": _q_media_metadata,
         "media_frame_samples": _q_media_frames,
@@ -750,6 +771,105 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
 """
 
 
+def _pii_oracle() -> str:
+    """Mirror of pii.with_injected_pii + pii.pii_scrub. The regexes are the
+    module's own constants (Java-regex/RE2 shared subset); DuckDB needs the
+    explicit 'g' flag where Spark's regexp_replace is global by default."""
+    from readability_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    inj = (
+        "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@mail.example.com for details' "
+        "WHEN doc_id % 3 = 1 THEN ' call 202-555-' || lpad((doc_id % 10000)::varchar, 4, '0') || ' now' "
+        "ELSE ' server 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' "
+        "|| (doc_id % 100 + 1) || ' logged' END"
+    )
+    clean = (
+        "regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{IPV4_RE}', '<IP>', 'g'), "
+        f"'{PHONE_RE}', '<PHONE>', 'g')"
+    )
+    return f"""
+WITH p AS (SELECT doc_id, text || ({inj}) AS text FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}'))::int AS n_emails,
+       len(regexp_extract_all(text, '{PHONE_RE}'))::int AS n_phones,
+       len(regexp_extract_all(text, '{IPV4_RE}'))::int AS n_ips,
+       {clean} AS clean_text
+FROM p
+"""
+
+
+def _repetition_oracle(n: int = 2) -> str:
+    """Mirror of textstats.repetition_stats: explode token n-grams, count
+    per (doc, gram), aggregate top/dup fractions."""
+    toks = "string_split(text, ' ')"
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, len({toks}) - {n}),
+                i -> array_to_string({toks}[i+1:i+{n}], ' '))) AS gram
+  FROM documents WHERE len({toks}) >= {n}
+),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       sum(cnt)::bigint AS n_grams,
+       max(cnt)::int AS top_gram_count,
+       {_r4("max(cnt) / sum(cnt)::double")} AS top_gram_frac,
+       {_r4("sum(case when cnt > 1 then cnt else 0 end) / sum(cnt)::double")} AS dup_gram_frac
+FROM c GROUP BY doc_id
+"""
+
+
+def _ann_ivf_oracle(n_centroids: int = 16, nprobe: int = 4) -> str:
+    """Mirror of similarity.ivf_topk: seeded centroids (same md5-nibble PRNG
+    as the LSH planes), full-precision cosine argmax cell assignment, nprobe
+    nearest cells per query, exact rerank top-k on candidates only."""
+    dot_vc = (
+        "list_sum(list_transform(generate_series(1, len(v.embedding)), "
+        "i -> v.embedding[i]::double * p.p_emb[i]))"
+    )
+    norm_v = "sqrt(list_sum(list_transform(v.embedding, x -> x::double * x::double)))"
+    norm_c = "sqrt(list_sum(list_transform(p.p_emb, x -> x * x)))"
+    return f"""
+WITH p AS ({_planes_sql(n_centroids)}),
+ascore AS (
+  SELECT v.vec_id, p.plane_id AS cid,
+         {dot_vc} / ({norm_v} * {norm_c}) AS cos
+  FROM embeddings v, p
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM ascore) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM ascore WHERE vec_id < 5) WHERE rn <= {nprobe}
+),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+cands AS (
+  SELECT qp.query_id, a.vec_id
+  FROM assign a JOIN qprobe qp ON a.cell = qp.cell
+  WHERE a.vec_id != qp.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id, {_COSINE} AS cosine
+  FROM cands c JOIN embeddings v ON v.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+"""
+
+
 _EN = "['the','a','of','and','to','in','is','it','on','for']"
 _ES = "['el','la','de','los','las','y','en','es','un','una']"
 _EN_HITS = f"len(list_filter(string_split(text,' '), x -> list_contains({_EN}, x)))"
@@ -854,6 +974,9 @@ SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keep_id,
        array_to_string(list_sort(list(doc_id))[1:100], ',') AS dup_ids
 FROM dup GROUP BY 1 HAVING count(*) > 1
 """,
+        "text_repetition": _repetition_oracle(),
+        "pii_scrub": _pii_oracle(),
+        "ann_ivf_topk": _ann_ivf_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_simhash64": _simhash64_oracle(),

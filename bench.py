@@ -98,7 +98,10 @@ def main() -> int:
         "tokenfinder_paths",
         "ann_cosine_topk",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "text_quality",
+        "text_repetition",
+        "pii_scrub",
         "text_fingerprints",
         "windowed_event_counts",
         "tpch_pricing_summary",

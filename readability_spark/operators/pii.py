@@ -1,0 +1,80 @@
+"""PII detection + redaction for training-data pipelines.
+
+A web-scale training corpus must scrub personally identifiable information
+before the text reaches a model. These operators redact the three
+highest-volume machine-matchable PII classes (emails, NANP-style phone
+numbers, IPv4 addresses) with pure JVM `regexp_replace` / `regexp_count`
+column expressions — whole-stage codegen, no Python in the loop, linear at
+any scale. The regexes stay inside the syntax subset Java regex and DuckDB
+RE2 share (character classes, bounded repetition, ``\\b``), so the operator
+has an exact SQL oracle like the rest of the pipeline surface.
+
+Reference scope note: the reference library is a single-document extractor
+with no corpus-level PII pass; this belongs to the training-data pipeline
+surface (brief: text-analysis/quality family), same tier as textstats.
+
+Redaction order is part of the contract (email, then IPv4, then phone):
+counts are taken on the raw text first, so overlapping matches can never be
+double-redacted or double-counted differently between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Shared Java-regex / RE2 subset. `-` sits last in classes; no lookarounds.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+EMAIL_TOKEN = "<EMAIL>"
+PHONE_TOKEN = "<PHONE>"
+IPV4_TOKEN = "<IP>"
+
+
+def with_injected_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministically append synthetic PII to the corpus text so scrub
+    queries have a known non-empty answer (the sf tables are PII-free).
+
+    doc_id % 3 == 0 → an email; == 1 → a phone number; == 2 → an IPv4.
+    """
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact user"), did.cast("string"), F.lit("@mail.example.com for details")
+    )
+    phone = F.concat(
+        F.lit(" call 202-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    ip = F.concat(
+        F.lit(" server 10."),
+        (did % 256).cast("string"),
+        F.lit("."),
+        ((did * 7) % 256).cast("string"),
+        F.lit("."),
+        (did % 100 + 1).cast("string"),
+        F.lit(" logged"),
+    )
+    tail = (
+        F.when(did % 3 == 0, email).when(did % 3 == 1, phone).otherwise(ip)
+    )
+    return docs.withColumn(text_col, F.concat(F.col(text_col), tail))
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and redact emails / phones / IPv4s: (doc_id, n_emails,
+    n_phones, n_ips, clean_text). Counts are measured on the raw text;
+    redaction replaces each class with a typed placeholder token."""
+    raw = F.col(text_col)
+    clean = F.regexp_replace(raw, EMAIL_RE, EMAIL_TOKEN)
+    clean = F.regexp_replace(clean, IPV4_RE, IPV4_TOKEN)
+    clean = F.regexp_replace(clean, PHONE_RE, PHONE_TOKEN)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(raw, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count(raw, F.lit(IPV4_RE)).cast("int").alias("n_ips"),
+        clean.alias("clean_text"),
+    )

@@ -90,6 +90,56 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher-style repetition quality signals over token n-grams:
+
+    - ``top_gram_frac``: fraction of n-gram slots taken by the single most
+      frequent n-gram (Gopher's "fraction of characters in the most common
+      n-gram", token-based);
+    - ``dup_gram_frac``: fraction of n-gram slots whose n-gram occurs more
+      than once in the document (Gopher's duplicate-n-gram fraction).
+
+    Boilerplate-heavy and looped/generated text scores high on both; the
+    training-corpus selector can threshold them alongside quality_score.
+
+    Plan shape: explode n-grams → two hash aggregations, both map-side
+    combined ((doc_id, gram) then doc_id) — shuffles carry one row per
+    distinct gram, linear at any corpus size. Docs with fewer than ``n``
+    tokens are excluded (no n-gram is defined for them).
+    """
+    toks = F.split(F.col("text"), " ")
+    grams = (
+        docs.filter(F.size(toks) >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                )
+            ).alias("gram"),
+        )
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.max("cnt").alias("top_gram_count"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias(
+                "dup_gram_tokens"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("top_gram_count").cast("int").alias("top_gram_count"),
+            round4(F.col("top_gram_count") / F.col("n_grams")).alias("top_gram_frac"),
+            round4(F.col("dup_gram_tokens") / F.col("n_grams")).alias("dup_gram_frac"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, shingle: int = 3) -> DataFrame:
     """Document fingerprints: exact md5 plus a shingle fingerprint (min md5
     over token 3-grams — order-robust near-dup key, winnowing-style)."""

@@ -49,3 +49,41 @@ def test_auto_n_planes_scales_with_table():
     assert auto_n_planes(500) == 8          # tiny tables keep the floor
     assert auto_n_planes(10**6) == 13       # ~128/bucket
     assert auto_n_planes(10**12) == 33      # the 100-TB design point
+
+
+def test_ivf_recall_monotonic_and_exact_at_full_probe(spark):
+    """IVF sanity: recall vs exact rises with nprobe and hits 1.0 when every
+    cell is probed (the candidate set is then the full table)."""
+    from readability_spark.operators.similarity import ivf_topk
+
+    emb = load_embeddings(spark, SF)
+    exact = _topk_sets(cosine_topk(emb, n_queries=5, k=10))
+
+    def recall(nprobe):
+        approx = _topk_sets(ivf_topk(emb, n_centroids=16, nprobe=nprobe))
+        return sum(
+            len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+        ) / len(exact)
+
+    r4, r16 = recall(4), recall(16)
+    assert r16 == 1.0
+    assert r4 <= r16
+    assert r4 > 0  # probing a quarter of the cells finds something
+
+
+def test_ivf_assignment_partitions_table(spark):
+    """Every vector lands in exactly one cell and cells are reasonably
+    spread (no degenerate all-in-one-cell quantizer)."""
+    from readability_spark.operators.similarity import (
+        ivf_assign,
+        seeded_centroids,
+    )
+
+    emb = load_embeddings(spark, SF)
+    n = emb.count()
+    cents = seeded_centroids(spark, 16, 64)
+    assign = ivf_assign(emb, cents)
+    assert assign.count() == n
+    per_cell = assign.groupBy("cell").count().collect()
+    assert sum(r["count"] for r in per_cell) == n
+    assert max(r["count"] for r in per_cell) < n / 2

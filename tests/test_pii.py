@@ -1,0 +1,79 @@
+"""PII scrub operator: detection counts, redaction, and engine parity of the
+shared-regex-subset contract (the DuckDB oracle in __spark_entry__ reuses the
+module's regex constants verbatim)."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from readability_spark.operators.pii import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    pii_scrub,
+    with_injected_pii,
+)
+
+pytestmark = pytest.mark.spark
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_scrub_counts_and_redacts(spark):
+    rows = pii_scrub(
+        _df(
+            spark,
+            [
+                "mail me at jane.doe+spam@sub.example.co.uk today",
+                "call 415-555-2671 or 415-555-2672",
+                "host 192.168.0.1 and 10.0.255.254 up",
+                "no pii here at all",
+                "mixed: bob@x.io from 8.8.8.8 dial 202-555-0199",
+            ],
+        )
+    ).orderBy("doc_id").collect()
+    assert [(r.n_emails, r.n_phones, r.n_ips) for r in rows] == [
+        (1, 0, 0),
+        (0, 2, 0),
+        (0, 0, 2),
+        (0, 0, 0),
+        (1, 1, 1),
+    ]
+    assert rows[0].clean_text == "mail me at <EMAIL> today"
+    assert rows[1].clean_text == "call <PHONE> or <PHONE>"
+    assert rows[2].clean_text == "host <IP> and <IP> up"
+    assert rows[3].clean_text == "no pii here at all"
+    assert rows[4].clean_text == "mixed: <EMAIL> from <IP> dial <PHONE>"
+
+
+def test_injection_always_scrubbable(spark):
+    """Every injected PII string must be found (and removed) by its scrubber
+    — the invariant the CORRECTNESS query relies on."""
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), F.lit("plain body text").alias("text")
+    )
+    out = pii_scrub(with_injected_pii(docs))
+    hits = out.select(
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")).alias("n")
+    )
+    assert hits.filter(F.col("n") != 1).count() == 0
+    # nothing PII-shaped survives in clean_text
+    leftover = out.filter(
+        F.col("clean_text").rlike(EMAIL_RE)
+        | F.col("clean_text").rlike(PHONE_RE)
+        | F.col("clean_text").rlike(IPV4_RE)
+    )
+    assert leftover.count() == 0
+
+
+def test_regexes_stay_in_shared_subset():
+    """The oracle contract: each pattern must compile under Python's re AND
+    avoid Java/RE2-divergent syntax (lookarounds, backrefs, inline flags)."""
+    for pat in (EMAIL_RE, PHONE_RE, IPV4_RE):
+        re.compile(pat)
+        assert not re.search(r"\(\?|\\[0-9]", pat), pat

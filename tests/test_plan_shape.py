@@ -156,3 +156,42 @@ def test_ngram_df_tagging_skew_free(spark):
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_pii_scrub_plan_no_shuffle(spark):
+    """pii_scrub is a pure projection (regexp count/replace): zero exchanges,
+    whole-stage codegen — the shape that stays embarrassingly parallel."""
+    from readability_spark.operators.pii import pii_scrub, with_injected_pii
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(pii_scrub(with_injected_pii(docs)))
+    assert "Exchange" not in plan, plan
+    # `*(1)` is how executedPlan().toString() marks a whole-stage-codegen span
+    assert "*(1) Project" in plan, plan
+
+
+def test_ivf_plan_broadcasts_centroids_and_probes(spark):
+    """ivf_topk: the centroid table and the query probe set must broadcast —
+    the only shuffles allowed are the map-side-combined argmax aggregation
+    and the final window top-k; any sort-merge join against the vector table
+    would not survive 10^9 vectors."""
+    from readability_spark.operators.similarity import ivf_topk, load_embeddings
+
+    df = ivf_topk(load_embeddings(spark, SF))
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # centroid attach is a broadcast nested-loop (no equi-key), never a
+    # shuffled join
+    assert "SortMergeJoin" not in plan or "ShuffledHashJoin" not in plan, plan
+
+
+def test_repetition_plan_partial_aggregates(spark):
+    """repetition_stats: both aggregations must show a partial (map-side)
+    phase — HashAggregate pairs — so hot boilerplate grams combine before
+    the shuffle."""
+    from readability_spark.operators.textstats import repetition_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(repetition_stats(docs))
+    assert plan.count("HashAggregate") >= 4, plan

@@ -40,3 +40,35 @@ def test_token_stats_counts(spark, docs):
     assert out[2]["n_chars"] == len("plain lowercase words only here")
     # subwords: ceil(len/4) per word, min 1 -> 2+3+2+1+1 = 9
     assert out[2]["n_subwords"] == 9
+
+
+def test_repetition_stats_hand_computed(spark):
+    rows = [
+        # "a b a b a b": bigrams = [a b, b a, a b, b a, a b] -> 5 grams,
+        # top "a b" x3, all 5 slots duplicated
+        (1, "a b a b a b"),
+        # all-distinct bigrams -> no repetition
+        (2, "one two three four"),
+        # single token: no bigram defined -> excluded
+        (3, "solo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(docs, n=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_grams"] == 5
+    assert out[1]["top_gram_count"] == 3
+    assert out[1]["top_gram_frac"] == pytest.approx(3 / 5, abs=1e-4)
+    assert out[1]["dup_gram_frac"] == 1.0
+    assert out[2]["n_grams"] == 3
+    assert out[2]["top_gram_count"] == 1
+    assert out[2]["dup_gram_frac"] == 0.0
+
+
+def test_repetition_flags_boilerplate_over_prose(spark):
+    boiler = " ".join(["click here to subscribe"] * 20)
+    prose = "the quick brown fox jumps over a lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [(1, boiler), (2, prose)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(docs, n=3).collect()}
+    assert out[1]["dup_gram_frac"] > 0.9 > out[2]["dup_gram_frac"]
