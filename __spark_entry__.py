@@ -249,6 +249,22 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_embeddings(spark, sf_dir))
 
 
+def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), {"en": 0.5, "es": 0.25}, default_rate=0.1
+    ).select("doc_id", "lang", "u")
+
+
+def _q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.plans.pipeline import pack_by_token_budget
+
+    return pack_by_token_budget(
+        _docs(spark, sf_dir), budget_tokens=600, group_col="source"
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.dedup import exact_duplicates, with_injected_duplicates
 
@@ -265,6 +281,12 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.dedup import minhash_lsh_pairs, with_injected_duplicates
 
     return minhash_lsh_pairs(with_injected_duplicates(_docs(spark, sf_dir)))
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.dedup import near_dup_clusters, with_injected_duplicates
+
+    return near_dup_clusters(with_injected_duplicates(_docs(spark, sf_dir)))
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -457,8 +479,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _q_fingerprints,
         "text_repetition": _q_repetition,
         "pii_scrub": _q_pii_scrub,
+        "corpus_sample": _q_corpus_sample,
+        "corpus_pack": _q_corpus_pack,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_clusters": _q_dedup_clusters,
         # NOTE: the 32-bit `simhash_near_pairs` operator is intentionally NOT
         # exposed here — its 8-bit band keys (256 buckets/band) go quadratic
         # past ~10^8 docs. The prod near-dup surface is simhash64 below.
@@ -605,7 +630,10 @@ FROM cands WHERE {ham} <= 3
 """
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_ctes() -> str:
+    """Shared WITH-body ending in `pairs(id_a, id_b, jaccard)` — the verified
+    minhash-LSH near-dup pairs; used by both the pairs query oracle and the
+    connected-components cluster oracle."""
     mh = ", ".join(
         f"list_min(list_transform(sh, s -> md5('{k}:' || s))) AS mh{k}" for k in range(16)
     )
@@ -616,8 +644,12 @@ def _minhash_oracle() -> str:
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, band{b} AS key FROM bands" for b in range(4)
     )
-    return f"""
-WITH dup AS ({_DUP_DOCS}),
+    jac = (
+        "floor((len(list_intersect(sa.sh, sb.sh))::double / "
+        "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) "
+        "* 10000.0 + 0.5) / 10000.0"
+    )
+    return f"""dup AS ({_DUP_DOCS}),
 sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM dup),
 sigs AS (SELECT doc_id, {mh} FROM sh),
 bands AS (SELECT doc_id, {bands} FROM sigs),
@@ -626,13 +658,44 @@ cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key
   WHERE a.doc_id < b.doc_id
-)
-SELECT id_a, id_b,
-  floor((len(list_intersect(sa.sh, sb.sh))::double / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) * 10000.0 + 0.5) / 10000.0 AS jaccard
-FROM cands
-JOIN sh sa ON sa.doc_id = id_a
-JOIN sh sb ON sb.doc_id = id_b
-WHERE floor((len(list_intersect(sa.sh, sb.sh))::double / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) * 10000.0 + 0.5) / 10000.0 >= 0.5
+),
+pairs AS (
+  SELECT id_a, id_b, {jac} AS jaccard
+  FROM cands
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+  WHERE {jac} >= 0.5
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_pairs_ctes()}
+SELECT id_a, id_b, jaccard FROM pairs
+"""
+
+
+def _clusters_oracle() -> str:
+    """Mirror of dedup.near_dup_clusters: transitive closure over the
+    verified minhash pair graph (recursive CTE — reachability, then min
+    reachable id as the cluster label; the Spark side computes the same
+    labeling with log-round label propagation)."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(v, n) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT w.v, e.dst FROM walk w JOIN edges e ON e.src = w.n
+),
+lbl AS (SELECT v AS doc_id, min(n) AS cluster_id FROM walk GROUP BY v),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, sz.cluster_size::int AS cluster_size
+FROM lbl l JOIN sz USING (cluster_id)
 """
 
 
@@ -821,6 +884,46 @@ FROM c GROUP BY doc_id
 """
 
 
+def _corpus_sample_oracle() -> str:
+    """Mirror of sampling.stratified_sample: unit hash = first 32 md5 bits
+    of the stringified doc_id (nibble arithmetic == Spark's conv()), kept
+    when below the stratum's rate."""
+    u = f"({_h32_sql(tok='doc_id::varchar')}) / 4294967296.0"
+    return f"""
+SELECT doc_id, lang, u FROM (
+  SELECT doc_id, lang, {u} AS u,
+         CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'es' THEN 0.25 ELSE 0.1 END AS r
+  FROM documents) t
+WHERE u < r
+"""
+
+
+def _corpus_pack_oracle(budget: int = 600) -> str:
+    """Mirror of pipeline.pack_by_token_budget: quality-ordered running
+    token sum per source, cut at the budget. The quality expression is the
+    text_quality oracle's composite (both sides order by the SAME rounded
+    value, ties on doc_id, so the greedy cut is deterministic)."""
+    toks = "string_split(text, ' ')"
+    quality = _r4(
+        f"0.4::double * least(1.0::double, len({toks}) / 64.0) "
+        f"+ 0.3::double * least(1.0::double, ({_EN_HITS} / len({toks})::double) * 4) "
+        f"+ 0.3::double * (len(list_distinct({toks})) / len({toks})::double)"
+    )
+    return f"""
+WITH q AS (
+  SELECT doc_id, source, len({toks})::int AS n_tokens, {quality} AS quality
+  FROM documents
+),
+p AS (
+  SELECT source, doc_id, quality, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::bigint AS cum_tokens
+  FROM q
+)
+SELECT source, doc_id, quality, n_tokens, cum_tokens FROM p WHERE cum_tokens <= {budget}
+"""
+
+
 def _ann_ivf_oracle(n_centroids: int = 16, nprobe: int = 4) -> str:
     """Mirror of similarity.ivf_topk: seeded centroids (same md5-nibble PRNG
     as the LSH planes), full-precision cosine argmax cell assignment, nprobe
@@ -976,8 +1079,11 @@ FROM dup GROUP BY 1 HAVING count(*) > 1
 """,
         "text_repetition": _repetition_oracle(),
         "pii_scrub": _pii_oracle(),
+        "corpus_sample": _corpus_sample_oracle(),
+        "corpus_pack": _corpus_pack_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_clusters": _clusters_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_simhash64": _simhash64_oracle(),
         "dedup_simhash64_near_pairs": _simhash64_pairs_oracle(),

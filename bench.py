@@ -99,6 +99,8 @@ def main() -> int:
         "ann_cosine_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "dedup_clusters",
+        "corpus_pack",
         "text_quality",
         "text_repetition",
         "pii_scrub",

@@ -359,6 +359,83 @@ def simhash64_near_pairs(
 
 
 # ---------------------------------------------------------------------------
+# 3c. Connected components over the near-dup pair graph → dedup clusters
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Label every node of the pair graph with its component's minimum id:
+    (doc_id, cluster_id). This is the step that turns near-dup PAIRS into
+    dedup CLUSTERS — "keep one doc per cluster" is wrong if done per-pair
+    (a~b, b~c must collapse to ONE survivor, not two).
+
+    Algorithm: iterative min-label propagation with pointer jumping. Each
+    round a node takes the min label over {itself} ∪ {neighbors' labels}
+    ∪ {its current label's label} — the last term (pointer jump) doubles
+    label-chain hops per round, so convergence is O(log n) rounds even on
+    path-shaped graphs (same asymptotics as large-star/small-star, Kiveris
+    et al., MapReduce CC). Near-dup clusters from LSH banding are near-
+    cliques, so 2-3 rounds are typical.
+
+    Scale shape: every round is two long-key hash joins + one map-side-
+    combined min aggregation; all shuffled rows are (long, long).
+    `localCheckpoint` truncates lineage each round (no exponential plan).
+    The driver loop itself is O(log n) iterations with a single scalar
+    fixpoint probe per round — the same structure GraphX/GraphFrames use;
+    labels only ever decrease, so an unchanged sum(label) is a fixpoint
+    proof, not a heuristic.
+    """
+    edges = (
+        pairs.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
+        .unionByName(
+            pairs.select(F.col(dst).cast("long").alias("src"), F.col(src).cast("long").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("v")).distinct().select("v", F.col("v").alias("lbl"))
+    ).localCheckpoint()
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = edges.join(labels.withColumnRenamed("v", "src"), "src").select(
+            F.col("dst").alias("v"), "lbl"
+        )
+        jump = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.lbl") == F.col("l2.v"))
+            .select(F.col("l1.v").alias("v"), F.col("l2.lbl").alias("lbl"))
+        )
+        labels = (
+            labels.unionByName(nbr)
+            .unionByName(jump)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def near_dup_clusters(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH near-dup clusters: (doc_id, cluster_id, cluster_size) for
+    every doc that has at least one verified near-duplicate. ``cluster_id``
+    is the smallest doc_id in the component — the canonical survivor; every
+    other member is a drop candidate. Cluster size rides along via one
+    map-side-combined count + broadcast-sized rejoin (the cluster table is
+    tiny relative to the corpus — only docs with near-dups appear)."""
+    labels = connected_components(minhash_lsh_pairs(docs))
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", F.col("cluster_size").cast("int").alias("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
 # 4. N-gram Jaccard (DF-capped shingle candidate join + exact set verify)
 # ---------------------------------------------------------------------------
 

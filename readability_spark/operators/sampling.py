@@ -1,0 +1,69 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Web-scale corpus construction needs reproducible sampling: the same corpus
+snapshot and the same config must select the same rows on any cluster size,
+any partitioning, any retry — which rules out `DataFrame.sample` (seeded
+per-partition RNG: the selection changes whenever the partitioning does).
+These operators hash the stable row key instead: a row is kept iff
+h(doc_id) < rate, where h is the first 32 bits of md5 mapped to [0, 1).
+
+md5 (rather than xxhash64) keeps the operator inside the Spark/DuckDB
+shared-function subset, so sampling — like every other pipeline stage —
+has an exact cross-engine SQL oracle. Cost is one hash per row, pure
+codegen projection + filter: zero shuffles, embarrassingly parallel at
+any scale, and the sample rate is exactly composable (a p-sample of a
+q-sample is a min(p,q)-sample, since both cut the same hash axis).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# The hash is uniform on [0, 2^32), so P(h < rate * 2^32) == rate
+_HASH_SPACE = float(2**32)
+
+
+def unit_hash(key_col: str) -> Column:
+    """Uniform [0, 1) hash of a column: first 8 hex chars of md5 as a 32-bit
+    integer (conv() is value-identical to the oracle's nibble arithmetic —
+    same trick as simhash64), scaled into the unit interval."""
+    h32 = F.expr(
+        f"cast(conv(substr(md5(cast({key_col} as string)), 1, 8), 16, 10) as bigint)"
+    )
+    return h32 / F.lit(_HASH_SPACE)
+
+
+def deterministic_sample(
+    docs: DataFrame, rate: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """Partition-independent Bernoulli(rate) sample keyed on ``key_col``.
+
+    Returns the input rows plus the unit hash ``u`` (useful downstream:
+    filtering ``u < rate2`` later subsamples consistently)."""
+    return docs.withColumn("u", unit_hash(key_col)).filter(F.col("u") < rate)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: "dict[str, float]",
+    stratum_col: str = "lang",
+    default_rate: float = 0.0,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing primitive
+    (e.g. keep 50% of English, 10% of everything else to rebalance a crawl).
+
+    ``rates`` maps stratum value → keep probability; strata not listed get
+    ``default_rate``. Same unit-hash mechanics as
+    :func:`deterministic_sample`: one codegen projection, no shuffle, and
+    raising one stratum's rate strictly grows that stratum's sample while
+    leaving every other row's fate unchanged (nested samples — handy for
+    ablation corpora).
+    """
+    rate_expr: Column = F.lit(float(default_rate))
+    for value, rate in sorted(rates.items()):
+        rate_expr = F.when(F.col(stratum_col) == value, F.lit(float(rate))).otherwise(
+            rate_expr
+        )
+    return docs.withColumn("u", unit_hash(key_col)).filter(F.col("u") < rate_expr)

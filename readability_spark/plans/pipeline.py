@@ -168,3 +168,45 @@ def select_training_corpus(
         .filter((F.col("lang_pred") == lang) & (F.col("quality") >= min_quality))
         .select("doc_id", "lang_pred", "quality")
     )
+
+
+def pack_by_token_budget(
+    docs: "DataFrame", budget_tokens: int = 600, group_col: str = "source"
+):
+    """Greedy per-group corpus packing: within each group (source/domain),
+    admit docs best-quality-first until the group's token budget is full.
+    This is the mixture-weighting step of corpus construction — "at most B
+    tokens per domain, prefer high quality" — made deterministic (quality
+    ties break on doc_id).
+
+    Returns (source, doc_id, quality, n_tokens, cum_tokens): the admitted
+    docs with their running token total, so downstream stages can audit how
+    full each group's budget ran.
+
+    Scale shape: quality/token counts are codegen projections; the cumsum
+    is one window sort per group, parallel across groups — the right plan
+    when groups are domains (10^6+ of them at crawl scale, each modest).
+    For a layout with FEW giant groups (e.g. budget-per-language), the sort
+    becomes the straggler; the known fix is two-phase histogram packing
+    (aggregate token sums per (group, quality-bin) — map-side combined —
+    cumsum the tiny bin table, keep every doc strictly above the crossing
+    bin, sort only the boundary bin), which trades the exact greedy
+    boundary for a bounded sort. Not implemented here: the grouping column
+    for this surface is the high-cardinality source/domain.
+    """
+    from pyspark.sql.window import Window
+
+    from readability_spark.operators.textstats import quality_score
+
+    q = quality_score(docs).select("doc_id", "quality", "n_tokens")
+    base = docs.select("doc_id", group_col).join(q, "doc_id")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(group_col, "doc_id", "quality", "n_tokens", "cum_tokens")
+    )

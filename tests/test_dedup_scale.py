@@ -103,3 +103,58 @@ def test_exact_duplicates_id_list_capped(spark):
     assert g.n_copies == 500  # true count retained
     assert len(g.doc_ids) == 100  # bounded payload
     assert g.doc_ids == sorted(g.doc_ids) and g.keep_id == 0
+
+
+def test_connected_components_path_graph(spark):
+    """A 64-node path (worst case for plain min-propagation: diameter 63)
+    must converge to one component within the log-round budget — the
+    pointer jump is what makes that happen."""
+    from readability_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs).collect()
+    assert len(out) == 64
+    assert {r.cluster_id for r in out} == {0}
+
+
+def test_connected_components_multi_component(spark):
+    """Two triangles + one pair + transitive chain a~b~c: labels are the
+    component minima and never leak across components."""
+    from readability_spark.operators.dedup import connected_components
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),          # triangle {1,2,3}
+        (10, 11), (11, 12), (10, 12),    # triangle {10,11,12}
+        (20, 21),                        # pair {20,21}
+        (30, 31), (31, 32),              # chain -> {30,31,32}
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+        30: 30, 31: 30, 32: 30,
+    }
+
+
+def test_near_dup_clusters_sizes(spark):
+    """near_dup_clusters over injected duplicates: every cluster contains
+    its own cluster_id (the survivor), sizes are consistent, and the
+    transitive collapse keeps exactly one survivor per cluster."""
+    from readability_spark.operators.dedup import near_dup_clusters
+
+    docs = with_injected_duplicates(
+        spark.read.parquet(f"{SF}/documents.parquet"), every=10
+    )
+    out = near_dup_clusters(docs).collect()
+    assert out, "injected duplicates must produce at least one cluster"
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid in {m.doc_id for m in members}  # survivor is a member
+        assert all(m.cluster_size == len(members) for m in members)
+        assert len(members) >= 2

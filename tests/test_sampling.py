@@ -1,0 +1,113 @@
+"""Deterministic sampling + token-budget packing: reproducibility across
+partitionings (the property DataFrame.sample lacks), nesting, stratum rates,
+and the greedy budget invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from readability_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_sample,
+)
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 10000).select(F.col("id").alias("doc_id"))
+
+
+def test_sample_rate_approximate(spark, ids):
+    n = deterministic_sample(ids, 0.3).count()
+    assert 2700 <= n <= 3300  # ±10% of 3000; the hash is fixed, so this is stable
+
+
+def test_sample_partition_independent(spark, ids):
+    """Same selection no matter how the input is partitioned — the property
+    that makes reruns/retries reproducible on any cluster size."""
+    a = {r.doc_id for r in deterministic_sample(ids.repartition(3), 0.2).collect()}
+    b = {r.doc_id for r in deterministic_sample(ids.repartition(17), 0.2).collect()}
+    c = {r.doc_id for r in deterministic_sample(ids.coalesce(1), 0.2).collect()}
+    assert a == b == c
+
+
+def test_samples_nest(spark, ids):
+    """A lower-rate sample is a strict subset of a higher-rate one (both cut
+    the same hash axis) — ablation corpora stay comparable."""
+    small = {r.doc_id for r in deterministic_sample(ids, 0.1).collect()}
+    big = {r.doc_id for r in deterministic_sample(ids, 0.4).collect()}
+    assert small < big
+
+
+def test_stratified_rates(spark):
+    docs = spark.range(0, 9000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("es"), F.lit("zh")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    out = (
+        stratified_sample(docs, {"en": 0.8, "es": 0.2}, default_rate=0.0)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    got = {r.lang: r["count"] for r in out}
+    assert "zh" not in got  # default_rate=0 drops unlisted strata entirely
+    assert 2200 <= got["en"] <= 2600  # ~0.8 * 3000
+    assert 450 <= got["es"] <= 750  # ~0.2 * 3000
+
+
+def test_pack_budget_invariants(spark):
+    """Greedy packing: per-source totals within budget, admitted set is
+    exactly the best-quality prefix (adding the next-best excluded doc
+    would bust the budget)."""
+    from readability_spark.plans.pipeline import pack_by_token_budget
+    from readability_spark.operators.textstats import quality_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    budget = 600
+    packed = pack_by_token_budget(docs, budget_tokens=budget).collect()
+    assert packed
+
+    q = {
+        r.doc_id: r
+        for r in quality_score(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .collect()
+    }
+    by_src: dict = {}
+    for r in packed:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: (-r.quality, r.doc_id))
+        total = 0
+        for r in rows:
+            total += r.n_tokens
+            assert r.cum_tokens == total
+        assert total <= budget
+        admitted = {r.doc_id for r in rows}
+        ranked = sorted(
+            (r for r in q.values() if r.source == src),
+            key=lambda r: (-r.quality, r.doc_id),
+        )
+        # the admitted set is a prefix of the quality ranking, cut exactly
+        # where the budget first overflows
+        prefix = ranked[: len(rows)]
+        assert {r.doc_id for r in prefix} == admitted
+        if len(ranked) > len(rows):
+            assert total + ranked[len(rows)].n_tokens > budget
+
+
+def test_sampling_plan_no_shuffle(spark, ids):
+    plan = (
+        deterministic_sample(ids, 0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
