@@ -265,6 +265,26 @@ def _q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full WARC round trip: synthesize .warc.gz files (one gzip member per
+    record, Common-Crawl convention) from the page table, then parse them
+    back with the distributed record walker. The oracle reconstructs every
+    field — including md5 of the recovered html body — straight from
+    `documents`, so a single flipped byte anywhere in the write→compress→
+    decompress→parse path fails the hash."""
+    from readability_spark.sources.warc import parse_warc_files, synthesize_warc_files
+
+    recs = parse_warc_files(synthesize_warc_files(spark, sf_dir))
+    return recs.filter("ok").select(
+        "url",
+        "warc_ts",
+        "status",
+        "content_type",
+        "n_bytes",
+        F.md5(F.col("html")).alias("html_md5"),
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.dedup import exact_duplicates, with_injected_duplicates
 
@@ -481,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "corpus_sample": _q_corpus_sample,
         "corpus_pack": _q_corpus_pack,
+        "warc_ingest": _q_warc_ingest,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -924,6 +945,24 @@ SELECT source, doc_id, quality, n_tokens, cum_tokens FROM p WHERE cum_tokens <= 
 """
 
 
+def _warc_ingest_oracle() -> str:
+    """Mirror of warc._q_warc_ingest: every parsed field recomputed from
+    `documents` via the byte-exact template reconstruction (pages.ORACLE_HTML
+    — pure-ASCII text, so varchar length == byte length and DuckDB's md5
+    over the varchar equals Spark's md5 over the recovered body bytes)."""
+    from readability_spark.sources.pages import ORACLE_HTML, URL_PREFIX
+
+    return f"""
+SELECT '{URL_PREFIX}' || doc_id || '.html' AS url,
+       TIMESTAMP '2025-04-04 00:00:00' + to_seconds(doc_id) AS warc_ts,
+       200 AS status,
+       'text/html; charset=UTF-8' AS content_type,
+       length({ORACLE_HTML})::bigint AS n_bytes,
+       md5({ORACLE_HTML}) AS html_md5
+FROM documents
+"""
+
+
 def _ann_ivf_oracle(n_centroids: int = 16, nprobe: int = 4) -> str:
     """Mirror of similarity.ivf_topk: seeded centroids (same md5-nibble PRNG
     as the LSH planes), full-precision cosine argmax cell assignment, nprobe
@@ -1081,6 +1120,7 @@ FROM dup GROUP BY 1 HAVING count(*) > 1
         "pii_scrub": _pii_oracle(),
         "corpus_sample": _corpus_sample_oracle(),
         "corpus_pack": _corpus_pack_oracle(),
+        "warc_ingest": _warc_ingest_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_clusters": _clusters_oracle(),

@@ -92,3 +92,30 @@ ORACLE_BYLINE = "'Author ' || (doc_id % 7)"
 ORACLE_EXCERPT = "'Synthetic page for doc ' || doc_id"
 ORACLE_PUBLISHED = "'2024-01-' || lpad(((doc_id % 28) + 1)::varchar, 2, '0')"
 ORACLE_TEXT = f"rtrim(repeat(text || ' ', {REPEAT}))"
+
+# Byte-exact DuckDB reconstruction of the FULL html template above (the text
+# is pure printable ASCII, so varchar length == byte length). Used by the
+# WARC round-trip oracle: md5 of this string must equal md5 of the html body
+# recovered from the synthesized .warc.gz records.
+ORACLE_HTML = (
+    "'<!DOCTYPE html><html lang=\"' || lang || '\"><head><title>' || "
+    + ORACLE_TITLE
+    + " || ' | fakehost</title>'"
+    " || '<meta name=\"author\" content=\"' || " + ORACLE_BYLINE + " || '\">'"
+    " || '<meta property=\"og:description\" content=\"' || "
+    + ORACLE_EXCERPT
+    + " || '\">'"
+    " || '<meta property=\"og:site_name\" content=\"' || source || '\">'"
+    " || '<meta property=\"article:published_time\" content=\"' || "
+    + ORACLE_PUBLISHED
+    + " || '\">'"
+    " || '</head><body>'"
+    " || '<div id=\"header\" class=\"header menu\">"
+    "<a href=\"/home\">home</a> <a href=\"/hot\">hot</a></div>'"
+    " || '<div id=\"doc\" class=\"doc\"><h1>' || " + ORACLE_TITLE + " || '</h1>'"
+    f" || repeat('<p>' || text || '</p>', {REPEAT})"
+    " || '</div>'"
+    " || '<div class=\"footer\"><a href=\"/terms\">terms</a> "
+    "<a href=\"/privacy\">privacy</a></div>'"
+    " || '</body></html>'"
+)
