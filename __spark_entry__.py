@@ -285,6 +285,18 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text-layer round trip: build a valid FlateDecode PDF per doc
+    (parenthesized header line + text wrapped at col 80), extract the text
+    back with the stream/operator walker. The layout is a SQL-replicable
+    function of (doc_id, text), so the oracle checks the recovered text
+    exactly."""
+    from readability_spark.operators.pdftext import pdf_extract, synthesize_pdfs
+
+    out = pdf_extract(synthesize_pdfs(_docs(spark, sf_dir)))
+    return out.filter("ok").select("doc_id", "n_pages", "text")
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.dedup import exact_duplicates, with_injected_duplicates
 
@@ -502,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": _q_corpus_sample,
         "corpus_pack": _q_corpus_pack,
         "warc_ingest": _q_warc_ingest,
+        "pdf_extract_text": _q_pdf_extract,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -1121,6 +1134,14 @@ FROM dup GROUP BY 1 HAVING count(*) > 1
         "corpus_sample": _corpus_sample_oracle(),
         "corpus_pack": _corpus_pack_oracle(),
         "warc_ingest": _warc_ingest_oracle(),
+        "pdf_extract_text": """
+SELECT doc_id, 1 AS n_pages,
+       '(doc ' || doc_id || ')' || chr(10) ||
+       CASE WHEN length(text) > 80
+            THEN substr(text, 1, 80) || chr(10) || substr(text, 81)
+            ELSE text END AS text
+FROM documents
+""",
         "ann_ivf_topk": _ann_ivf_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_clusters": _clusters_oracle(),
