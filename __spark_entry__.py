@@ -285,6 +285,19 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated incremental dedup: batch rows whose text was never
+    seen in the history partition (doc_id % 3 == 0 simulates the prior
+    crawl). The Bloom layer is a physical optimization only — exact verify
+    on bloom-positives makes the output literally anti-join semantics, so
+    the oracle is a NOT EXISTS."""
+    from readability_spark.operators.bloom import incremental_new_docs
+
+    docs = _docs(spark, sf_dir)
+    history = docs.filter("doc_id % 3 = 0")
+    return incremental_new_docs(docs, history, key_col="text").select("doc_id", "lang")
+
+
 def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text-layer round trip: build a valid FlateDecode PDF per doc
     (parenthesized header line + text wrapped at col 80), extract the text
@@ -515,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack": _q_corpus_pack,
         "warc_ingest": _q_warc_ingest,
         "pdf_extract_text": _q_pdf_extract,
+        "dedup_incremental_new": _q_incremental_new,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -1141,6 +1155,12 @@ SELECT doc_id, 1 AS n_pages,
             THEN substr(text, 1, 80) || chr(10) || substr(text, 81)
             ELSE text END AS text
 FROM documents
+""",
+        "dedup_incremental_new": """
+SELECT b.doc_id, b.lang FROM documents b
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents h WHERE h.doc_id % 3 = 0 AND h.text = b.text
+)
 """,
         "ann_ivf_topk": _ann_ivf_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
