@@ -310,6 +310,17 @@ def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter("ok").select("doc_id", "n_pages", "text")
 
 
+def _q_corpus_pack_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase histogram packing over the few-giant-groups layout
+    (budget per lang). Returns the identical admitted set as exact greedy
+    (monotone binning), so the oracle is the same windowed SQL."""
+    from readability_spark.plans.pipeline import pack_by_token_budget_binned
+
+    return pack_by_token_budget_binned(
+        _docs(spark, sf_dir), budget_tokens=1500, group_col="lang"
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.dedup import exact_duplicates, with_injected_duplicates
 
@@ -526,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "corpus_sample": _q_corpus_sample,
         "corpus_pack": _q_corpus_pack,
+        "corpus_pack_binned": _q_corpus_pack_binned,
         "warc_ingest": _q_warc_ingest,
         "pdf_extract_text": _q_pdf_extract,
         "dedup_incremental_new": _q_incremental_new,
@@ -946,7 +958,7 @@ WHERE u < r
 """
 
 
-def _corpus_pack_oracle(budget: int = 600) -> str:
+def _corpus_pack_oracle(budget: int = 600, group: str = "source") -> str:
     """Mirror of pipeline.pack_by_token_budget: quality-ordered running
     token sum per source, cut at the budget. The quality expression is the
     text_quality oracle's composite (both sides order by the SAME rounded
@@ -959,16 +971,16 @@ def _corpus_pack_oracle(budget: int = 600) -> str:
     )
     return f"""
 WITH q AS (
-  SELECT doc_id, source, len({toks})::int AS n_tokens, {quality} AS quality
+  SELECT doc_id, {group}, len({toks})::int AS n_tokens, {quality} AS quality
   FROM documents
 ),
 p AS (
-  SELECT source, doc_id, quality, n_tokens,
-         (sum(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC
+  SELECT {group}, doc_id, quality, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY {group} ORDER BY quality DESC, doc_id ASC
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::bigint AS cum_tokens
   FROM q
 )
-SELECT source, doc_id, quality, n_tokens, cum_tokens FROM p WHERE cum_tokens <= {budget}
+SELECT {group}, doc_id, quality, n_tokens, cum_tokens FROM p WHERE cum_tokens <= {budget}
 """
 
 
@@ -1147,6 +1159,9 @@ FROM dup GROUP BY 1 HAVING count(*) > 1
         "pii_scrub": _pii_oracle(),
         "corpus_sample": _corpus_sample_oracle(),
         "corpus_pack": _corpus_pack_oracle(),
+        # binned variant returns the IDENTICAL set (see pipeline.py docstring),
+        # so its oracle is the same greedy SQL over the lang grouping
+        "corpus_pack_binned": _corpus_pack_oracle(budget=1500, group="lang"),
         "warc_ingest": _warc_ingest_oracle(),
         "pdf_extract_text": """
 SELECT doc_id, 1 AS n_pages,

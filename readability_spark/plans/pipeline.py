@@ -190,9 +190,10 @@ def pack_by_token_budget(
     becomes the straggler; the known fix is two-phase histogram packing
     (aggregate token sums per (group, quality-bin) — map-side combined —
     cumsum the tiny bin table, keep every doc strictly above the crossing
-    bin, sort only the boundary bin), which trades the exact greedy
-    boundary for a bounded sort. Not implemented here: the grouping column
-    for this surface is the high-cardinality source/domain.
+    bin, sort only the boundary bin), which trades the per-group sort for
+    per-bin sorts: :func:`pack_by_token_budget_binned` below. The exact
+    variant here is the right plan for the high-cardinality source/domain
+    grouping.
     """
     from pyspark.sql.window import Window
 
@@ -207,6 +208,64 @@ def pack_by_token_budget(
     )
     return (
         base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(group_col, "doc_id", "quality", "n_tokens", "cum_tokens")
+    )
+
+
+def pack_by_token_budget_binned(
+    docs: "DataFrame",
+    budget_tokens: int = 1500,
+    group_col: str = "lang",
+    bin_decimals: int = 2,
+):
+    """Two-phase histogram variant of :func:`pack_by_token_budget` for the
+    FEW-GIANT-GROUPS layout (e.g. one budget per language over 10^11 docs),
+    where a single window sort per group would be the straggler.
+
+    Phase 1 aggregates token totals per (group, quality-bin) — map-side
+    combined, so a billion-doc language contributes one partial per
+    partition — and cumsums the tiny bin table (≤ ~10^2 bins/group,
+    broadcast back). Bins whose budget is already exhausted are dropped
+    BEFORE any doc-level work. Phase 2 windows only within (group, bin):
+    every sort is bounded by a bin's population, not the group's.
+
+    The admitted set (and the cum_tokens audit column) is IDENTICAL to the
+    exact greedy variant: binning by round(quality, d) is monotone in
+    quality, so global quality order = (bin desc, within-bin order), and
+    full bins are order-insensitive for membership. Equality is pinned in
+    tests/test_sampling.py.
+    """
+    from pyspark.sql.window import Window
+
+    from readability_spark.operators.textstats import quality_score
+
+    q = quality_score(docs).select("doc_id", "quality", "n_tokens")
+    base = (
+        docs.select("doc_id", group_col)
+        .join(q, "doc_id")
+        .withColumn("bin", F.round(F.col("quality"), bin_decimals))
+    )
+    totals = base.groupBy(group_col, "bin").agg(F.sum("n_tokens").alias("bin_tokens"))
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        totals.withColumn("cum_through", F.sum("bin_tokens").over(wb))
+        .withColumn("cum_before", F.col("cum_through") - F.col("bin_tokens"))
+        .filter(F.col("cum_before") < budget_tokens)
+        .select(group_col, "bin", "cum_before")
+    )
+    wd = (
+        Window.partitionBy(group_col, "bin")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(F.broadcast(offsets), [group_col, "bin"])
+        .withColumn("cum_tokens", F.col("cum_before") + F.sum("n_tokens").over(wd))
         .filter(F.col("cum_tokens") <= budget_tokens)
         .select(group_col, "doc_id", "quality", "n_tokens", "cum_tokens")
     )

@@ -111,3 +111,47 @@ def test_sampling_plan_no_shuffle(spark, ids):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_pack_binned_equals_exact(spark):
+    """The two-phase histogram variant must admit the IDENTICAL set (and
+    identical cum_tokens audit values) as exact greedy — binning is monotone
+    in quality, so membership and offsets line up exactly."""
+    from readability_spark.plans.pipeline import (
+        pack_by_token_budget,
+        pack_by_token_budget_binned,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for group, budget in (("lang", 1500), ("source", 600)):
+        exact = {
+            tuple(r) for r in pack_by_token_budget(docs, budget, group_col=group).collect()
+        }
+        binned = {
+            tuple(r)
+            for r in pack_by_token_budget_binned(docs, budget, group_col=group).collect()
+        }
+        assert binned == exact
+        assert binned  # non-degenerate
+
+
+def test_pack_binned_sorts_per_bin_not_per_group(spark):
+    """Plan shape: the doc-level window partitions on (group, bin) — the
+    bounded sort — and the bin-offset table joins back via broadcast."""
+    from readability_spark.plans.pipeline import pack_by_token_budget_binned
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        pack_by_token_budget_binned(docs, 1500, group_col="lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # the final (doc-level) window must be keyed by bin as well as lang
+    import re
+
+    win_specs = re.findall(r"Window .*?partitionbyspec=\[[^\]]*\]", plan) or re.findall(
+        r"Window \[[^\n]*", plan
+    )
+    assert any("bin" in w and "lang" in w for w in win_specs), plan
