@@ -285,6 +285,51 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_page_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction over the synthetic pages: each page provably
+    yields its 4 nav/footer links resolved against the page url."""
+    from readability_spark.operators.links import extract_outlinks
+
+    return extract_outlinks(_pages(spark, sf_dir))
+
+
+def _q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph: page links collapsed to weighted host→host
+    edges (the 10^12→10^7 reduction before any graph algorithm)."""
+    from readability_spark.operators.links import extract_outlinks, host_graph
+
+    return host_graph(extract_outlinks(_pages(spark, sf_dir)))
+
+
+def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic non-trivial doc-derived graph on 97 nodes: a quadratic
+    (non-bijective → varied in-degree) map plus a cycle edge guaranteeing
+    every node has out-edges (no dangling mass; the operator still computes
+    the dangling term — provably 0.0 here, mirrored by its absence in the
+    oracle)."""
+    docs = _docs(spark, sf_dir)
+    quad = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * F.col("doc_id") + 1) % 97).alias("dst"),
+    )
+    cyc = docs.select(
+        (F.col("doc_id") % 97).alias("src"), ((F.col("doc_id") + 1) % 97).alias("dst")
+    )
+    return quad.unionByName(cyc)
+
+
+def _q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 rounds of damped PageRank; the oracle unrolls the identical power
+    iteration as 10 CTE rounds, so every join/sum round-trips exactly
+    (ranks rounded once, at the end, via the shared floor trick)."""
+    from readability_spark.operators.graph import pagerank
+
+    pr = pagerank(_pagerank_edges(spark, sf_dir), n_iter=10)
+    return pr.select(
+        "node", (F.floor(F.col("rank") * 10000.0 + 0.5) / 10000.0).alias("rank")
+    )
+
+
 def _q_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-accelerated incremental dedup: batch rows whose text was never
     seen in the history partition (doc_id % 3 == 0 simulates the prior
@@ -540,6 +585,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_binned": _q_corpus_pack_binned,
         "warc_ingest": _q_warc_ingest,
         "pdf_extract_text": _q_pdf_extract,
+        "page_outlinks": _q_page_outlinks,
+        "host_link_graph": _q_host_link_graph,
+        "link_pagerank": _q_link_pagerank,
         "dedup_incremental_new": _q_incremental_new,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -984,6 +1032,42 @@ SELECT {group}, doc_id, quality, n_tokens, cum_tokens FROM p WHERE cum_tokens <=
 """
 
 
+def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Mirror of graph.pagerank on the doc-derived 97-node graph: the same
+    power iteration unrolled as CTE rounds r0..r{n_iter} (fixed iteration
+    count on both sides; no dangling nodes by construction)."""
+    rounds = []
+    for t in range(n_iter):
+        rounds.append(
+            f"""r{t + 1} AS (
+  SELECT n.node,
+         (1.0 - {damping}) / (SELECT n FROM nn) +
+         {damping} * coalesce(c.contrib, 0.0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / d.outdeg) AS contrib
+    FROM edges e
+    JOIN r{t} r ON r.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) c ON c.node = n.node
+)"""
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id % 97 AS src, (doc_id * doc_id + 1) % 97 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id % 97 AS src, (doc_id + 1) % 97 AS dst FROM documents)
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*)::double AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT count(*)::double AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+{chain}
+SELECT node, floor(rank * 10000.0 + 0.5) / 10000.0 AS rank FROM r{n_iter}
+"""
+
+
 def _warc_ingest_oracle() -> str:
     """Mirror of warc._q_warc_ingest: every parsed field recomputed from
     `documents` via the byte-exact template reconstruction (pages.ORACLE_HTML
@@ -1177,6 +1261,20 @@ WHERE NOT EXISTS (
   SELECT 1 FROM documents h WHERE h.doc_id % 3 = 0 AND h.text = b.text
 )
 """,
+        "page_outlinks": """
+SELECT 'http://synth.fakehost/doc/' || doc_id || '.html' AS url,
+       'http://synth.fakehost' || l.path AS href,
+       l.anchor
+FROM documents,
+     (VALUES ('/home', 'home'), ('/hot', 'hot'),
+             ('/terms', 'terms'), ('/privacy', 'privacy')) AS l(path, anchor)
+""",
+        "host_link_graph": """
+SELECT 'synth.fakehost' AS src_host, 'synth.fakehost' AS dst_host,
+       (4 * count(*))::bigint AS n_links
+FROM documents
+""",
+        "link_pagerank": _pagerank_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_clusters": _clusters_oracle(),

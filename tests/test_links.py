@@ -1,0 +1,125 @@
+"""Outlink extraction (base-href resolution, scheme filtering, anchor
+normalization), host graph aggregation, and PageRank vs a numpy reference."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from readability_spark.operators.graph import pagerank
+from readability_spark.operators.links import (
+    extract_outlinks,
+    host_graph,
+    outlinks_of_html,
+)
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_outlinks_resolution_and_filtering():
+    html = """
+    <html><head><base href="http://example.com/sub/"></head><body>
+      <a href="page.html">  relative   link </a>
+      <a href="/root.html">rooted</a>
+      <a href="https://other.org/x">absolute</a>
+      <a href="#frag">fragment only</a>
+      <a href="javascript:void(0)">js</a>
+      <a href="mailto:a@b.c">mail</a>
+      <a href="data:text/plain,hi">data</a>
+      <a>no href</a>
+    </body></html>"""
+    got = outlinks_of_html("http://example.com/orig.html", html)
+    assert got == [
+        ("http://example.com/sub/page.html", "relative link"),
+        ("http://example.com/root.html", "rooted"),
+        ("https://other.org/x", "absolute"),
+    ]
+
+
+def test_outlinks_without_base_uses_document_url():
+    got = outlinks_of_html(
+        "http://h.net/a/b.html", "<body><a href='c.html'>c</a></body>"
+    )
+    assert got == [("http://h.net/a/c.html", "c")]
+
+
+def test_synthetic_pages_outlinks(spark):
+    from readability_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, SF)
+    links = extract_outlinks(pages).cache()
+    n_pages = pages.count()
+    assert links.count() == 4 * n_pages
+    per_page = links.groupBy("url").agg(
+        F.sort_array(F.collect_list("anchor")).alias("anchors")
+    )
+    bad = per_page.filter(
+        F.col("anchors") != F.array(*[F.lit(x) for x in ["home", "hot", "privacy", "terms"]])
+    ).count()
+    assert bad == 0
+
+
+def test_host_graph_counts(spark):
+    links = spark.createDataFrame(
+        [
+            ("http://a.com/1", "http://b.com/x"),
+            ("http://a.com/2", "http://b.com/y"),
+            ("http://a.com/2", "http://a.com/3"),
+            ("http://b.com/1", "http://a.com/9"),
+        ],
+        "url string, href string",
+    )
+    got = {
+        (r.src_host, r.dst_host): r.n_links for r in host_graph(links).collect()
+    }
+    assert got == {("a.com", "b.com"): 2, ("a.com", "a.com"): 1, ("b.com", "a.com"): 1}
+
+
+def _numpy_pagerank(edges, n_iter=10, d=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _t in edges:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = r[out == 0].sum()
+        nxt += d * dangling / n
+        for s, t in edges:
+            nxt[idx[t]] += d * r[idx[s]] / out[idx[s]]
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_numpy_with_dangling(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (5, 3)]  # node 4 dangles
+    want = _numpy_pagerank(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, n_iter=10).collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_parallel_edges_collapse(spark):
+    """Duplicate edges must not double-weight (distinct before degree)."""
+    df = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1)], "src long, dst long"
+    )
+    got = {r.node: r.rank for r in pagerank(df, n_iter=15).collect()}
+    # symmetric 2-cycle after collapse → equal ranks
+    assert got[1] == pytest.approx(got[2], abs=1e-12)
+
+
+def test_pagerank_partition_independent(spark):
+    edges = [(i, (i * i + 1) % 23) for i in range(23)] + [(i, (i + 1) % 23) for i in range(23)]
+    a = pagerank(spark.createDataFrame(edges, "src long, dst long").repartition(3), n_iter=8)
+    b = pagerank(spark.createDataFrame(edges, "src long, dst long").repartition(17), n_iter=8)
+    ra = {r.node: r.rank for r in a.collect()}
+    rb = {r.node: r.rank for r in b.collect()}
+    for v in ra:
+        assert ra[v] == pytest.approx(rb[v], abs=1e-12)
