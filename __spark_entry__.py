@@ -243,6 +243,25 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir))
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.decontam import decontaminate, with_injected_contamination
+
+    return decontaminate(with_injected_contamination(_docs(spark, sf_dir)))
+
+
+def _q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.decontam import chunk_dedup
+    from readability_spark.operators.dedup import with_injected_duplicates
+
+    return chunk_dedup(with_injected_duplicates(_docs(spark, sf_dir)))
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.similarity import ivf_topk, load_embeddings
 
@@ -579,6 +598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "text_fingerprints": _q_fingerprints,
         "text_repetition": _q_repetition,
+        "text_gopher_rules": _q_gopher_rules,
+        "decontaminate": _q_decontaminate,
+        "chunk_dedup": _q_chunk_dedup,
         "pii_scrub": _q_pii_scrub,
         "corpus_sample": _q_corpus_sample,
         "corpus_pack": _q_corpus_pack,
@@ -971,6 +993,106 @@ FROM p
 """
 
 
+def _gopher_oracle() -> str:
+    """Mirror of textstats.gopher_rules (Gopher/MassiveWeb §A1.1 rules)."""
+    stop = ", ".join(f"'{w}'" for w in
+                     ("the", "be", "to", "of", "and", "that", "have", "with"))
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n,
+         (length(text) - (len(string_split(text, ' ')) - 1))
+           / len(string_split(text, ' ')) AS mean_len,
+         len(list_filter(string_split(text, ' '),
+             w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+         ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) / 3
+          + (length(text) - length(replace(text, '…', '')))) AS symbols,
+         len(list_filter(list_distinct(string_split(text, ' ')),
+             w -> list_contains([{stop}], w))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       n::int AS n_words,
+       {_r4('mean_len')} AS mean_word_len,
+       {_r4('alpha_words / n')} AS alpha_word_frac,
+       {_r4('symbols / n')} AS symbol_ratio,
+       stop_hits::int AS stopword_hits,
+       (n >= 50 AND n <= 100000) AS ok_words,
+       (mean_len >= 3 AND mean_len <= 10) AS ok_mean_len,
+       (alpha_words / n >= 0.8) AS ok_alpha,
+       (symbols / n <= 0.1) AS ok_symbol,
+       (stop_hits >= 2) AS ok_stop,
+       ((n >= 50 AND n <= 100000) AND (mean_len >= 3 AND mean_len <= 10)
+        AND (alpha_words / n >= 0.8) AND (symbols / n <= 0.1)
+        AND (stop_hits >= 2)) AS gopher_pass
+FROM m
+"""
+
+
+_GRAMS5 = (
+    "list_transform("
+    "generate_series(0, greatest(len(string_split(text, ' ')) - 5, 0)), "
+    "i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' '))"
+)
+
+
+def _decontam_oracle() -> str:
+    """Mirror of decontam.with_injected_contamination + decontam.decontaminate
+    (n=5, bench = doc_id%17==3, snippet = first 10 tokens of doc 3,
+    inject into doc_id%10==7, keep iff frac <= 0.05)."""
+    return f"""
+WITH snip AS (
+  SELECT array_to_string(string_split(text, ' ')[1:10], ' ') AS s
+  FROM documents WHERE doc_id = 3
+), d2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 7 AND doc_id % 17 != 3
+              THEN text || ' ' || (SELECT s FROM snip) ELSE text END AS text
+  FROM documents
+), bench AS (
+  SELECT DISTINCT unnest({_GRAMS5}) AS gram FROM d2 WHERE doc_id % 17 = 3
+), pos AS (
+  SELECT doc_id, unnest({_GRAMS5}) AS gram FROM d2 WHERE doc_id % 17 != 3
+)
+SELECT p.doc_id, count(*) AS n_grams, count(b.gram) AS n_contaminated,
+       {_r4('count(b.gram) / count(*)')} AS contamination_frac,
+       (count(b.gram) / count(*) <= 0.05) AS keep
+FROM pos p LEFT JOIN bench b USING (gram)
+GROUP BY p.doc_id
+"""
+
+
+def _chunk_dedup_oracle(chunk: int = 16) -> str:
+    """Mirror of decontam.chunk_dedup over the dup-injected corpus: global
+    keep-first (min (doc_id, idx)) per distinct chunk string, reassembled."""
+    return f"""
+WITH dup AS ({_DUP_DOCS}),
+base AS (SELECT doc_id, string_split(text, ' ') AS t FROM dup),
+chunks AS (
+  SELECT doc_id, idx,
+         array_to_string(t[idx*{chunk}+1 : idx*{chunk}+{chunk}], ' ') AS chunk
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(0, cast(ceil(len(t)/{chunk}.0) AS int) - 1)) AS idx
+        FROM base)
+),
+ranked AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+  FROM chunks
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         array_to_string(list(chunk ORDER BY idx), ' ') AS text_dedup
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT b.doc_id, cast(ceil(len(b.t)/{chunk}.0) AS bigint) AS n_chunks,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.text_dedup, '') AS text_dedup
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _repetition_oracle(n: int = 2) -> str:
     """Mirror of textstats.repetition_stats: explode token n-grams, count
     per (doc, gram), aggregate top/dup fractions."""
@@ -1240,6 +1362,9 @@ SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keep_id,
 FROM dup GROUP BY 1 HAVING count(*) > 1
 """,
         "text_repetition": _repetition_oracle(),
+        "text_gopher_rules": _gopher_oracle(),
+        "decontaminate": _decontam_oracle(),
+        "chunk_dedup": _chunk_dedup_oracle(),
         "pii_scrub": _pii_oracle(),
         "corpus_sample": _corpus_sample_oracle(),
         "corpus_pack": _corpus_pack_oracle(),

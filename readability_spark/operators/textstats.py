@@ -140,6 +140,67 @@ def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
     )
 
 
+# Gopher's required-word list (Rae et al. 2021 §A1.1): a doc must contain
+# at least 2 of these to pass the stopword rule.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, MassiveWeb §A1.1),
+    the rule set most LLM crawl pipelines start from. Per doc:
+
+    - word count in [50, 100000];
+    - mean word length in [3, 10];
+    - >= 80% of words contain at least one alphabetic character;
+    - symbol-to-word ratio (# and ellipsis) <= 0.1;
+    - at least 2 hits from Gopher's 8 required stopwords;
+
+    and ``gopher_pass`` = all of the above. Line-based rules (bullet/ellipsis
+    line fractions) are omitted: the corpus schema's ``text`` is a single
+    whitespace-normalized line, so no line structure survives extraction.
+
+    One codegen projection, no shuffle, no Python.
+    """
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    mean_len = (F.length("text") - (n - 1)) / n
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    # symbol occurrences: '#', ASCII '...' (3 chars per hit), unicode '…'
+    ln = F.length("text")
+    symbols = (
+        (ln - F.length(F.replace(F.col("text"), F.lit("#"))))
+        + (ln - F.length(F.replace(F.col("text"), F.lit("...")))) / 3
+        + (ln - F.length(F.replace(F.col("text"), F.lit("…"))))
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array_distinct(toks),
+            lambda w: F.array_contains(
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]), w
+            ),
+        )
+    )
+    ok_words = (n >= 50) & (n <= 100000)
+    ok_mean_len = (mean_len >= 3) & (mean_len <= 10)
+    ok_alpha = alpha_words / n >= 0.8
+    ok_symbol = symbols / n <= 0.1
+    ok_stop = stop_hits >= 2
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        round4(mean_len).alias("mean_word_len"),
+        round4(alpha_words / n).alias("alpha_word_frac"),
+        round4(symbols / n).alias("symbol_ratio"),
+        stop_hits.alias("stopword_hits"),
+        ok_words.alias("ok_words"),
+        ok_mean_len.alias("ok_mean_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_symbol.alias("ok_symbol"),
+        ok_stop.alias("ok_stop"),
+        (ok_words & ok_mean_len & ok_alpha & ok_symbol & ok_stop).alias("gopher_pass"),
+    )
+
+
 def fingerprint(docs: DataFrame, shingle: int = 3) -> DataFrame:
     """Document fingerprints: exact md5 plus a shingle fingerprint (min md5
     over token 3-grams — order-robust near-dup key, winnowing-style)."""

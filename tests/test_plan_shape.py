@@ -195,3 +195,34 @@ def test_repetition_plan_partial_aggregates(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = plan_of(repetition_stats(docs))
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    """decontaminate: the benchmark n-gram set is the small side (eval suites
+    are ~10^6 grams vs 10^12 corpus grams) — it must broadcast; corpus grams
+    must never shuffle as strings (the only Exchange carries the per-doc
+    aggregation), and no Window/sort-merge join may appear."""
+    from readability_spark.operators.decontam import (
+        decontaminate,
+        with_injected_contamination,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(decontaminate(with_injected_contamination(docs)))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    # partial+final pair for the contamination count
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_chunk_dedup_plan_skew_free_keeper_election(spark):
+    """chunk_dedup: keeper election is min(struct) under groupBy(hash) —
+    map-side combined HashAggregates, NO Window over the chunk hash (a chunk
+    repeated on every page must not funnel through one task)."""
+    from readability_spark.operators.decontam import chunk_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(chunk_dedup(docs))
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
