@@ -103,6 +103,9 @@ def main() -> int:
         "corpus_pack",
         "text_quality",
         "text_repetition",
+        "text_gopher_rules",
+        "decontaminate",
+        "chunk_dedup",
         "pii_scrub",
         "text_fingerprints",
         "windowed_event_counts",
