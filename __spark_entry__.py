@@ -243,6 +243,30 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.urltools import blocklist_filter, host_of
+
+    urls = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"), F.lit(".html"),
+        ).alias("url")
+    )
+    # deterministic stand-in blocklist: hosts whose md5 starts 0-3 (~25%)
+    blocked = (
+        urls.select(host_of(F.col("url")).alias("domain"))
+        .distinct()
+        .filter(F.substring(F.md5("domain"), 1, 1).isin("0", "1", "2", "3"))
+    )
+    return blocklist_filter(urls, blocked, r"/doc/[0-9]*7\.html$")
+
+
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.textstats import length_quantiles
+
+    return length_quantiles(_docs(spark, sf_dir))
+
+
 def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.textstats import gopher_rules
 
@@ -599,6 +623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _q_fingerprints,
         "text_repetition": _q_repetition,
         "text_gopher_rules": _q_gopher_rules,
+        "length_quantiles": _q_length_quantiles,
+        "url_blocklist": _q_url_blocklist,
         "decontaminate": _q_decontaminate,
         "chunk_dedup": _q_chunk_dedup,
         "pii_scrub": _q_pii_scrub,
@@ -993,6 +1019,52 @@ FROM p
 """
 
 
+def _blocklist_oracle() -> str:
+    """Mirror of urltools.blocklist_filter over the synthetic url table:
+    blocklist = hosts with md5 first hex 0-3, path rule = ids ending in 7."""
+    nlab = "len(string_split(host, '.'))"
+    return f"""
+WITH u AS (
+  SELECT 'http://' || source || '.example.com/doc/' || doc_id || '.html' AS url,
+         source || '.example.com' AS host,
+         '/doc/' || doc_id || '.html' AS path
+  FROM documents
+), bl AS (
+  SELECT DISTINCT host AS domain FROM u
+  WHERE substr(md5(host), 1, 1) IN ('0', '1', '2', '3')
+), suf AS (
+  SELECT url, host, path,
+         unnest(list_transform(generate_series(1, {nlab}),
+                i -> array_to_string(string_split(host, '.')[i:{nlab}], '.'))) AS s
+  FROM u
+), folded AS (
+  SELECT url, host, path,
+         max(CASE WHEN b.domain IS NOT NULL THEN 1 END) AS hit
+  FROM suf LEFT JOIN bl b ON suf.s = b.domain
+  GROUP BY url, host, path
+)
+SELECT url, host,
+       CASE WHEN hit IS NOT NULL THEN 'blocked_host'
+            WHEN regexp_matches(path, '/doc/[0-9]*7\\.html$') THEN 'blocked_path'
+       END AS reason,
+       (hit IS NULL AND NOT regexp_matches(path, '/doc/[0-9]*7\\.html$')) AS keep
+FROM folded
+"""
+
+
+def _quantiles_oracle() -> str:
+    """Mirror of textstats.length_quantiles: DuckDB quantile_cont uses the
+    same linear interpolation as Spark's exact percentile aggregate."""
+    cols = ", ".join(
+        f"{_r4(f'quantile_cont(n_chars, {p})')} AS p{int(p * 100)}"
+        for p in (0.25, 0.5, 0.75, 0.95, 0.99)
+    )
+    return f"""
+SELECT lang, count(*) AS n_docs, {cols}
+FROM documents GROUP BY lang
+"""
+
+
 def _gopher_oracle() -> str:
     """Mirror of textstats.gopher_rules (Gopher/MassiveWeb §A1.1 rules)."""
     stop = ", ".join(f"'{w}'" for w in
@@ -1363,6 +1435,8 @@ FROM dup GROUP BY 1 HAVING count(*) > 1
 """,
         "text_repetition": _repetition_oracle(),
         "text_gopher_rules": _gopher_oracle(),
+        "length_quantiles": _quantiles_oracle(),
+        "url_blocklist": _blocklist_oracle(),
         "decontaminate": _decontam_oracle(),
         "chunk_dedup": _chunk_dedup_oracle(),
         "pii_scrub": _pii_oracle(),

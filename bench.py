@@ -95,6 +95,7 @@ def main() -> int:
         "dedup_simhash",
         "dedup_simhash64_near_pairs",
         "url_canonical_dedup",
+        "url_blocklist",
         "tokenfinder_paths",
         "ann_cosine_topk",
         "ann_lsh_topk",

@@ -140,6 +140,40 @@ def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
     )
 
 
+QUANTILES = (0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+def length_quantiles(docs: DataFrame, exact: bool = True) -> DataFrame:
+    """Per-language document-length distribution (p25/p50/p75/p95/p99 of
+    ``n_chars``) — the corpus-report numbers a pipeline publishes per crawl
+    snapshot.
+
+    ``exact=True`` uses Spark's exact ``percentile`` aggregate (linear
+    interpolation — value-identical to DuckDB ``quantile_cont``, which is
+    what makes the oracle exact). Exact percentile buffers each group's
+    values on the agg side, so at 10^12 rows per language switch
+    ``exact=False``: ``approx_percentile`` (t-digest, bounded memory,
+    map-side combined) — same schema, rank error <= 1/accuracy.
+    """
+    if exact:
+        pcts = F.percentile("n_chars", F.array(*[F.lit(p) for p in QUANTILES]))
+    else:
+        pcts = F.approx_percentile(
+            F.col("n_chars").cast("double"), F.array(*[F.lit(p) for p in QUANTILES]), F.lit(10000)
+        )
+    agg = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), pcts.alias("p")
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        *[
+            round4(F.col("p")[i]).alias(f"p{int(p * 100)}")
+            for i, p in enumerate(QUANTILES)
+        ],
+    )
+
+
 # Gopher's required-word list (Rae et al. 2021 §A1.1): a doc must contain
 # at least 2 of these to pass the stopword rule.
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

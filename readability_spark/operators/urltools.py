@@ -61,6 +61,71 @@ def canonical_dedup_groups(pages: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def path_of(col) -> Column:
+    """Path portion of the url ('' when absent)."""
+    return F.regexp_extract(col, r"^[a-zA-Z]+://[^/?#]+(/[^?#]*)", 1)
+
+
+def blocklist_filter(
+    pages: DataFrame,
+    blocked_domains: DataFrame,
+    blocked_path_regex: "str | None" = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """UT1-style crawl filtering: drop urls whose host falls under a blocked
+    domain (suffix match — blocking ``example.com`` blocks ``a.b.example.com``)
+    or whose path matches a keyword regex.
+
+    ``blocked_domains`` is a one-column (``domain``) DataFrame. Real
+    blocklists are ~10^6 domains vs 10^12 urls, so the match must be an
+    equi-join on the small side: each host expands to its dot-suffix chain
+    (bounded by label count, <= ~6 rows) and joins the broadcast blocklist on
+    exact suffix — never a non-equi ``endswith`` scan. The path rule is one
+    codegen regex. Output keeps every input url with ``reason``
+    ('blocked_host' > 'blocked_path' > NULL) and ``keep``.
+    """
+    host = host_of(F.col(url_col))
+    base = pages.select(F.col(url_col).alias("url"), host.alias("host"),
+                        path_of(F.col(url_col)).alias("path"))
+    labels = F.split(F.col("host"), r"\.")
+    nlab = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), nlab),
+        lambda i: F.concat_ws(".", F.slice(labels, i, nlab - i + 1)),
+    )
+    # Explode suffixes, mark via the broadcast (map-side) join, then fold
+    # back to one row per url with a map-side-combined aggregation — never a
+    # big-with-big rejoin, and the single shuffle carries <= 1 row per url
+    # per input partition after partial aggregation.
+    marked = base.select(
+        "url", "host", "path", F.explode(suffixes).alias("suffix")
+    ).join(
+        F.broadcast(
+            blocked_domains.select(
+                F.col("domain").alias("suffix"), F.lit(1).alias("_hit")
+            )
+        ),
+        "suffix",
+        "left",
+    )
+    folded = marked.groupBy("url", "host", "path").agg(
+        F.max("_hit").alias("_host_hit")
+    )
+    path_hit = (
+        F.col("path").rlike(blocked_path_regex)
+        if blocked_path_regex
+        else F.lit(False)
+    )
+    return folded.select(
+        "url",
+        "host",
+        F.when(F.col("_host_hit").isNotNull(), F.lit("blocked_host"))
+        .when(path_hit, F.lit("blocked_path"))
+        .alias("reason"),
+        (F.col("_host_hit").isNull() & ~path_hit).alias("keep"),
+    )
+
+
 def domain_stats(pages: DataFrame, url_col: str = "url", chars_col: str = "n_chars") -> DataFrame:
     """Per-host corpus stats — the lineage/metrics rollup a crawl pipeline
     reports per domain (doc counts, total/mean content size)."""

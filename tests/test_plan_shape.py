@@ -226,3 +226,20 @@ def test_chunk_dedup_plan_skew_free_keeper_election(spark):
     plan = plan_of(chunk_dedup(docs))
     assert "Window" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_blocklist_plan_broadcast_no_big_rejoin(spark):
+    """blocklist_filter: the domain list must broadcast (10^6 domains vs
+    10^12 urls) and the fold-back must be a map-side-combined aggregation,
+    not a big-with-big url rejoin — no SortMergeJoin anywhere."""
+    from readability_spark.operators.urltools import blocklist_filter
+
+    urls = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.com/d/"), F.col("doc_id").cast("string")).alias("url")
+    )
+    blocked = spark.createDataFrame([("example.com",)], "domain string")
+    plan = plan_of(blocklist_filter(urls, blocked, r"/d/1"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan

@@ -59,3 +59,60 @@ def test_domain_stats(spark):
     stats = {r["host"]: r for r in domain_stats(df).collect()}
     assert stats["a.com"]["n_docs"] == 2 and stats["a.com"]["total_chars"] == 30
     assert stats["b.com"]["n_docs"] == 1
+
+
+def test_blocklist_filter_suffix_and_path(spark):
+    from readability_spark.operators.urltools import blocklist_filter
+
+    urls = spark.createDataFrame(
+        [
+            ("http://ads.example.com/page",),      # subdomain of blocked domain
+            ("http://example.com/page",),          # blocked domain exactly
+            ("http://sub.deep.example.com/x",),    # deeper subdomain
+            ("http://fine.org/casino/slots",),     # path keyword
+            ("http://fine.org/news/today",),       # clean
+            ("http://notexample.com/x",),          # suffix must match on label
+        ],
+        "url string",
+    )
+    blocked = spark.createDataFrame([("example.com",)], "domain string")
+    out = {r.url: r for r in
+           blocklist_filter(urls, blocked, r"/(casino|poker|warez)/").collect()}
+    assert out["http://ads.example.com/page"].reason == "blocked_host"
+    assert out["http://example.com/page"].reason == "blocked_host"
+    assert out["http://sub.deep.example.com/x"].reason == "blocked_host"
+    assert out["http://fine.org/casino/slots"].reason == "blocked_path"
+    assert out["http://fine.org/news/today"].reason is None
+    assert out["http://fine.org/news/today"].keep
+    # 'notexample.com' does NOT end with '.example.com' -> not blocked
+    assert out["http://notexample.com/x"].reason is None
+    assert sum(1 for r in out.values() if not r.keep) == 4
+
+
+def test_blocklist_host_beats_path(spark):
+    from readability_spark.operators.urltools import blocklist_filter
+
+    urls = spark.createDataFrame([("http://bad.com/casino/x",)], "url string")
+    blocked = spark.createDataFrame([("bad.com",)], "domain string")
+    r = blocklist_filter(urls, blocked, r"/casino/").collect()[0]
+    assert r.reason == "blocked_host" and not r.keep
+
+
+def test_length_quantiles_exact_and_approx_schema(spark):
+    from readability_spark.operators.textstats import length_quantiles
+
+    df = spark.createDataFrame(
+        [("en", i) for i in range(1, 101)] + [("es", 10), ("es", 20)],
+        "lang string, n_chars int",
+    )
+    rows = {r.lang: r for r in length_quantiles(df).collect()}
+    # linear interpolation over 1..100: p25 at rank (99*.25)=24.75 -> 25.75
+    assert rows["en"].n_docs == 100
+    assert rows["en"].p25 == 25.75
+    assert rows["en"].p50 == 50.5
+    assert rows["en"].p99 == 99.01
+    assert rows["es"].p50 == 15.0
+    approx = length_quantiles(df, exact=False)
+    assert approx.columns == ["lang", "n_docs", "p25", "p50", "p75", "p95", "p99"]
+    arows = {r.lang: r for r in approx.collect()}
+    assert abs(arows["en"].p50 - 50.5) <= 1.0
