@@ -243,6 +243,26 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.sources.robots import (
+        parse_robots,
+        robots_filter,
+        synthesize_robots,
+    )
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("doc_id") % 5 == 4, F.concat(F.lit("/private/"), did, F.lit(".html")))
+        .when(F.col("doc_id") % 7 == 0, F.concat(F.lit("/archive/"), did, F.lit(".html")))
+        .otherwise(F.concat(F.lit("/doc/"), did, F.lit(".html")))
+    )
+    urls = docs.select(
+        F.concat(F.lit("http://"), F.col("source"), F.lit(".example.com"), path).alias("url")
+    )
+    return robots_filter(urls, parse_robots(synthesize_robots(docs)))
+
+
 def _q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.urltools import blocklist_filter, host_of
 
@@ -625,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_rules": _q_gopher_rules,
         "length_quantiles": _q_length_quantiles,
         "url_blocklist": _q_url_blocklist,
+        "robots_filter": _q_robots_filter,
         "decontaminate": _q_decontaminate,
         "chunk_dedup": _q_chunk_dedup,
         "pii_scrub": _q_pii_scrub,
@@ -1016,6 +1037,82 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{IPV4_RE}'))::int AS n_ips,
        {clean} AS clean_text
 FROM p
+"""
+
+
+def _robots_oracle() -> str:
+    """Mirror of sources/robots.py: synthesize → parse → RFC 9309 verdict
+    (longest match, Allow wins ties, no match/no group == allowed)."""
+    agent_re = r"(?i)^user-agent:[ \t]*([^ \t#]+)"
+    rule_re = r"(?i)^(allow|disallow):[ \t]*([^ \t#]*)"
+    return f"""
+WITH hosts AS (SELECT DISTINCT source || '.example.com' AS host FROM documents),
+txt AS (
+  SELECT host, concat_ws(chr(10),
+    '# synthetic robots for ' || host,
+    CASE WHEN substr(md5(host),1,1) IN ('0','1')
+         THEN 'User-agent: trainingbot' || chr(10) || 'Disallow: /' END,
+    'User-agent: *',
+    'Disallow: /private/',
+    CASE WHEN substr(md5(host),1,1) IN ('0','1','2','3','4','5','6','7')
+         THEN 'Disallow: /archive/' END,
+    CASE WHEN substr(md5(host),1,1) IN ('0','1','2','3')
+         THEN 'Allow: /archive/2' END,
+    CASE WHEN substr(md5(host),1,1) IN ('4','5') THEN 'Crawl-delay: 2' END,
+    'Disallow:') AS robots_txt
+  FROM hosts
+),
+lines AS (
+  SELECT host, u['ln'] AS ln, trim(regexp_replace(u['line'], '#.*$', '')) AS line
+  FROM (SELECT host,
+               unnest(list_transform(string_split(robots_txt, chr(10)),
+                      (x, i) -> struct_pack(ln := i, line := x))) AS u
+        FROM txt)
+),
+tagged AS (
+  SELECT host, ln,
+         nullif(lower(regexp_extract(line, '{agent_re}', 1)), '') AS agent_decl,
+         lower(regexp_extract(line, '{rule_re}', 1)) AS directive,
+         regexp_extract(line, '{rule_re}', 2) AS prefix
+  FROM lines
+),
+rules AS (
+  SELECT host, agent, directive, prefix FROM (
+    SELECT host, directive, prefix,
+           last_value(agent_decl IGNORE NULLS) OVER
+             (PARTITION BY host ORDER BY ln
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS agent
+    FROM tagged)
+  WHERE directive != '' AND agent IS NOT NULL
+),
+own AS (
+  SELECT host, max(CASE WHEN agent = 'trainingbot' THEN 1 ELSE 0 END) AS o
+  FROM rules GROUP BY host
+),
+chosen AS (
+  SELECT r.host, directive, prefix FROM rules r JOIN own USING (host)
+  WHERE (o = 1 AND agent = 'trainingbot') OR (o = 0 AND agent = '*')
+),
+urls AS (
+  SELECT 'http://' || source || '.example.com' || p AS url,
+         source || '.example.com' AS host, p AS path
+  FROM (SELECT source,
+               CASE WHEN doc_id % 5 = 4 THEN '/private/' || doc_id || '.html'
+                    WHEN doc_id % 7 = 0 THEN '/archive/' || doc_id || '.html'
+                    ELSE '/doc/' || doc_id || '.html' END AS p
+        FROM documents)
+),
+j AS (
+  SELECT u.url, u.host,
+         CASE WHEN c.prefix != '' AND starts_with(u.path, c.prefix)
+              THEN struct_pack(ln := length(c.prefix),
+                               allow := CASE WHEN c.directive = 'allow' THEN 1 ELSE 0 END,
+                               prefix := c.prefix) END AS m
+  FROM urls u LEFT JOIN chosen c USING (host)
+)
+SELECT url, host, max(m)['prefix'] AS matched_prefix,
+       (coalesce(max(m)['allow'], 1) = 1) AS allowed
+FROM j GROUP BY url, host
 """
 
 
@@ -1437,6 +1534,7 @@ FROM dup GROUP BY 1 HAVING count(*) > 1
         "text_gopher_rules": _gopher_oracle(),
         "length_quantiles": _quantiles_oracle(),
         "url_blocklist": _blocklist_oracle(),
+        "robots_filter": _robots_oracle(),
         "decontaminate": _decontam_oracle(),
         "chunk_dedup": _chunk_dedup_oracle(),
         "pii_scrub": _pii_oracle(),
