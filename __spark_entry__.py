@@ -243,6 +243,26 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.snapshots import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 1).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 2, F.concat("text", F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return snapshot_diff(old, new)
+
+
+def _q_domain_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.snapshots import domain_top_k
+
+    return domain_top_k(_docs(spark, sf_dir), k=10)
+
+
 def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.sources.robots import (
         parse_robots,
@@ -646,6 +666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _q_length_quantiles,
         "url_blocklist": _q_url_blocklist,
         "robots_filter": _q_robots_filter,
+        "snapshot_diff": _q_snapshot_diff,
+        "domain_top_k": _q_domain_top_k,
         "decontaminate": _q_decontaminate,
         "chunk_dedup": _q_chunk_dedup,
         "pii_scrub": _q_pii_scrub,
@@ -1535,6 +1557,24 @@ FROM dup GROUP BY 1 HAVING count(*) > 1
         "length_quantiles": _quantiles_oracle(),
         "url_blocklist": _blocklist_oracle(),
         "robots_filter": _robots_oracle(),
+        "snapshot_diff": """
+WITH o AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 != 0),
+n AS (SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 2 THEN text || ' v2' ELSE text END) AS h
+      FROM documents WHERE doc_id % 5 != 1)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.h IS NULL THEN 'added'
+            WHEN n.h IS NULL THEN 'removed'
+            WHEN o.h != n.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+""",
+        "domain_top_k": """
+SELECT source AS host, doc_id, n_chars, rn::int AS rk FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 10
+""",
         "decontaminate": _decontam_oracle(),
         "chunk_dedup": _chunk_dedup_oracle(),
         "pii_scrub": _pii_oracle(),

@@ -1,0 +1,72 @@
+"""Crawl-snapshot management: diff between two crawls, per-domain caps.
+
+- :func:`snapshot_diff` — the monthly-recrawl primitive: classify every url
+  as added / removed / changed / unchanged between two snapshots. The
+  content columns are hashed *before* the join, so the one shuffle carries
+  (key, 32-byte md5) — never document bodies — and the big-big equi-join is
+  exactly the shape AQE handles (sort-merge + skew split) at any scale.
+
+- :func:`domain_top_k` — anti-domination cap: keep at most k docs per host,
+  best-first. The naive plan (one window over host) funnels a giant host's
+  every row through one task's sort; this implementation is the salted
+  two-phase top-k: rank within (host, salt) first — bounded partitions —
+  then rank the <= k×n_salts survivors per host. Both phases are windows,
+  but the second one's partitions are provably <= k×n_salts rows, so no
+  host, however large, sorts more than that in one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+    content: str = "text",
+) -> DataFrame:
+    """(key, status) for every key in either snapshot; status in
+    added | removed | changed | unchanged (content compared by md5)."""
+    o = old.select(F.col(key), F.md5(content).alias("_h_old"))
+    n = new.select(F.col(key), F.md5(content).alias("_h_new"))
+    joined = o.join(n, key, "full_outer")
+    return joined.select(
+        key,
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def domain_top_k(
+    docs: DataFrame,
+    k: int,
+    host_col: str = "source",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Keep the k best docs per host (order: n_chars DESC, doc_id ASC —
+    fully deterministic), returning (host, doc_id, n_chars, rk).
+
+    Two-phase so a 10^9-page host never sorts in one task: phase 1 ranks
+    within (host, doc_id % n_salts) and keeps k per salt; phase 2 ranks the
+    <= k * n_salts survivors per host. Correct because a row outside its
+    salt group's top-k cannot be in the host's top-k.
+    """
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    salt = (F.col("doc_id") % n_salts).alias("_salt")
+    w1 = Window.partitionBy(F.col(host_col), F.col("_salt")).orderBy(*order)
+    phase1 = (
+        docs.select(host_col, "doc_id", "n_chars", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+    )
+    w2 = Window.partitionBy(host_col).orderBy(*order)
+    return (
+        phase1.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select(F.col(host_col).alias("host"), "doc_id", "n_chars", "rk")
+    )
