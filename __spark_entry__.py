@@ -243,6 +243,34 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.urltools import host_of
+    from readability_spark.plans.pipeline import build_training_corpus
+    from readability_spark.sources.robots import parse_robots, synthesize_robots
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("doc_id") % 5 == 4, F.concat(F.lit("/private/"), did, F.lit(".html")))
+        .when(F.col("doc_id") % 7 == 0, F.concat(F.lit("/archive/"), did, F.lit(".html")))
+        .otherwise(F.concat(F.lit("/doc/"), did, F.lit(".html")))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://"), F.col("source"), F.lit(".example.com"), path).alias("url"),
+    )
+    rules = parse_robots(synthesize_robots(docs))
+    blocked = (
+        urls.select(host_of(F.col("url")).alias("domain"))
+        .distinct()
+        .filter(F.substring(F.md5("domain"), 1, 1).isin("0", "1", "2", "3"))
+    )
+    return build_training_corpus(
+        docs, urls, rules, blocked, r"/doc/[0-9]*7\.html$",
+        gopher_stopwords=_SYNTH_STOPWORDS,
+    )
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.snapshots import snapshot_diff
 
@@ -307,10 +335,17 @@ def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_quantiles(_docs(spark, sf_dir))
 
 
+# The synthetic corpus' 31-word vocabulary contains only 'the' and 'a' as
+# function words, so Gopher's literal 8-word required list can never hit
+# twice; the oracle-checked queries substitute the corpus' own function words
+# (the operator's default stays the true Gopher list).
+_SYNTH_STOPWORDS = ("the", "a")
+
+
 def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.textstats import gopher_rules
 
-    return gopher_rules(_docs(spark, sf_dir))
+    return gopher_rules(_docs(spark, sf_dir), stopwords=_SYNTH_STOPWORDS)
 
 
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": _q_url_blocklist,
         "robots_filter": _q_robots_filter,
         "snapshot_diff": _q_snapshot_diff,
+        "corpus_build": _q_corpus_build,
         "domain_top_k": _q_domain_top_k,
         "decontaminate": _q_decontaminate,
         "chunk_dedup": _q_chunk_dedup,
@@ -1138,6 +1174,55 @@ FROM j GROUP BY url, host
 """
 
 
+def _corpus_build_oracle() -> str:
+    """Mirror of pipeline.build_training_corpus: robots ∩ blocklist ∩
+    gopher ∩ decontamination ∩ exact-dedup keep-first, composed from the
+    per-operator oracles as subqueries over the same url construction."""
+    nlab = "len(string_split(host, '.'))"
+    return f"""
+WITH urls AS (
+  SELECT doc_id, 'http://' || source || '.example.com' || p AS url,
+         source || '.example.com' AS host, p AS path
+  FROM (SELECT doc_id, source,
+               CASE WHEN doc_id % 5 = 4 THEN '/private/' || doc_id || '.html'
+                    WHEN doc_id % 7 = 0 THEN '/archive/' || doc_id || '.html'
+                    ELSE '/doc/' || doc_id || '.html' END AS p
+        FROM documents)
+),
+robots_ok AS (
+  SELECT u.doc_id FROM urls u JOIN ({_robots_oracle()}) rv ON u.url = rv.url
+  WHERE rv.allowed
+),
+bl AS (
+  SELECT DISTINCT host AS domain FROM urls
+  WHERE substr(md5(host), 1, 1) IN ('0', '1', '2', '3')
+),
+host_hit AS (
+  SELECT DISTINCT s.url FROM (
+    SELECT url, unnest(list_transform(generate_series(1, {nlab}),
+           i -> array_to_string(string_split(host, '.')[i:{nlab}], '.'))) AS sfx
+    FROM urls) s JOIN bl ON s.sfx = bl.domain
+),
+block_ok AS (
+  SELECT u.doc_id FROM urls u LEFT JOIN host_hit h ON u.url = h.url
+  WHERE h.url IS NULL AND NOT regexp_matches(u.path, '/doc/[0-9]*7\\.html$')
+),
+gopher_ok AS (
+  SELECT doc_id, n_words FROM ({_gopher_oracle()}) WHERE gopher_pass
+),
+decon_ok AS (
+  SELECT doc_id, contamination_frac FROM ({_decontam_oracle(inject=False)}) WHERE keep
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT k.doc_id, g.n_words, d.contamination_frac
+FROM keep k
+JOIN robots_ok r ON k.doc_id = r.doc_id
+JOIN block_ok b ON k.doc_id = b.doc_id
+JOIN gopher_ok g ON k.doc_id = g.doc_id
+JOIN decon_ok d ON k.doc_id = d.doc_id
+"""
+
+
 def _blocklist_oracle() -> str:
     """Mirror of urltools.blocklist_filter over the synthetic url table:
     blocklist = hosts with md5 first hex 0-3, path rule = ids ending in 7."""
@@ -1184,10 +1269,10 @@ FROM documents GROUP BY lang
 """
 
 
-def _gopher_oracle() -> str:
-    """Mirror of textstats.gopher_rules (Gopher/MassiveWeb §A1.1 rules)."""
-    stop = ", ".join(f"'{w}'" for w in
-                     ("the", "be", "to", "of", "and", "that", "have", "with"))
+def _gopher_oracle(stopwords: tuple = ("the", "a")) -> str:
+    """Mirror of textstats.gopher_rules (Gopher/MassiveWeb §A1.1 rules) with
+    the corpus-matched stopword list the queries use."""
+    stop = ", ".join(f"'{w}'" for w in stopwords)
     return f"""
 WITH m AS (
   SELECT doc_id,
@@ -1228,11 +1313,12 @@ _GRAMS5 = (
 )
 
 
-def _decontam_oracle() -> str:
-    """Mirror of decontam.with_injected_contamination + decontam.decontaminate
-    (n=5, bench = doc_id%17==3, snippet = first 10 tokens of doc 3,
-    inject into doc_id%10==7, keep iff frac <= 0.05)."""
-    return f"""
+def _decontam_oracle(inject: bool = True) -> str:
+    """Mirror of decontam.decontaminate (n=5, bench = doc_id%17==3, keep iff
+    frac <= 0.05); with ``inject``, also mirrors with_injected_contamination
+    (snippet = first 10 tokens of doc 3 appended to doc_id%10==7)."""
+    if inject:
+        d2 = """
 WITH snip AS (
   SELECT array_to_string(string_split(text, ' ')[1:10], ' ') AS s
   FROM documents WHERE doc_id = 3
@@ -1241,7 +1327,11 @@ WITH snip AS (
          CASE WHEN doc_id % 10 = 7 AND doc_id % 17 != 3
               THEN text || ' ' || (SELECT s FROM snip) ELSE text END AS text
   FROM documents
-), bench AS (
+)"""
+    else:
+        d2 = "WITH d2 AS (SELECT doc_id, text FROM documents)"
+    return f"""
+{d2}, bench AS (
   SELECT DISTINCT unnest({_GRAMS5}) AS gram FROM d2 WHERE doc_id % 17 = 3
 ), pos AS (
   SELECT doc_id, unnest({_GRAMS5}) AS gram FROM d2 WHERE doc_id % 17 != 3
@@ -1557,6 +1647,7 @@ FROM dup GROUP BY 1 HAVING count(*) > 1
         "length_quantiles": _quantiles_oracle(),
         "url_blocklist": _blocklist_oracle(),
         "robots_filter": _robots_oracle(),
+        "corpus_build": _corpus_build_oracle(),
         "snapshot_diff": """
 WITH o AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 != 0),
 n AS (SELECT doc_id,

@@ -102,6 +102,7 @@ def main() -> int:
         "ann_ivf_topk",
         "dedup_clusters",
         "corpus_pack",
+        "corpus_build",
         "text_quality",
         "text_repetition",
         "text_gopher_rules",

@@ -179,7 +179,11 @@ def length_quantiles(docs: DataFrame, exact: bool = True) -> DataFrame:
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_rules(docs: DataFrame) -> DataFrame:
+def gopher_rules(
+    docs: DataFrame,
+    stopwords: tuple = GOPHER_STOPWORDS,
+    min_stop_hits: int = 2,
+) -> DataFrame:
     """Gopher quality-filter rules (Rae et al. 2021, MassiveWeb §A1.1),
     the rule set most LLM crawl pipelines start from. Per doc:
 
@@ -187,7 +191,8 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     - mean word length in [3, 10];
     - >= 80% of words contain at least one alphabetic character;
     - symbol-to-word ratio (# and ellipsis) <= 0.1;
-    - at least 2 hits from Gopher's 8 required stopwords;
+    - at least ``min_stop_hits`` distinct hits from ``stopwords``
+      (default: Gopher's 8 required words);
 
     and ``gopher_pass`` = all of the above. Line-based rules (bullet/ellipsis
     line fractions) are omitted: the corpus schema's ``text`` is a single
@@ -210,7 +215,7 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
         F.filter(
             F.array_distinct(toks),
             lambda w: F.array_contains(
-                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]), w
+                F.array(*[F.lit(s) for s in stopwords]), w
             ),
         )
     )
@@ -218,7 +223,7 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     ok_mean_len = (mean_len >= 3) & (mean_len <= 10)
     ok_alpha = alpha_words / n >= 0.8
     ok_symbol = symbols / n <= 0.1
-    ok_stop = stop_hits >= 2
+    ok_stop = stop_hits >= min_stop_hits
     return docs.select(
         "doc_id",
         n.alias("n_words"),

@@ -170,6 +170,67 @@ def select_training_corpus(
     )
 
 
+def build_training_corpus(
+    docs: "DataFrame",
+    urls: "DataFrame",
+    robots_rules: "DataFrame",
+    blocked_domains: "DataFrame",
+    blocked_path_regex: str = None,
+    agent: str = "trainingbot",
+    gopher_stopwords: tuple = None,
+):
+    """The full web-pipeline composite: a doc survives iff
+
+    1. its url is robots-allowed for ``agent`` (RFC 9309 verdict);
+    2. its url passes the domain/path blocklist;
+    3. it passes the Gopher quality rules;
+    4. it is not benchmark-contaminated (and is not itself eval data —
+       ``decontaminate`` excludes the benchmark split from training);
+    5. it is the keep-first representative of its exact-dup group.
+
+    ``urls`` is (doc_id, url). Every verdict is computed independently and
+    intersected through doc_id-only joins — each branch shuffles slim
+    (id, scalar) rows, the url string appears in exactly two joins (the
+    verdict→id mappings, where it is the natural crawl key), and Catalyst
+    shares the docs scan across branches. Returns
+    (doc_id, n_words, contamination_frac).
+    """
+    from readability_spark.operators.decontam import decontaminate
+    from readability_spark.operators.dedup import dedup_exact
+    from readability_spark.operators.textstats import gopher_rules
+    from readability_spark.operators.urltools import blocklist_filter
+    from readability_spark.sources.robots import robots_filter
+
+    just_urls = urls.select("url")
+    robots_ok = (
+        robots_filter(just_urls, robots_rules, agent=agent)
+        .filter("allowed")
+        .join(urls, "url")
+        .select("doc_id")
+    )
+    block_ok = (
+        blocklist_filter(just_urls, blocked_domains, blocked_path_regex)
+        .filter("keep")
+        .join(urls, "url")
+        .select("doc_id")
+    )
+    gkw = {"stopwords": gopher_stopwords} if gopher_stopwords else {}
+    quality_ok = (
+        gopher_rules(docs, **gkw).filter("gopher_pass").select("doc_id", "n_words")
+    )
+    decon_ok = (
+        decontaminate(docs).filter("keep").select("doc_id", "contamination_frac")
+    )
+    dedup_ok = dedup_exact(docs).select("doc_id")
+    return (
+        dedup_ok.join(robots_ok, "doc_id")
+        .join(block_ok, "doc_id")
+        .join(quality_ok, "doc_id")
+        .join(decon_ok, "doc_id")
+        .select("doc_id", "n_words", "contamination_frac")
+    )
+
+
 def pack_by_token_budget(
     docs: "DataFrame", budget_tokens: int = 600, group_col: str = "source"
 ):

@@ -105,3 +105,19 @@ def test_gopher_rules_mixed_case_and_symbols(spark):
     assert r5.alpha_word_frac == 1.0
     # but stopword matching is exact (case-sensitive, like the oracle)
     assert r5.stopword_hits == 0
+
+
+def test_corpus_build_composite_gates(spark, docs):
+    """Every survivor of the composite passes each individual gate."""
+    import __spark_entry__ as entry
+
+    out = entry._q_corpus_build(spark, SF)
+    rows = out.collect()
+    assert rows, "composite should keep some docs"
+    ids = {r.doc_id for r in rows}
+    # benchmark (eval) docs never appear in the training corpus
+    assert all(d % 17 != 3 for d in ids)
+    # gopher word-count gate: every survivor has >= 50 words
+    assert all(r.n_words >= 50 for r in rows)
+    # contamination gate
+    assert all(r.contamination_frac <= 0.05 for r in rows)
