@@ -681,6 +681,79 @@ def _q_docs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _link_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JVM-only discovered-links table derived from documents:
+    11 source hosts, 7 target hosts, 3 path depths, 5 page slots → 105
+    distinct hrefs with dense collisions (varied n_refs, contested modal
+    anchors) even at the 500-doc gate scale."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    seg = (
+        F.when(d % 3 == 0, F.concat(F.lit("/p"), (d % 5).cast("string")))
+        .when(d % 3 == 1, F.concat(F.lit("/a/p"), (d % 5).cast("string")))
+        .otherwise(F.concat(F.lit("/a/b/p"), (d % 5).cast("string")))
+    )
+    return docs.select(
+        d.alias("doc_id"),
+        F.concat(
+            F.lit("http://h"), (d % 11).cast("string"), F.lit(".fakehost/p/"), d.cast("string")
+        ).alias("url"),
+        F.concat(F.lit("http://t"), (d % 7).cast("string"), F.lit(".fakehost"), seg).alias(
+            "href"
+        ),
+        F.concat(F.element_at(F.split("text", " "), 1), F.lit(" "), F.col("lang")).alias(
+            "anchor"
+        ),
+    )
+
+
+def _q_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text profile per link target (modal anchor, distinct
+    anchors/hosts, inlink counts) over the synthetic discovered-links table."""
+    from readability_spark.operators.links import anchor_profile
+
+    return anchor_profile(_link_table(spark, sf_dir))
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per query for three fixed corpus-vocabulary queries;
+    the oracle replays the identical Lucene-idf arithmetic in SQL (shared
+    literal expression trees, round4 floor trick, doc_id tiebreak)."""
+    from readability_spark.operators.lexsearch import bm25_topk
+
+    qdf = spark.createDataFrame(
+        [(0, "customer window join"), (1, "vector stream hash"), (2, "the slow merge")],
+        ["query_id", "query"],
+    )
+    return bm25_topk(_docs(spark, sf_dir), qdf, k=10)
+
+
+def _frontier_host_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, host_score) prior for the 7 target hosts: 1.0 + m/10."""
+    docs = _docs(spark, sf_dir)
+    m = (F.col("doc_id") % 7).cast("double")
+    return docs.select(
+        F.concat(F.lit("t"), (F.col("doc_id") % 7).cast("string"), F.lit(".fakehost")).alias(
+            "host"
+        ),
+        (F.lit(1.0) + m / F.lit(10.0)).alias("host_score"),
+    ).distinct()
+
+
+def _q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier prioritization: discovered links minus the crawled set
+    (all slot-0 hrefs — 21 of the 105 href classes), scored
+    host_score*n_refs/(1+depth), politeness-capped at 100/host via the
+    salted two-phase rank."""
+    from readability_spark.operators.frontier import prioritize_frontier
+
+    links = _link_table(spark, sf_dir)
+    crawled = links.filter(F.col("doc_id") % 5 == 0).select(F.col("href").alias("url"))
+    return prioritize_frontier(
+        links, crawled, host_scores=_frontier_host_scores(spark, sf_dir), k_per_host=100
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_articles": _q_extract_articles,
@@ -715,6 +788,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_outlinks": _q_page_outlinks,
         "host_link_graph": _q_host_link_graph,
         "link_pagerank": _q_link_pagerank,
+        "anchor_profile": _q_anchor_profile,
+        "bm25_topk": _q_bm25_topk,
+        "crawl_frontier": _q_frontier,
         "dedup_incremental_new": _q_incremental_new,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -1435,6 +1511,121 @@ SELECT {group}, doc_id, quality, n_tokens, cum_tokens FROM p WHERE cum_tokens <=
 """
 
 
+_LINKS_CTE = """
+links AS (
+  SELECT doc_id,
+         'http://h' || (doc_id % 11)::varchar || '.fakehost/p/' || doc_id::varchar AS url,
+         'http://t' || (doc_id % 7)::varchar || '.fakehost' ||
+           (CASE doc_id % 3
+              WHEN 0 THEN '/p' || (doc_id % 5)::varchar
+              WHEN 1 THEN '/a/p' || (doc_id % 5)::varchar
+              ELSE '/a/b/p' || (doc_id % 5)::varchar END) AS href,
+         string_split(text, ' ')[1] || ' ' || lang AS anchor
+  FROM documents)
+"""
+
+
+def _anchor_profile_oracle() -> str:
+    """Mirror of links.anchor_profile over the synthetic link table: modal
+    anchor (count desc, lexicographic tiebreak) + exact distinct counts."""
+    return f"""
+WITH {_LINKS_CTE},
+pa AS (SELECT href, anchor, count(*) AS n FROM links GROUP BY 1, 2),
+top AS (
+  SELECT href, anchor AS top_anchor, n AS top_anchor_n,
+         row_number() OVER (PARTITION BY href ORDER BY n DESC, anchor) AS r
+  FROM pa),
+tot AS (
+  SELECT href, count(*) AS n_links,
+         count(DISTINCT lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1))) AS n_src_hosts,
+         count(DISTINCT anchor) AS n_distinct_anchors
+  FROM links GROUP BY 1)
+SELECT t.href, t.n_links, t.n_src_hosts, t.n_distinct_anchors,
+       p.top_anchor, p.top_anchor_n
+FROM tot t JOIN top p ON t.href = p.href AND p.r = 1
+"""
+
+
+def _bm25_oracle(k: int = 10) -> str:
+    """Replays lexsearch.bm25_topk exactly: same Lucene idf, same literal
+    expression trees ((1.2 + 1.0), (1.0 - 0.75)), avgdl as explicit
+    sum/count division, round4-floor on the summed score before ranking,
+    doc_id tiebreak."""
+    return f"""
+WITH q(query_id, term) AS (VALUES
+  (0, 'customer'), (0, 'window'), (0, 'join'),
+  (1, 'vector'), (1, 'stream'), (1, 'hash'),
+  (2, 'the'), (2, 'slow'), (2, 'merge')),
+toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents),
+post AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM toks WHERE term IN (SELECT term FROM q)
+  GROUP BY 1, 2, 3),
+dfk AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+stats AS (
+  SELECT count(*)::double AS n_docs,
+         sum(len(string_split(text, ' ')))::double AS sum_dl
+  FROM documents),
+scored AS (
+  SELECT q.query_id::bigint AS query_id, p.doc_id,
+         floor(sum(
+           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (p.tf::double * (1.2 + 1.0))
+           / (p.tf::double
+              + 1.2 * ((1.0 - 0.75) + 0.75 * p.dl / (s.sum_dl / s.n_docs)))
+         ) * 10000.0 + 0.5) / 10000.0 AS score
+  FROM post p
+  JOIN dfk d ON d.term = p.term
+  JOIN q ON q.term = p.term, stats s
+  GROUP BY 1, 2)
+SELECT query_id, doc_id, score, rk FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::int AS rk
+  FROM scored)
+WHERE rk <= {k}
+"""
+
+
+def _frontier_oracle(k: int = 100) -> str:
+    """Mirror of frontier.prioritize_frontier: crawled = the slot-0 href
+    classes; priority = host_score * n_refs / (1+depth)
+    with the 1.0 + (m/10.0) host prior; single-window rank (salting in the
+    operator provably cannot change the result)."""
+    return f"""
+WITH {_LINKS_CTE},
+cand AS (
+  SELECT href, count(*) AS n_refs FROM links
+  WHERE href NOT IN (SELECT DISTINCT href FROM links WHERE doc_id % 5 = 0)
+  GROUP BY 1),
+hs AS (
+  SELECT DISTINCT 't' || (doc_id % 7)::varchar || '.fakehost' AS host,
+         1.0 + (doc_id % 7)::double / 10.0 AS host_score
+  FROM documents),
+f AS (
+  SELECT lower(regexp_extract(href, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS host,
+         href, n_refs,
+         len(list_filter(
+           string_split(
+             regexp_replace(regexp_replace(href, '^[a-zA-Z]+://[^/]*', ''),
+                            '[?#].*$', ''), '/'),
+           x -> x != ''))::int AS depth
+  FROM cand),
+f2 AS (
+  SELECT f.host, f.href, f.n_refs, f.depth,
+         floor(coalesce(hs.host_score, 1.0) * f.n_refs::double
+               / (1.0 + f.depth::double) * 10000.0 + 0.5) / 10000.0 AS priority
+  FROM f LEFT JOIN hs ON hs.host = f.host)
+SELECT host, href, n_refs, depth, priority, rk FROM (
+  SELECT host, href, n_refs, depth, priority,
+         row_number() OVER (PARTITION BY host ORDER BY priority DESC, href)::int AS rk
+  FROM f2)
+WHERE rk <= {k}
+"""
+
+
 def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
     """Mirror of graph.pagerank on the doc-derived 97-node graph: the same
     power iteration unrolled as CTE rounds r0..r{n_iter} (fixed iteration
@@ -1703,6 +1894,9 @@ SELECT 'synth.fakehost' AS src_host, 'synth.fakehost' AS dst_host,
 FROM documents
 """,
         "link_pagerank": _pagerank_oracle(),
+        "anchor_profile": _anchor_profile_oracle(),
+        "bm25_topk": _bm25_oracle(),
+        "crawl_frontier": _frontier_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_clusters": _clusters_oracle(),

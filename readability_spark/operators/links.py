@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -94,4 +94,59 @@ def host_graph(links: DataFrame, url_col: str = "url", href_col: str = "href") -
         )
         .groupBy("src_host", "dst_host")
         .agg(F.count("*").alias("n_links"))
+    )
+
+
+def anchor_profile(
+    links: DataFrame,
+    href_col: str = "href",
+    anchor_col: str = "anchor",
+    src_col: str = "url",
+) -> DataFrame:
+    """Inbound anchor-text profile per link target — the classic web-search
+    signal that the *linking* pages describe the target better than the
+    target describes itself (used for dead-page titling, spam-anchor
+    detection, and query-independent relevance priors).
+
+    Output: (href, n_links, n_src_hosts, n_distinct_anchors, top_anchor,
+    top_anchor_n) — top_anchor is the modal anchor string, ties broken
+    lexicographically.
+
+    Scale shape: the modal-anchor side pre-aggregates to (href, anchor)
+    counts first — a map-side-combined shuffle — so the ranking window
+    sorts *distinct anchors per target*, not raw inbound links (a page
+    with 10^9 identical "click here" inlinks contributes one row). The
+    totals side is one groupBy(href) with two exact count-distincts; both
+    sides land hash-partitioned on href so the final join is co-located.
+    If distinct-anchor cardinality per target is itself adversarial, cap
+    it upstream with the salted two-phase rank (snapshots.domain_top_k
+    shape).
+    """
+    from readability_spark.operators.urltools import host_of
+
+    per_anchor = (
+        links.groupBy(F.col(href_col).alias("href"), F.col(anchor_col).alias("anchor"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("href").orderBy(F.col("n").desc(), F.col("anchor").asc())
+    top = (
+        per_anchor.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("href", F.col("anchor").alias("top_anchor"), F.col("n").alias("top_anchor_n"))
+    )
+    totals = (
+        links.select(
+            F.col(href_col).alias("href"),
+            host_of(F.col(src_col)).alias("_src_host"),
+            F.col(anchor_col).alias("_anchor"),
+        )
+        .groupBy("href")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("_src_host").alias("n_src_hosts"),
+            F.countDistinct("_anchor").alias("n_distinct_anchors"),
+        )
+    )
+    return totals.join(top, "href").select(
+        "href", "n_links", "n_src_hosts", "n_distinct_anchors", "top_anchor", "top_anchor_n"
     )
