@@ -110,6 +110,9 @@ def main() -> int:
         "chunk_dedup",
         "pii_scrub",
         "text_fingerprints",
+        "bm25_topk",
+        "anchor_profile",
+        "crawl_frontier",
         "windowed_event_counts",
         "tpch_pricing_summary",
         "tpch_revenue_by_nation",

@@ -103,11 +103,16 @@ def bm25_topk(
     )
 
     # df per query term (<= |terms| rows) — broadcast back into scoring.
-    # count("tf") not count("*"): tf is never null so they're equal, but
-    # referencing tf keeps this branch's aggregate column-identical to the
-    # scoring branch, so Catalyst's ReuseExchange shares the one postings
-    # shuffle instead of re-scanning + re-exploding the corpus twice.
-    df_by_term = post.groupBy("term").agg(F.count("tf").alias("df"))
+    # count(when(tf > 0)) not count(*): tf >= 1 always so they're equal,
+    # but a plain count lets Catalyst prove tf unused and prune the inner
+    # count function, turning this branch's partial aggregate keys-only —
+    # no longer canonically equal to the scoring branch's, which kills
+    # ReuseExchange and re-scans + re-explodes the corpus. The opaque
+    # tf > 0 predicate pins tf as live, so both branches share ONE
+    # postings shuffle (asserted in tests/test_plan_shape.py).
+    df_by_term = post.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, True)).alias("df")
+    )
 
     avgdl = F.col("sum_dl") / F.col("n_docs")
     idf = F.log(

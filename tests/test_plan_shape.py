@@ -243,3 +243,68 @@ def test_blocklist_plan_broadcast_no_big_rejoin(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_bm25_plan_shares_one_postings_shuffle(spark):
+    """bm25_topk: the scoring and document-frequency branches must share ONE
+    corpus scan + explode via ReuseExchange (a plain count(tf) in the df
+    branch lets Catalyst prune the inner count function, desyncing the
+    partial aggregates and silently re-reading + re-exploding 10^12 docs).
+    With corpus_stats supplied, exactly one parquet scan remains; all query-
+    side joins broadcast. Checked with AQE off — AQE's runtime stage reuse
+    keys on the same exchange canonicalization this pins."""
+    from readability_spark.operators.lexsearch import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    qdf = spark.createDataFrame([(0, "the vector join")], "query_id long, query string")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(bm25_topk(docs, qdf, k=5))
+        assert "ReusedExchange" in plan, plan
+        assert plan.count("Scan parquet") == 2, plan  # postings + corpus stats
+        plan2 = plan_of(bm25_topk(docs, qdf, k=5, corpus_stats=(500, 50000)))
+        assert plan2.count("Scan parquet") == 1, plan2
+        assert "SortMergeJoin" not in plan2, plan2
+        assert "CartesianProduct" not in plan2, plan2
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_frontier_plan_broadcasts_priors_hashes_crawled(spark):
+    """prioritize_frontier: host priors broadcast (10^7 hosts vs 10^12
+    candidate urls); the crawled-set check must stay a hash-keyed anti-join
+    (either side shuffled on url — never broadcast by us, never a cartesian);
+    candidate collapse is a map-side-combined aggregate."""
+    from readability_spark.operators.frontier import prioritize_frontier
+
+    discovered = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.lit("http://s/x").alias("url"),
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit("/p"), F.col("doc_id").cast("string")).alias("href"),
+    )
+    crawled = discovered.select(F.col("href").alias("url")).limit(10)
+    scores = spark.createDataFrame([("h1", 2.0)], "host string, host_score double")
+    plan = plan_of(prioritize_frontier(discovered, crawled, scores))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # the priors join
+    assert "LeftAnti" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_anchor_profile_plan_preaggregates_modal_side(spark):
+    """anchor_profile: the modal-anchor window must rank pre-aggregated
+    (href, anchor) counts, so a partial+final HashAggregate pair sits below
+    the Window — never the raw inlink stream — and the totals/modal join is
+    co-located (no cartesian, no broadcast of a corpus-sized side needed for
+    correctness: SMJ/shuffled-hash both acceptable here)."""
+    from readability_spark.operators.links import anchor_profile
+
+    links = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.lit("http://s/x").alias("url"),
+        F.concat(F.lit("http://t/"), (F.col("doc_id") % 7).cast("string")).alias("href"),
+        F.lit("click here").alias("anchor"),
+    )
+    plan = plan_of(anchor_profile(links))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final on both sides
+    assert "Window" in plan, plan
