@@ -754,6 +754,73 @@ def _q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap writer → distributed parser roundtrip: the oracle constructs
+    the expected entry rows from first principles (per-host md5 branches),
+    so a parse bug on ANY branch — entity escapes, lastmod datetime prefix,
+    invalid changefreq, priority clamp, loc-less drop, index entries —
+    breaks the match."""
+    from readability_spark.sources.sitemaps import parse_sitemaps, synthesize_sitemaps
+
+    return parse_sitemaps(synthesize_sitemaps(_docs(spark, sf_dir)))
+
+
+def _sitemap_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl ledger: /a fetched 2026-07-10 on every host; /b fetched
+    2026-08-05 on the md5-first-hex 0-7 half of hosts."""
+    docs = _docs(spark, sf_dir)
+    hosts = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host")
+    ).distinct()
+    a = hosts.select(
+        F.concat(F.lit("http://"), F.col("host"), F.lit("/a?x=1&y=2")).alias("url"),
+        F.lit("2026-07-10").cast("date").alias("fetched_on"),
+    )
+    b = hosts.filter(F.substring(F.md5("host"), 1, 1).isin(*"01234567")).select(
+        F.concat(F.lit("http://"), F.col("host"), F.lit("/b")).alias("url"),
+        F.lit("2026-08-05").cast("date").alias("fetched_on"),
+    )
+    return a.unionByName(b)
+
+
+def _q_sitemap_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publisher-hint recrawl triage: parsed urlset entries joined against
+    the crawl ledger → new / stale (lastmod after our fetch) / fresh."""
+    from readability_spark.sources.sitemaps import (
+        parse_sitemaps,
+        sitemap_recrawl_candidates,
+        synthesize_sitemaps,
+    )
+
+    entries = parse_sitemaps(synthesize_sitemaps(_docs(spark, sf_dir)))
+    return sitemap_recrawl_candidates(entries, _sitemap_ledger(spark, sf_dir))
+
+
+def _q_refetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho & Garcia-Molina change-rate crawl scheduling over three synthetic
+    snapshots: fold the pairwise snapshot diffs into a per-doc change
+    ledger, then estimate the Poisson rate and clamped re-fetch interval.
+    Membership filters (doc_id % 16) exercise the added/removed exclusion."""
+    from readability_spark.operators.snapshots import change_history, refetch_schedule
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    s0 = docs.filter(d % 16 != 0).select("doc_id", "text")
+    s1 = docs.filter(d % 16 != 1).select(
+        "doc_id",
+        F.when(d % 3 == 0, F.concat("text", F.lit(" v1"))).otherwise(F.col("text")).alias("text"),
+    )
+    s2 = docs.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(d % 3 == 0, F.lit(" v2")).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit(" w")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return refetch_schedule(change_history([s0, s1, s2]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_articles": _q_extract_articles,
@@ -791,6 +858,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_profile": _q_anchor_profile,
         "bm25_topk": _q_bm25_topk,
         "crawl_frontier": _q_frontier,
+        "sitemap_entries": _q_sitemap_entries,
+        "sitemap_recrawl": _q_sitemap_recrawl,
+        "refetch_schedule": _q_refetch_schedule,
         "dedup_incremental_new": _q_incremental_new,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -1626,6 +1696,107 @@ WHERE rk <= {k}
 """
 
 
+_SITEMAP_EXPECTED_CTE = """
+hosts AS (
+  SELECT DISTINCT source || '.example.com' AS host,
+         substr(md5(source || '.example.com'), 1, 1) AS hx,
+         strpos('0123456789abcdef', substr(md5(source || '.example.com'), 2, 1)) - 1
+           AS dayv
+  FROM documents),
+expected AS (
+  SELECT host, 'url' AS kind, 'http://' || host || '/a?x=1&y=2' AS loc,
+         make_date(2026, 7, (dayv % 27) + 1) AS lastmod,
+         'daily' AS changefreq, 0.8::double AS priority
+  FROM hosts
+  UNION ALL
+  SELECT host, 'url', 'http://' || host || '/b', NULL, NULL, 0.5::double FROM hosts
+  UNION ALL
+  SELECT host, 'url', 'http://' || host || '/c', NULL, NULL, 1.0::double
+  FROM hosts WHERE hx IN ('0','1','2','3','4','5','6','7')
+  UNION ALL
+  SELECT host, 'url', 'http://' || host || '/d', DATE '2026-08-02', NULL, 0.5::double
+  FROM hosts WHERE hx IN ('0','1','2','3')
+  UNION ALL
+  SELECT host, 'index', 'http://' || host || '/sitemap-a.xml',
+         DATE '2026-08-01', NULL, NULL::double
+  FROM hosts WHERE hx IN ('0','1','2','3')
+  UNION ALL
+  SELECT host, 'index', 'http://' || host || '/sitemap-b.xml', NULL, NULL, NULL
+  FROM hosts WHERE hx IN ('0','1','2','3'))
+"""
+
+
+def _sitemap_entries_oracle() -> str:
+    """First-principles expected output of the synthesize → parse roundtrip
+    (sources/sitemaps.py): the writer's per-host md5 branches enumerated
+    directly — entity escapes undone, datetime lastmod reduced to its date,
+    the invalid 'sometimes' changefreq nulled, priority 1.7 clamped to 1.0,
+    absent priority defaulted to 0.5, the loc-less entry dropped, and the
+    index blob's two children emitted with null changefreq/priority."""
+    return f"WITH {_SITEMAP_EXPECTED_CTE} SELECT * FROM expected"
+
+
+def _sitemap_recrawl_oracle() -> str:
+    """Mirror of sitemaps.sitemap_recrawl_candidates over the expected
+    entries and the /a + half-/b crawl ledger: new when uncrawled, stale
+    when lastmod postdates the fetch, else fresh."""
+    return f"""
+WITH {_SITEMAP_EXPECTED_CTE},
+ledger AS (
+  SELECT 'http://' || host || '/a?x=1&y=2' AS loc, DATE '2026-07-10' AS fetched_on
+  FROM hosts
+  UNION ALL
+  SELECT 'http://' || host || '/b', DATE '2026-08-05'
+  FROM hosts WHERE hx IN ('0','1','2','3','4','5','6','7'))
+SELECT e.loc, e.lastmod, e.priority, l.fetched_on,
+       CASE WHEN l.fetched_on IS NULL THEN 'new'
+            WHEN e.lastmod IS NOT NULL AND e.lastmod > l.fetched_on THEN 'stale'
+            ELSE 'fresh' END AS action
+FROM (SELECT * FROM expected WHERE kind = 'url') e
+LEFT JOIN ledger l ON l.loc = e.loc
+"""
+
+
+def _refetch_oracle(interval: float = 30.0, min_d: float = 1.0, max_d: float = 365.0) -> str:
+    """Mirror of snapshots.change_history + refetch_schedule over the three
+    synthetic snapshots: per-pair change flags (content equality stands in
+    for the operator's md5 comparison), then the Cho & Garcia-Molina
+    +0.5-corrected Poisson rate and clamped interval, round4-floored AFTER
+    the interval is derived from the raw rate."""
+    return f"""
+WITH s0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 16 != 0),
+s1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' v1' ELSE text END AS text
+  FROM documents WHERE doc_id % 16 != 1),
+s2 AS (
+  SELECT doc_id,
+         text || (CASE WHEN doc_id % 3 = 0 THEN ' v2' ELSE '' END)
+              || (CASE WHEN doc_id % 5 = 0 THEN ' w' ELSE '' END) AS text
+  FROM documents),
+obs AS (
+  SELECT s0.doc_id, CASE WHEN s0.text != s1.text THEN 1 ELSE 0 END AS chg
+  FROM s0 JOIN s1 USING (doc_id)
+  UNION ALL
+  SELECT s1.doc_id, CASE WHEN s1.text != s2.text THEN 1 ELSE 0 END
+  FROM s1 JOIN s2 USING (doc_id)),
+hist AS (
+  SELECT doc_id, count(*)::bigint AS n_checks, sum(chg)::bigint AS n_changed
+  FROM obs GROUP BY 1),
+r AS (
+  SELECT doc_id, n_checks, n_changed,
+         -ln((n_checks::double - n_changed::double + 0.5)
+             / (n_checks::double + 0.5)) / {interval} AS lam
+  FROM hist)
+SELECT doc_id, n_checks, n_changed,
+       floor(lam * 10000.0 + 0.5) / 10000.0 AS lambda_per_day,
+       floor((CASE WHEN n_changed = 0 THEN {max_d}
+                   ELSE least(greatest(1.0 / lam, {min_d}), {max_d}) END)
+             * 10000.0 + 0.5) / 10000.0 AS refetch_days
+FROM r
+"""
+
+
 def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
     """Mirror of graph.pagerank on the doc-derived 97-node graph: the same
     power iteration unrolled as CTE rounds r0..r{n_iter} (fixed iteration
@@ -1897,6 +2068,9 @@ FROM documents
         "anchor_profile": _anchor_profile_oracle(),
         "bm25_topk": _bm25_oracle(),
         "crawl_frontier": _frontier_oracle(),
+        "sitemap_entries": _sitemap_entries_oracle(),
+        "sitemap_recrawl": _sitemap_recrawl_oracle(),
+        "refetch_schedule": _refetch_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_clusters": _clusters_oracle(),

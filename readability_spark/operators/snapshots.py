@@ -70,3 +70,68 @@ def domain_top_k(
         .filter(F.col("rk") <= k)
         .select(F.col(host_col).alias("host"), "doc_id", "n_chars", "rk")
     )
+
+
+def change_history(snapshots: list[DataFrame], key: str = "doc_id", content: str = "text") -> DataFrame:
+    """Fold K consecutive snapshots into a per-key change ledger:
+    (key, n_checks, n_changed) — n_checks counts the consecutive-pair
+    comparisons where the key existed in both snapshots, n_changed how many
+    of those saw a different content hash.
+
+    Built by unioning the K-1 pairwise :func:`snapshot_diff` outputs and
+    aggregating — one map-side-combined groupBy over (key, status) longs;
+    'added'/'removed' rows don't count as checks (the url wasn't observable
+    on both sides).
+    """
+    if len(snapshots) < 2:
+        raise ValueError("change_history needs at least two snapshots")
+    diffs = None
+    for old, new in zip(snapshots, snapshots[1:]):
+        d = snapshot_diff(old, new, key=key, content=content)
+        diffs = d if diffs is None else diffs.unionByName(d)
+    obs = diffs.filter(F.col("status").isin("changed", "unchanged"))
+    return obs.groupBy(key).agg(
+        F.count("*").alias("n_checks"),
+        F.sum(F.when(F.col("status") == "changed", 1).otherwise(0)).alias("n_changed"),
+    )
+
+
+def refetch_schedule(
+    history: DataFrame,
+    check_interval_days: float = 30.0,
+    min_days: float = 1.0,
+    max_days: float = 365.0,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Per-key Poisson change-rate estimate and re-fetch interval from a
+    (key, n_checks, n_changed) ledger observed at ``check_interval_days``
+    cadence — the Cho & Garcia-Molina (2003) estimator for crawl frequency:
+
+        lambda_hat = -ln((n - X + 0.5) / (n + 0.5)) / interval
+
+    (the +0.5 terms are their bias correction, and keep the estimate finite
+    when X = n — a page that changed on every check). The re-fetch interval
+    is 1/lambda_hat clamped to [min_days, max_days]; a page never seen
+    changing gets max_days.
+
+    Output: (key, n_checks, n_changed, lambda_per_day, refetch_days) — the
+    rates round4-floored so any engine reproduces them bit-for-bit. Pure
+    projection over the ledger: zero shuffles at any scale.
+    """
+    from readability_spark.operators.dedup import round4
+
+    n = F.col("n_checks").cast("double")
+    x = F.col("n_changed").cast("double")
+    lam = -F.log((n - x + F.lit(0.5)) / (n + F.lit(0.5))) / F.lit(float(check_interval_days))
+    refetch = F.when(
+        F.col("n_changed") == 0, F.lit(float(max_days))
+    ).otherwise(
+        F.least(F.greatest(F.lit(1.0) / lam, F.lit(float(min_days))), F.lit(float(max_days)))
+    )
+    return history.select(
+        key,
+        "n_checks",
+        "n_changed",
+        round4(lam).alias("lambda_per_day"),
+        round4(refetch).alias("refetch_days"),
+    )
