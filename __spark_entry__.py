@@ -821,6 +821,23 @@ def _q_refetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refetch_schedule(change_history([s0, s1, s2]))
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the batch-GD logistic quality classifier (16 rounds, lr=4) on
+    the deterministic separable feature frame, then score every doc with
+    the learned weights. The oracle unrolls the identical 16 gradient
+    rounds as CTEs (PageRank-style), so a drift in the gradient math,
+    update rule, or feature derivation breaks the match."""
+    from readability_spark.operators.classifier import (
+        quality_features,
+        score_logreg,
+        train_logreg,
+    )
+
+    feats = quality_features(_docs(spark, sf_dir)).cache()
+    w = train_logreg(feats, lr=4.0, n_iter=16)
+    return score_logreg(feats, w)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_articles": _q_extract_articles,
@@ -861,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": _q_sitemap_entries,
         "sitemap_recrawl": _q_sitemap_recrawl,
         "refetch_schedule": _q_refetch_schedule,
+        "quality_classifier": _q_quality_classifier,
         "dedup_incremental_new": _q_incremental_new,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -1797,6 +1815,45 @@ FROM r
 """
 
 
+def _classifier_oracle(n_iter: int = 16, lr: float = 4.0, threshold: float = 1.4) -> str:
+    """Mirror of operators/classifier.py: the identical full-batch logistic
+    GD unrolled as CTE rounds w0..w{n_iter} (fixed count, no convergence
+    probe — same engine-reproducibility trick as the PageRank oracle),
+    then the same round4-floored scoring projection."""
+    feats = f"""
+f AS MATERIALIZED (
+  SELECT doc_id,
+         len(string_split(text, ' '))::double / 100.0 AS x1,
+         (doc_id % 10)::double / 10.0 AS x2,
+         CASE WHEN len(string_split(text, ' '))::double / 100.0
+                   + 2.0 * ((doc_id % 10)::double / 10.0) > {threshold}
+              THEN 1.0 ELSE 0.0 END::double AS y
+  FROM documents),
+w0 AS (SELECT 0.0::double AS w1, 0.0::double AS w2, 0.0::double AS b)"""
+    # one CTE per round, each referencing the previous exactly once —
+    # a doubly-referenced w{i} would inline exponentially (2^n_iter scans)
+    # in DuckDB; any_value() carries the constant weights through the agg
+    rounds = []
+    for i in range(n_iter):
+        rounds.append(f"""
+w{i + 1} AS (
+  SELECT any_value(w1) - {lr} * avg((1.0 / (1.0 + exp(-(b + w1 * x1 + w2 * x2))) - y) * x1) AS w1,
+         any_value(w2) - {lr} * avg((1.0 / (1.0 + exp(-(b + w1 * x1 + w2 * x2))) - y) * x2) AS w2,
+         any_value(b) - {lr} * avg(1.0 / (1.0 + exp(-(b + w1 * x1 + w2 * x2))) - y) AS b
+  FROM f, w{i})""")
+    return f"""
+WITH {feats},{','.join(rounds)}
+SELECT doc_id, y,
+       floor(1.0 / (1.0 + exp(-(b + w1 * x1 + w2 * x2))) * 10000.0 + 0.5)
+         / 10000.0 AS p,
+       CASE WHEN 1.0 / (1.0 + exp(-(b + w1 * x1 + w2 * x2))) > 0.5
+            THEN 1.0 ELSE 0.0 END::double AS yhat,
+       (CASE WHEN 1.0 / (1.0 + exp(-(b + w1 * x1 + w2 * x2))) > 0.5
+             THEN 1.0 ELSE 0.0 END) = y AS correct
+FROM f, w{n_iter}
+"""
+
+
 def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
     """Mirror of graph.pagerank on the doc-derived 97-node graph: the same
     power iteration unrolled as CTE rounds r0..r{n_iter} (fixed iteration
@@ -2071,6 +2128,7 @@ FROM documents
         "sitemap_entries": _sitemap_entries_oracle(),
         "sitemap_recrawl": _sitemap_recrawl_oracle(),
         "refetch_schedule": _refetch_oracle(),
+        "quality_classifier": _classifier_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_clusters": _clusters_oracle(),
