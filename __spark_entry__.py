@@ -838,6 +838,20 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_logreg(feats, w)
 
 
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity bands: train the add-k model on the
+    deterministic 80% corpus slice, score every doc, band on fixed
+    thresholds. The oracle recomputes the identical model and smoothed
+    log-probs in SQL, so the training counts, smoothing, and scoring join
+    are all value-checked end to end."""
+    from readability_spark.operators.lm import lm_perplexity
+
+    # thresholds sit inside the synthetic corpus's ppl range (26.5-37.6 at
+    # sf0.01) so all three bands are exercised; in production these are the
+    # per-language cutoffs CCNet computes offline and ships as config
+    return lm_perplexity(_docs(spark, sf_dir), head_max=29.0, middle_max=30.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_articles": _q_extract_articles,
@@ -879,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_recrawl": _q_sitemap_recrawl,
         "refetch_schedule": _q_refetch_schedule,
         "quality_classifier": _q_quality_classifier,
+        "lm_perplexity": _q_lm_perplexity,
         "dedup_incremental_new": _q_incremental_new,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -1854,6 +1869,53 @@ FROM f, w{n_iter}
 """
 
 
+def _lm_perplexity_oracle(
+    k: float = 0.5,
+    train_mod: int = 10,
+    train_keep: int = 8,
+    head_max: float = 100.0,
+    middle_max: float = 1000.0,
+) -> str:
+    """Mirror of operators/lm.lm_perplexity: same deterministic training
+    slice, add-k bigram model, smoothed log-prob scoring, round4-floored
+    perplexity, fixed-threshold bands. MATERIALIZED pairs CTE: it is
+    referenced by both the training counts and the scoring join, and an
+    inlined copy would re-split every document's text per reference."""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pairs AS MATERIALIZED (
+  SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS b
+        FROM toks WHERE len(t) >= 2)),
+c2 AS MATERIALIZED (
+  SELECT w1, w2, count(*) AS c2 FROM pairs
+  WHERE doc_id % {train_mod} < {train_keep} GROUP BY w1, w2),
+c1 AS MATERIALIZED (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+v AS (SELECT count(DISTINCT w)::double AS v
+      FROM (SELECT unnest(t) AS w FROM toks
+            WHERE doc_id % {train_mod} < {train_keep})),
+per AS (
+  SELECT p.doc_id,
+         count(*) AS n_bigrams,
+         sum(CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END)::bigint AS n_oov,
+         avg(ln((coalesce(c2.c2, 0)::double + {k})
+                / (coalesce(c1.c1, 0)::double + {k} * (SELECT v FROM v)))) AS avg_logp
+  FROM pairs p
+  LEFT JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+  LEFT JOIN c1 ON p.w1 = c1.w1
+  GROUP BY p.doc_id)
+SELECT doc_id, n_bigrams, n_oov,
+       floor(exp(-avg_logp) * 10000.0 + 0.5) / 10000.0 AS ppl,
+       CASE WHEN floor(exp(-avg_logp) * 10000.0 + 0.5) / 10000.0 <= {head_max} THEN 'head'
+            WHEN floor(exp(-avg_logp) * 10000.0 + 0.5) / 10000.0 <= {middle_max} THEN 'middle'
+            ELSE 'tail' END AS band
+FROM per
+"""
+
+
 def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
     """Mirror of graph.pagerank on the doc-derived 97-node graph: the same
     power iteration unrolled as CTE rounds r0..r{n_iter} (fixed iteration
@@ -2129,6 +2191,7 @@ FROM documents
         "sitemap_recrawl": _sitemap_recrawl_oracle(),
         "refetch_schedule": _refetch_oracle(),
         "quality_classifier": _classifier_oracle(),
+        "lm_perplexity": _lm_perplexity_oracle(head_max=29.0, middle_max=30.5),
         "ann_ivf_topk": _ann_ivf_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_clusters": _clusters_oracle(),

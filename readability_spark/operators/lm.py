@@ -1,0 +1,153 @@
+"""CCNet-style n-gram language-model perplexity filtering.
+
+The classic web-corpus quality step (CCNet, Wenzek et al. 2020): train a
+small LM on a trusted slice of the corpus, score every document's
+perplexity under it, and keep/route documents by perplexity band
+(head / middle / tail). CCNet uses a 5-gram KenLM trained on Wikipedia;
+here the model is an add-k-smoothed **bigram** LM trained on a
+deterministic slice of the corpus itself — the same pipeline shape with
+no native dependencies, and exactly reproducible by the DuckDB oracle.
+
+Pipeline (all JVM column expressions, no Python UDFs):
+
+1. **Train** — explode bigrams of the training slice
+   (``doc_id % train_mod < train_keep``), one ``groupBy(w1, w2)`` for
+   bigram counts, one map-side-combined re-aggregation for context counts,
+   one distinct-count for vocabulary size V.
+2. **Score** — explode every document's bigrams, join bigram + context
+   counts, smoothed ``log p(w2|w1) = ln((c2 + k) / (c1 + k·V))``, per-doc
+   average, ``ppl = exp(-avg)``.
+3. **Band** — fixed perplexity thresholds → head/middle/tail. CCNet
+   computes its cutoffs once per language on a sample and ships them as
+   config; mirroring that, thresholds are parameters (literals in the
+   plan), NOT a global ntile window — a single-partition ``ntile`` over
+   10^12 rows is a scale-killer, and approx_percentile is not
+   engine-reproducible.
+
+Scale shape: two shuffles on token-pair keys to build the model (counts
+are map-side combined), one shuffle join of exploded document bigrams
+against the model (both sides are (word-pair, long) rows — the html/text
+payload never enters the shuffle), and one final per-doc aggregation.
+Hot-key note: bigram frequency is zipfian, but the count aggregations
+combine map-side, so no task absorbs a hot bigram's full posting list;
+the scoring join's build side is the *model* (bounded by vocab², pruned
+by min_count at real scale), not the corpus.
+
+Determinism: ln/exp double math differs across engines only in summation
+order (~1e-15 relative); outputs are round4-floored like the PageRank and
+classifier operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from readability_spark.operators.dedup import round4
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent whitespace-token pair."""
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    pairs = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, size(t) - 2),"
+            " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+        ).alias("bg"),
+    )
+    ex = pairs.select("doc_id", F.explode("bg").alias("b"))
+    return ex.select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+
+
+def train_bigram_lm(
+    docs: DataFrame, train_mod: int = 10, train_keep: int = 8
+) -> tuple:
+    """Bigram counts, context counts, and vocab size from the deterministic
+    training slice ``doc_id % train_mod < train_keep``.
+
+    Returns (bigram_counts, context_counts, vocab_df): DataFrames
+    (w1, w2, c2), (w1, c1), and a 1-row (v,) — kept as DataFrames so the
+    whole pipeline stays one lazy plan (no driver collect in the loop).
+    """
+    train = docs.filter(F.col("doc_id") % train_mod < train_keep)
+    bg = _doc_bigrams(train)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    toks = train.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    vocab = toks.agg(F.countDistinct("w").alias("v"))
+    return c2, c1, vocab
+
+
+def score_perplexity(
+    docs: DataFrame,
+    bigram_counts: DataFrame,
+    context_counts: DataFrame,
+    vocab: DataFrame,
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-doc add-k bigram perplexity: (doc_id, n_bigrams, n_oov, ppl).
+
+    Documents with fewer than 2 tokens have no bigrams and are absent from
+    the output (they carry no LM evidence; filter them upstream with the
+    length rules). n_oov counts bigrams unseen in training.
+    """
+    db = _doc_bigrams(docs)
+    j = (
+        db.join(bigram_counts, ["w1", "w2"], "left")
+        .join(context_counts, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(float(k)))
+        / (
+            F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+            + F.lit(float(k)) * F.col("v").cast("double")
+        )
+    )
+    per_doc = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.when(F.col("c2").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.avg(logp).alias("avg_logp"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "n_oov",
+        round4(F.exp(-F.col("avg_logp"))).alias("ppl"),
+    )
+
+
+def ppl_band(ppl: Column, head_max: float, middle_max: float) -> Column:
+    """CCNet head/middle/tail from fixed, config-shipped thresholds."""
+    return (
+        F.when(ppl <= F.lit(float(head_max)), "head")
+        .when(ppl <= F.lit(float(middle_max)), "middle")
+        .otherwise("tail")
+    )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    k: float = 0.5,
+    train_mod: int = 10,
+    train_keep: int = 8,
+    head_max: float = 100.0,
+    middle_max: float = 1000.0,
+) -> DataFrame:
+    """End-to-end CCNet-style scoring: train on the deterministic corpus
+    slice, score every document, band by fixed thresholds.
+
+    Output: (doc_id, n_bigrams, n_oov, ppl, band).
+    """
+    c2, c1, vocab = train_bigram_lm(docs, train_mod, train_keep)
+    scored = score_perplexity(docs, c2, c1, vocab, k=k)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "n_oov",
+        "ppl",
+        ppl_band(F.col("ppl"), head_max, middle_max).alias("band"),
+    )
