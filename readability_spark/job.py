@@ -6,7 +6,7 @@ Usage (packaged per SURVEY.md §3.4):
         --input  <parquet/iceberg path or 'synth:<sf_dir>'>  \\
         --output <parquet dir, partitioned by bucket>        \\
         --manifest <manifest parquet dir>                    \\
-        [--buckets 256] [--no-salt] [--no-html] [--limit N]
+        [--buckets 256] [--pre-salt] [--no-html] [--limit N]
 
 Resumable: completed buckets recorded in the manifest are skipped on restart
 (left anti-join). Output partitioned by bucket with dynamic partition
@@ -27,7 +27,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True)
     p.add_argument("--manifest", default=None)
     p.add_argument("--buckets", type=int, default=256)
-    p.add_argument("--no-salt", action="store_true", help="skip the salted url-hash repartition")
+    p.add_argument(
+        "--pre-salt",
+        action="store_true",
+        help="repartition RAW pages on the url-hash bucket before extraction "
+        "(full-corpus shuffle; escape hatch for compute-skewed inputs). "
+        "Default extracts on scan splits and shuffles only extracted rows.",
+    )
+    p.add_argument(
+        "--no-salt",
+        action="store_true",
+        help=argparse.SUPPRESS,  # deprecated: post-extract alignment is now the default
+    )
     p.add_argument("--no-html", action="store_true", help="drop content_html from output")
     p.add_argument("--limit", type=int, default=0)
     p.add_argument(
@@ -142,16 +153,17 @@ def main(argv=None) -> int:
         options["readerable_prefilter"] = True
 
     t0 = time.time()
-    # observed_extract salts on the url-hash bucket, so extraction tasks are
-    # already aligned with bucket dirs: one shuffle total, and the
-    # partitioned write below adds none (a misaligned plan writes tasks x
-    # buckets small files whose serial driver-side commit kills scaling).
+    # one shuffle total either way (see plans/pipeline.observed_extract):
+    # default extracts on scan splits and aligns the small extracted rows to
+    # bucket dirs; --pre-salt instead shuffles the raw pages first (skew
+    # escape hatch). A misaligned plan would write tasks x buckets small
+    # files whose serial driver-side commit kills scaling.
     result, obs = observed_extract(
         pages,
         options=options,
         include_html=not args.no_html,
         n_buckets=args.buckets,
-        salt=not args.no_salt,
+        salt=args.pre_salt,
     )
     if args.output.startswith("iceberg:"):
         from readability_spark.sources.iceberg import write_result

@@ -16,10 +16,12 @@ def plan_of(df) -> str:
 
 
 def test_extraction_plan_single_shuffle(spark):
-    """scan -> salted bucket repartition -> mapInPandas: exactly ONE exchange.
-
-    A second exchange means the write-alignment reshuffle crept back in
-    (measured cost: 0.63 vs 0.81 scaling efficiency 4->16 cores)."""
+    """Default plan: scan -> mapInPandas -> bucket-aligned exchange of the
+    EXTRACTED rows. Exactly ONE exchange, and it must sit ABOVE the Python
+    extraction in the plan tree (i.e. the shuffle carries extracted rows,
+    not raw html — ~30x fewer shuffle bytes at 100 TB). Two exchanges means
+    the write-alignment reshuffle crept back in (measured cost: 0.63 vs
+    0.81 scaling efficiency 4->16 cores)."""
     from readability_spark.plans.pipeline import observed_extract, with_bucket
 
     pages = with_bucket(spark.read.parquet(f"{SF}/documents.parquet")
@@ -28,6 +30,24 @@ def test_extraction_plan_single_shuffle(spark):
     result, _ = observed_extract(pages, include_html=False, n_buckets=16)
     plan = plan_of(result)
     assert plan.count("Exchange") == 1, plan
+    # toString prints parents above children: the exchange (write alignment)
+    # must be the parent of the extraction, so extraction runs scan-side
+    assert plan.index("Exchange") < plan.index("MapInPandas"), plan
+
+
+def test_extraction_plan_pre_salt_single_shuffle(spark):
+    """--pre-salt variant: the single exchange moves BELOW the extraction
+    (raw pages shuffled on the url-hash bucket before the UDF; the
+    bucket-partitioned write then needs no second shuffle)."""
+    from readability_spark.plans.pipeline import observed_extract, with_bucket
+
+    pages = with_bucket(spark.read.parquet(f"{SF}/documents.parquet")
+                        .select(F.col("doc_id").cast("string").alias("url"),
+                                F.encode("text", "utf-8").alias("html")), 16)
+    result, _ = observed_extract(pages, include_html=False, n_buckets=16, salt=True)
+    plan = plan_of(result)
+    assert plan.count("Exchange") == 1, plan
+    assert plan.index("MapInPandas") < plan.index("Exchange"), plan
 
 
 def test_extraction_scan_prunes_columns(spark):
