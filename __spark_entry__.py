@@ -348,6 +348,12 @@ def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(_docs(spark, sf_dir), stopwords=_SYNTH_STOPWORDS)
 
 
+def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.cleaning import c4_clean, with_synthetic_lines
+
+    return c4_clean(with_synthetic_lines(_docs(spark, sf_dir)))
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.decontam import decontaminate, with_injected_contamination
 
@@ -373,6 +379,12 @@ def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         _docs(spark, sf_dir), {"en": 0.5, "es": 0.25}, default_rate=0.1
     ).select("doc_id", "lang", "u")
+
+
+def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.plans.pipeline import pack_into_sequences
+
+    return pack_into_sequences(_docs(spark, sf_dir))
 
 
 def _q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -869,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _q_fingerprints,
         "text_repetition": _q_repetition,
         "text_gopher_rules": _q_gopher_rules,
+        "text_c4_clean": _q_c4_clean,
         "length_quantiles": _q_length_quantiles,
         "url_blocklist": _q_url_blocklist,
         "robots_filter": _q_robots_filter,
@@ -880,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "corpus_sample": _q_corpus_sample,
         "corpus_pack": _q_corpus_pack,
+        "corpus_sequence_pack": _q_sequence_pack,
         "corpus_pack_binned": _q_corpus_pack_binned,
         "warc_ingest": _q_warc_ingest,
         "pdf_extract_text": _q_pdf_extract,
@@ -1485,6 +1499,56 @@ FROM m
 """
 
 
+def _c4_clean_oracle(width: int = 8) -> str:
+    """Mirror of cleaning.with_synthetic_lines + cleaning.c4_clean: rebuild
+    the identical deterministically-lined text, then apply the C4 rules
+    (terminal punctuation, >=5 words, no 'javascript' line; >=3 kept lines,
+    no blocklist word / 'lorem ipsum' / curly brace page)."""
+    w = width
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+lined AS (
+  SELECT doc_id,
+    array_to_string(list_concat(
+      list_transform(
+        generate_series(0, cast(ceil(len(toks) / {w}.0) AS int) - 1),
+        i -> (CASE WHEN (doc_id + i) % 7 = 0 THEN 'javascript ' ELSE '' END)
+             || array_to_string(toks[i*{w}+1 : i*{w}+{w}], ' ')
+             || (['.', '!', '?', ''])[cast((doc_id + i) % 4 AS int) + 1]),
+      list_filter([
+        CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+        CASE WHEN doc_id % 13 = 0 THEN 'config block {{ not prose }} here.' END,
+        CASE WHEN doc_id % 17 = 0 THEN 'xxbadwordxx spam spam spam spam.' END
+      ], x -> x IS NOT NULL)
+    ), chr(10)) AS text
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+    string_split(text, chr(10)) AS lines,
+    list_filter(string_split(text, chr(10)), l ->
+      regexp_matches(l, '[.!?"]$')
+      AND len(string_split(l, ' ')) >= 5
+      AND NOT contains(lower(l), 'javascript')) AS kept,
+    regexp_matches(lower(text),
+      '(^|[^a-z0-9])(xxbadwordxx)($|[^a-z0-9])') AS has_badword,
+    contains(lower(text), 'lorem ipsum') AS has_lorem,
+    contains(text, '{{') AS has_brace
+  FROM lined
+)
+SELECT doc_id,
+  len(lines)::int AS n_lines,
+  len(kept)::int AS n_kept,
+  has_badword, has_lorem, has_brace,
+  (len(kept) >= 3 AND NOT has_badword AND NOT has_lorem
+   AND NOT has_brace) AS c4_pass,
+  CASE WHEN (len(kept) >= 3 AND NOT has_badword AND NOT has_lorem
+             AND NOT has_brace)
+       THEN array_to_string(kept, chr(10)) ELSE '' END AS text_clean
+FROM m
+"""
+
+
 _GRAMS5 = (
     "list_transform("
     "generate_series(0, greatest(len(string_split(text, ' ')) - 5, 0)), "
@@ -1585,6 +1649,32 @@ SELECT doc_id, lang, u FROM (
          CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'es' THEN 0.25 ELSE 0.1 END AS r
   FROM documents) t
 WHERE u < r
+"""
+
+
+def _sequence_pack_oracle(seq_len: int = 512) -> str:
+    """Mirror of pipeline.pack_into_sequences: the naive single-window
+    global prefix sum in doc_id order — the two-phase distributed form must
+    reproduce these integers exactly (pure integer arithmetic, no floats)."""
+    last = f"(start_off + n_tokens - 1) // {seq_len}"
+    return f"""
+WITH b AS (
+  SELECT doc_id, greatest(len(string_split(text, ' ')), 1) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM b
+)
+SELECT doc_id,
+       n_tokens::int AS n_tokens,
+       start_off::bigint AS start_off,
+       (start_off // {seq_len})::bigint AS seq_first,
+       ({last})::bigint AS seq_last,
+       ({last} - start_off // {seq_len} + 1)::int AS n_seqs
+FROM o
 """
 
 
@@ -2125,6 +2215,7 @@ FROM dup GROUP BY 1 HAVING count(*) > 1
 """,
         "text_repetition": _repetition_oracle(),
         "text_gopher_rules": _gopher_oracle(),
+        "text_c4_clean": _c4_clean_oracle(),
         "length_quantiles": _quantiles_oracle(),
         "url_blocklist": _blocklist_oracle(),
         "robots_filter": _robots_oracle(),
@@ -2152,6 +2243,7 @@ SELECT source AS host, doc_id, n_chars, rn::int AS rk FROM (
         "pii_scrub": _pii_oracle(),
         "corpus_sample": _corpus_sample_oracle(),
         "corpus_pack": _corpus_pack_oracle(),
+        "corpus_sequence_pack": _sequence_pack_oracle(),
         # binned variant returns the IDENTICAL set (see pipeline.py docstring),
         # so its oracle is the same greedy SQL over the lang grouping
         "corpus_pack_binned": _corpus_pack_oracle(budget=1500, group="lang"),

@@ -106,11 +106,15 @@ def main() -> int:
         "text_quality",
         "text_repetition",
         "text_gopher_rules",
+        "text_c4_clean",
+        "corpus_sequence_pack",
         "decontaminate",
         "chunk_dedup",
         "pii_scrub",
         "text_fingerprints",
         "bm25_topk",
+        "quality_classifier",
+        "lm_perplexity",
         "anchor_profile",
         "crawl_frontier",
         "windowed_event_counts",

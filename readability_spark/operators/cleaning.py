@@ -1,0 +1,129 @@
+"""C4-style line- and page-level cleaning (Raffel et al. 2020, §2.2).
+
+The cleaning pass that produced C4 from Common Crawl — the other canonical
+web-corpus rule set next to the Gopher/MassiveWeb document filters already
+in ``operators/textstats.py``. Works over ``\\n``-lined, whitespace-normalized
+``text``. Rules, matching the published pipeline:
+
+- **Line level** (a line survives only if ALL hold):
+  - ends in a terminal punctuation mark (``.`` ``!`` ``?`` or a closing
+    double quote) — boilerplate menus/footers rarely do;
+  - has at least ``min_line_words`` words (paper: 5);
+  - does not contain the word ``javascript`` (case-insensitive substring,
+    as in the released implementation) — kills "enable JavaScript" banners.
+- **Page level** (the page is dropped, ``text_clean = ''``, if ANY hold):
+  - fewer than ``min_lines`` retained lines (the paper drops pages with
+    fewer than 3 sentences; retained-line count is the lined-text proxy);
+  - contains any blocklist word (paper: the LDNOOBW list; here a
+    parameter — word-boundary regex search like the original);
+  - contains the phrase ``lorem ipsum`` (template placeholder pages);
+  - contains a curly brace (code, not prose).
+
+C4's remaining step — global dedup of repeated three-sentence spans — is
+span-level global dedup, covered by :func:`~readability_spark.operators.
+decontam.chunk_dedup` (same keep-first election, token-window spans); its
+``langdetect`` English gate composes from :func:`~readability_spark.
+operators.textstats.lang_id`.
+
+Scale shape: one codegen projection — split, array filter, regexes, rejoin.
+No shuffle, no Python, embarrassingly parallel at any corpus size; the
+blocklist rides inside the plan as a compiled regex alternation (the real
+LDNOOBW list is a few hundred words — still a literal; a million-entry
+blocklist would switch to the broadcast suffix-join in
+``operators/urltools.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Placeholder demo blocklist — the real deployment passes the LDNOOBW
+#: ("List of Dirty, Naughty, Obscene or Otherwise Bad Words") list.
+C4_DEMO_BADWORDS = ("xxbadwordxx",)
+
+
+def _keep_line(min_line_words: int) -> callable:
+    def keep(l: Column) -> Column:
+        return (
+            l.rlike('[.!?"]$')
+            & (F.size(F.split(l, " ")) >= min_line_words)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    return keep
+
+
+def c4_clean(
+    docs: DataFrame,
+    min_line_words: int = 5,
+    min_lines: int = 3,
+    badwords: tuple = C4_DEMO_BADWORDS,
+) -> DataFrame:
+    """Apply the C4 cleaning rules to a ``(doc_id, text)`` frame whose
+    ``text`` carries ``\\n`` line breaks.
+
+    Returns one row per input doc: ``doc_id, n_lines, n_kept, has_badword,
+    has_lorem, has_brace, c4_pass, text_clean`` — ``text_clean`` is the
+    surviving lines rejoined with ``\\n`` when the page passes, else ``''``
+    (every doc is kept as a row so the drop *reasons* stay auditable;
+    filtering to survivors is one ``WHERE c4_pass``).
+    """
+    lines = F.split(F.col("text"), "\n")
+    kept = F.filter(lines, _keep_line(min_line_words))
+    low = F.lower(F.col("text"))
+    bad_re = "(^|[^a-z0-9])(" + "|".join(badwords) + ")($|[^a-z0-9])"
+    has_badword = low.rlike(bad_re)
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    page_ok = (
+        (F.size(kept) >= min_lines) & ~has_badword & ~has_lorem & ~has_brace
+    )
+    return docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        has_badword.alias("has_badword"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        page_ok.alias("c4_pass"),
+        F.when(page_ok, F.concat_ws("\n", kept)).otherwise("").alias("text_clean"),
+    )
+
+
+def with_synthetic_lines(docs: DataFrame, width: int = 8) -> DataFrame:
+    """Deterministically re-line the single-line synthetic corpus so every
+    C4 rule branch has work to do (the driver's ``documents.text`` is one
+    whitespace-normalized line — no line structure survives extraction).
+
+    Lines are consecutive ``width``-token chunks; line ``i`` of doc ``d``
+    gets terminal punctuation cycling ``['.', '!', '?', ''][(d+i) % 4]``
+    (the ``''`` case exercises the terminal-punct drop) and a leading
+    ``javascript `` word when ``(d+i) % 7 == 0``. Page-level injections:
+    ``lorem ipsum`` line when ``d % 11 == 0``, a curly-brace line when
+    ``d % 13 == 0``, a blocklist word when ``d % 17 == 0``. Purely
+    arithmetic on (doc_id, token index) → exactly reproducible in any
+    engine; the DuckDB oracle builds the identical strings.
+    """
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / width).cast("int")
+    punct = F.array(F.lit("."), F.lit("!"), F.lit("?"), F.lit(""))
+    d = F.col("doc_id")
+
+    def line(i: Column) -> Column:
+        return F.concat(
+            F.when((d + i) % 7 == 0, F.lit("javascript ")).otherwise(""),
+            F.concat_ws(" ", F.slice(toks, i * width + 1, width)),
+            F.get(punct, ((d + i) % 4).cast("int")),
+        )
+
+    base = F.transform(F.sequence(F.lit(0), n_lines - 1), line)
+    extras = F.filter(
+        F.array(
+            F.when(d % 11 == 0, F.lit("lorem ipsum dolor sit amet.")),
+            F.when(d % 13 == 0, F.lit("config block { not prose } here.")),
+            F.when(d % 17 == 0, F.lit("xxbadwordxx spam spam spam spam.")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return docs.withColumn("text", F.concat_ws("\n", F.concat(base, extras)))

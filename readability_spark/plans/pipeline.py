@@ -346,3 +346,69 @@ def pack_by_token_budget_binned(
         .filter(F.col("cum_tokens") <= budget_tokens)
         .select(group_col, "doc_id", "quality", "n_tokens", "cum_tokens")
     )
+
+
+def pack_into_sequences(
+    docs: "DataFrame", seq_len: int = 512, bucket_span: int = 32
+):
+    """Concatenate-and-cut sequence packing (the GPT/T5 training-prep step):
+    lay every document's tokens end-to-end in deterministic ``doc_id`` order
+    and cut fixed ``seq_len``-token training sequences; emit each doc's
+    global token offset and the sequence ids it spans.
+
+    Returns ``(doc_id, n_tokens, start_off, seq_first, seq_last, n_seqs)``.
+
+    The naive plan is one running sum over the TOTAL document order — a
+    single-partition window, the classic scale-killer. This computes the
+    IDENTICAL integers as a two-phase distributed prefix sum:
+
+    1. per-range-bucket token totals (``doc_id div bucket_span`` — a
+       map-side-combined groupBy);
+    2. bucket base offsets: running sum over the *totals table* (its row
+       count is n_docs / bucket_span — the one unpartitioned window runs
+       over that bounded table, never over docs; size bucket_span so this
+       stays ~10^5-10^6 rows at any corpus);
+    3. intra-bucket running sums, parallel across buckets, joined to the
+       broadcast bucket offsets.
+
+    Everything is integer arithmetic (``div``, ``%``) — exact at any scale,
+    no float drift — so the two-phase result is bit-identical to the naive
+    global window (pinned in tests/test_sampling.py) and to the SQL oracle.
+    Docs are assumed non-empty (``n_tokens`` floored at 1).
+    """
+    from pyspark.sql.window import Window
+
+    n_tok = F.greatest(F.size(F.split("text", " ")), F.lit(1))
+    base = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.expr(f"doc_id div {int(bucket_span)}").alias("pbucket"),
+    )
+    totals = base.groupBy("pbucket").agg(F.sum("n_tokens").alias("btok"))
+    wb = Window.orderBy("pbucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pbucket", F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("boff")
+    )
+    wi = (
+        Window.partitionBy("pbucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("boff") + F.coalesce(F.sum("n_tokens").over(wi), F.lit(0))
+    out = (
+        base.join(F.broadcast(offsets), "pbucket")
+        .withColumn("start_off", start)
+        .withColumn("seq_first", F.expr(f"start_off div {int(seq_len)}"))
+        .withColumn(
+            "seq_last",
+            F.expr(f"(start_off + n_tokens - 1) div {int(seq_len)}"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("start_off").cast("bigint").alias("start_off"),
+        F.col("seq_first").cast("bigint").alias("seq_first"),
+        F.col("seq_last").cast("bigint").alias("seq_last"),
+        (F.col("seq_last") - F.col("seq_first") + 1).cast("int").alias("n_seqs"),
+    )

@@ -155,3 +155,60 @@ def test_pack_binned_sorts_per_bin_not_per_group(spark):
         r"Window \[[^\n]*", plan
     )
     assert any("bin" in w and "lang" in w for w in win_specs), plan
+
+
+def test_sequence_pack_two_phase_equals_naive(spark):
+    """The two-phase distributed prefix sum must reproduce the naive global
+    running sum bit-for-bit (pure integer arithmetic), at any bucket_span,
+    and docs must tile the token stream with no gaps or overlaps."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from readability_spark.plans.pipeline import pack_into_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = (
+        docs.select(
+            "doc_id",
+            F.greatest(F.size(F.split("text", " ")), F.lit(1)).alias("n_tokens"),
+        )
+        .withColumn("start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .collect()
+    )
+    want = {r["doc_id"]: (r["n_tokens"], r["start_off"]) for r in naive}
+    for span in (1, 7, 32, 10_000):
+        got = pack_into_sequences(docs, seq_len=512, bucket_span=span).collect()
+        assert len(got) == len(want)
+        for r in got:
+            n, off = want[r["doc_id"]]
+            assert (r["n_tokens"], r["start_off"]) == (n, off), (span, r)
+            assert r["seq_first"] == off // 512
+            assert r["seq_last"] == (off + n - 1) // 512
+            assert r["n_seqs"] == r["seq_last"] - r["seq_first"] + 1
+    # tiling: sorted offsets are exactly the cumulative token boundaries
+    rows = sorted(((off, n) for n, off in want.values()))
+    pos = 0
+    for off, n in rows:
+        assert off == pos
+        pos += n
+
+
+def test_sequence_pack_windows_are_bucket_partitioned(spark):
+    """Plan shape: the doc-level window partitions on pbucket (bounded
+    sort); only the tiny totals table sees an unpartitioned window."""
+    from readability_spark.plans.pipeline import pack_into_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = (
+        pack_into_sequences(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    import re
+
+    wins = re.findall(r"Window \[[^\n]*", plan)
+    doc_wins = [w for w in wins if "n_tokens" in w and "doc_id" in w]
+    assert doc_wins and all("pbucket" in w for w in doc_wins), plan
