@@ -22,15 +22,21 @@ import zipfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# N=4 vs 4N=16: the measured machine (32-core cloud VM) cannot deliver 4x
-# from 8->32 cores for ANY workload — a pure-arithmetic multiprocessing
-# probe with zero memory traffic scales at only 0.79 efficiency 8->32
-# (hypervisor/all-core frequency ceiling), vs 0.94 for 4->16. The cluster
-# proxy must therefore compare core counts the hardware can actually
-# scale across; 4 vs 16 keeps the top config at half the machine, the
-# regime a real multi-node cluster (separate memory buses per node) is in.
-N_SMALL = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
-N_BIG = 4 * N_SMALL
+# Which N-vs-4N pairs to measure (comma-separated Ns). The 32-core VM
+# cannot deliver 4x from 8->32 cores for ANY workload — a pure-arithmetic
+# multiprocessing probe with zero memory traffic scales at only 0.79
+# efficiency 8->32 (hypervisor/all-core frequency ceiling), vs 0.94 for
+# 4->16 — so the top config must stay at <= half the machine. Default
+# measures BOTH 2v8 and 4v16: 2v8 keeps the top config at a quarter of
+# the box (the per-core memory bandwidth a real cluster node has), 4v16
+# stresses the shared-bus regime; BENCH/BASELINE.md reports both against
+# the no-framework ceiling probe (scripts/ceiling_probe.py).
+N_LIST = [
+    int(x)
+    for x in os.environ.get(
+        "SPARK_GRAFT_SCALE_NS", os.environ.get("SPARK_GRAFT_SCALE_N", "2,4")
+    ).split(",")
+]
 REPLICATION = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "300"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -48,6 +54,24 @@ def make_zip(tmp: str) -> str:
 
 
 MAX_PAGE_BYTES = int(os.environ.get("SPARK_GRAFT_SCALE_MAXPAGE", "300000"))
+
+# No-framework scaling ceilings of THIS VM (scripts/ceiling_probe.py: the
+# identical extraction code under plain pinned multiprocessing — no Spark,
+# no JVM, no shuffle). Keyed by (corpus, n_small) for the n_small -> 4n
+# pair. Re-measure when the per-doc cost changes: faster per-doc code is
+# more memory-bandwidth-bound, which LOWERS the ceiling.
+CEILINGS = {
+    ("real", 2): 0.916,
+    ("real", 4): 0.79,
+    ("synthetic", 4): 0.87,
+}
+
+
+def _ceiling_ratio(pair: dict, corpus: str):
+    c = CEILINGS.get((corpus, pair["n_small"]))
+    if not c:
+        return "—"
+    return f"{round(100.0 * pair['efficiency'] / c)}%"
 
 
 CORPUS = os.environ.get("SPARK_GRAFT_SCALE_CORPUS", "real")
@@ -225,9 +249,18 @@ def main() -> int:
         import time as _time
 
         _time.sleep(2)
-        results = {}
         trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
         quarters = [os.path.join(os.path.dirname(input_path), f"pages_q{i}") for i in range(4)]
+        model = os.environ.get("SPARK_GRAFT_SCALE_MODEL", "jvm")
+
+        def measure(cpus: int, n_execs: int, cores_each: int, inputs: list) -> dict:
+            best = None
+            for _ in range(trials):
+                m = run_config(n_execs, cores_each, zpath, inputs, tmp, f"c{cpus}")
+                if best is None or m["docs_per_sec"] > best["docs_per_sec"]:
+                    best = m
+            return best
+
         # Two ways to model the 4N-core cluster; both were measured:
         # - "jvm" (default): one local[4N] process. Shares one scan/shuffle/
         #   page cache across slots — the amortization a bigger executor
@@ -238,46 +271,66 @@ def main() -> int:
         #   executor pays full fixed costs on a quarter-length wall and the
         #   4 concurrent scans/shuffles contend on the single local disk —
         #   on a real cluster each node brings its own disk.
-        if os.environ.get("SPARK_GRAFT_SCALE_MODEL", "jvm") == "executors":
-            configs = {
-                N_SMALL: (1, N_SMALL, [input_path]),
-                N_BIG: (4, N_SMALL, quarters),
-            }
-        else:
-            configs = {
-                N_SMALL: (1, N_SMALL, [input_path]),
-                N_BIG: (1, N_BIG, [input_path]),
-            }
-        for cpus, (n_execs, cores_each, inputs) in configs.items():
-            best = None
-            for _ in range(trials):
-                m = run_config(n_execs, cores_each, zpath, inputs, tmp, f"c{cpus}")
-                if best is None or m["docs_per_sec"] > best["docs_per_sec"]:
-                    best = m
-            results[cpus] = best
-        thr_small = results[N_SMALL]["docs_per_sec"]
-        thr_big = results[N_BIG]["docs_per_sec"]
-        efficiency = round((thr_big / thr_small) / (N_BIG / N_SMALL), 3)
-        model = os.environ.get("SPARK_GRAFT_SCALE_MODEL", "jvm")
-        big_label = (
-            f"4 executors x local[{N_SMALL}] ({N_BIG} cores, disjoint url-hash quarters, concurrent)"
-            if model == "executors"
-            else f"local[{N_BIG}] ({N_BIG} cores)"
-        )
+        measured = {}  # cpus -> best metrics (shared across pairs)
+        pairs = []
+        for n_small in sorted(N_LIST):
+            n_big = 4 * n_small
+            if n_small not in measured:
+                measured[n_small] = measure(n_small, 1, n_small, [input_path])
+            if n_big not in measured:
+                if model == "executors":
+                    measured[n_big] = measure(n_big, 4, n_small, quarters)
+                else:
+                    measured[n_big] = measure(n_big, 1, n_big, [input_path])
+            thr_s = measured[n_small]["docs_per_sec"]
+            thr_b = measured[n_big]["docs_per_sec"]
+            pairs.append(
+                {
+                    "n_small": n_small,
+                    "n_big": n_big,
+                    "docs_per_sec_small": thr_s,
+                    "docs_per_sec_big": thr_b,
+                    "wall_small_sec": measured[n_small]["wall_sec"],
+                    "wall_big_sec": measured[n_big]["wall_sec"],
+                    "efficiency": round((thr_b / thr_s) / 4, 3),
+                }
+            )
+        # North-rule headline: the N=4 pair when measured, else the
+        # smallest N. 4 cores is the standard Spark executor size (the
+        # tuning guide's 4-5 cores per executor), so 4 vs 16 models "one
+        # executor vs four executors" — the same pair every prior round
+        # reported. Other pairs are diagnostics against the no-framework
+        # ceiling.
+        head = next((p for p in pairs if p["n_small"] == 4), pairs[0])
+        efficiency = head["efficiency"]
         summary = {
             "metric": "extraction scaling efficiency at N vs 4N cores (pinned)",
             "model": model,
             "n_docs": n_docs,
-            "n_small": N_SMALL,
-            "n_big": N_BIG,
-            "docs_per_sec_small": thr_small,
-            "docs_per_sec_big": thr_big,
-            "wall_small_sec": results[N_SMALL]["wall_sec"],
-            "wall_big_sec": results[N_BIG]["wall_sec"],
+            "pairs": pairs,
+            "n_small": head["n_small"],
+            "n_big": head["n_big"],
+            "docs_per_sec_small": head["docs_per_sec_small"],
+            "docs_per_sec_big": head["docs_per_sec_big"],
             "efficiency": efficiency,
             "target": 0.8,
             "pass": efficiency >= 0.8,
         }
+        corpus_desc = (
+            "golden-page corpus (127 reference pages replicated, ~100 KB/page)"
+            if CORPUS == "real"
+            else f"BASELINE.json input_hint-shaped synthetic table from {SF_DIR} (~4 KB pages)"
+        )
+        config_rows = "\n".join(
+            f"| local[{c}] ({c} cores, full input) | {m['wall_sec']} | {m['docs_per_sec']} |"
+            for c, m in sorted(measured.items())
+        )
+        pair_rows = "\n".join(
+            f"| {p['n_small']} -> {p['n_big']} cores | {p['efficiency']} "
+            f"| {CEILINGS.get((CORPUS, p['n_small']), '—')} "
+            f"| {_ceiling_ratio(p, CORPUS)} |"
+            for p in pairs
+        )
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
             f.write(
@@ -286,18 +339,35 @@ def main() -> int:
 ## Scaling efficiency (north-rule criterion, sandbox proxy)
 
 Same `spark-submit --py-files readability_spark.zip` extraction job
-(scan -> salted url-hash bucket repartition -> mapInPandas extraction ->
-bucket-partitioned parquet write + manifest), same {n_docs}-page
-Common-Crawl-shaped input synthesized from {SF_DIR}, at two cluster sizes
-modeled as executors:
+(scan -> mapInPandas extraction on scan splits -> ONE bucket-aligned
+shuffle of the extracted rows -> bucket-partitioned parquet write +
+manifest), same {n_docs}-page {corpus_desc}, pinned at each core budget:
 
 | config | wall (s) | throughput (docs/sec) |
 |---|---|---|
-| local[{N_SMALL}] ({N_SMALL} cores, full input) | {results[N_SMALL]['wall_sec']} | {thr_small} |
-| {big_label} | {results[N_BIG]['wall_sec']} | {thr_big} |
+{config_rows}
 
-**Scaling efficiency (thr_{N_BIG} / thr_{N_SMALL}) / {N_BIG // N_SMALL} = {efficiency}**
-(target >= 0.8: {"PASS" if efficiency >= 0.8 else "FAIL"})
+| N -> 4N pair | efficiency | no-framework ceiling | % of ceiling |
+|---|---|---|---|
+{pair_rows}
+
+**North-rule criterion (N={head['n_small']} vs 4N={head['n_big']}):
+efficiency = {efficiency}** (target >= 0.8: {"PASS" if efficiency >= 0.8 else "FAIL"})
+
+The headline pair models the cluster-size comparison at the standard
+Spark executor granularity (the tuning guide's 4-5 cores per executor):
+N = one 4-core executor vs 4N = four, i.e. pinned local[4] vs local[16]
+— the same pair every prior round reported. The 2->8 pair is also
+measured as a diagnostic: its top config stays at a quarter of the box
+(more per-core memory bandwidth, like a real node), but its 2-core
+small config pays the job's fixed costs (scan open, shuffle setup,
+Arrow batch warmup) on the narrowest budget, which depresses the
+apparent efficiency. Both are judged against the no-framework ceiling
+(identical extraction code under plain pinned multiprocessing, no
+Spark/JVM/shuffle — `scripts/ceiling_probe.py`); the %-of-ceiling
+column shows how much of the machine's own limit the pipeline
+captures (it can exceed 100% when Spark's fixed costs bind the small
+config harder than the kernel's bandwidth wall binds the big one).
 
 Methodology (`scripts/bench_scaling.py`; JVM startup excluded — the
 job-internal wall is what's timed):
@@ -313,26 +383,19 @@ job-internal wall is what's timed):
 - **CPU pinning.** Every executor process tree is pinned with `taskset -c`
   to exactly its core budget; unpinned, a small run borrows idle cores for
   GC/IO threads and python workers, inflating its throughput.
-- **N={N_SMALL} vs 4N={N_BIG} rather than 8 vs 32**: this 32-core VM cannot
-  deliver 4x from 8->32 cores for ANY workload — a pure-arithmetic
-  multiprocessing probe with zero memory traffic measures only 0.79
-  efficiency 8->32 (hypervisor/all-core-frequency ceiling) vs 0.94 for
-  4->16. The top configuration must stay at half the machine, the regime a
-  real multi-node cluster (one memory bus + local disks per node) is in.
-- **Corpus.** Default is the BASELINE.json input_hint-shaped synthetic
-  table (~4 KB pages). On the real golden-page corpus (~100 KB pages) the
-  VM's memory bandwidth is the binding limit: a Spark-free multiprocessing
-  probe of the identical extraction code scales at only 0.79 from 4->16
-  cores there, so no pipeline can beat ~0.79 on that corpus on this box
-  (SPARK_GRAFT_SCALE_CORPUS=real reproduces it; a real cluster adds a
-  memory bus per node and does not have this wall).
+- **Never 8 vs 32**: this 32-core VM cannot deliver 4x from 8->32 cores
+  for ANY workload — a pure-arithmetic multiprocessing probe with zero
+  memory traffic measures only 0.79 efficiency 8->32
+  (hypervisor/all-core-frequency ceiling) vs 0.94 for 4->16. The top
+  configuration must stay at <= half the machine.
 - Best of {trials} trials per configuration; input prep runs in a separate
   subprocess and stray JVMs are reaped so nothing competes with the
   pinned runs.
-- **Plan note.** The salted repartition keys on the url-hash checkpoint
-  bucket, so the bucket-partitioned write needs no second shuffle (the
-  prior two-shuffle plan measured 0.63 single-JVM efficiency vs 0.74
-  after merging).
+- **Plan note.** Extraction runs data-local on the byte-balanced scan
+  splits; the single shuffle carries only extracted rows (~30x fewer
+  bytes than pre-extraction repartitioning) and its key IS the checkpoint
+  bucket, so the partitioned write adds no second shuffle. A two-shuffle
+  plan measured 0.63 efficiency 4->16 vs 0.82 single-shuffle.
 """
             )
         print(json.dumps(summary))
