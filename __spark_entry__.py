@@ -373,6 +373,13 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_embeddings(spark, sf_dir))
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.semdedup import semdedup
+    from readability_spark.operators.similarity import load_embeddings
+
+    return semdedup(load_embeddings(spark, sf_dir))
+
+
 def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.sampling import stratified_sample
 
@@ -385,6 +392,13 @@ def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.plans.pipeline import pack_into_sequences
 
     return pack_into_sequences(_docs(spark, sf_dir))
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.dsir import demo_raw, demo_target, dsir_select
+
+    docs = _docs(spark, sf_dir)
+    return dsir_select(demo_raw(docs), demo_target(docs), k=100)
 
 
 def _q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -894,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": _q_corpus_sample,
         "corpus_pack": _q_corpus_pack,
         "corpus_sequence_pack": _q_sequence_pack,
+        "dsir_select": _q_dsir_select,
         "corpus_pack_binned": _q_corpus_pack_binned,
         "warc_ingest": _q_warc_ingest,
         "pdf_extract_text": _q_pdf_extract,
@@ -922,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "semdedup": _q_semdedup,
         "dedup_embedding_cosine": _q_embedding_near_dups,
         "media_metadata": _q_media_metadata,
         "media_frame_samples": _q_media_frames,
@@ -1678,6 +1694,62 @@ FROM o
 """
 
 
+def _dsir_oracle(
+    k: int = 100, n_buckets: int = 512, alpha: float = 0.1, seed: int = 7
+) -> str:
+    """Mirror of dsir.dsir_select over the demo split (target = doc_id%10==0,
+    raw = rest): hashed unigram+bigram bucket counts, add-alpha multinomial
+    models, per-doc log importance weight, md5-seeded Gumbel top-k."""
+    toks = "string_split(lower(text), ' ')"
+    feats = (
+        f"list_concat({toks}, "
+        f"list_transform(generate_series(1, len({toks}) - 1), "
+        f"i -> {toks}[i] || '_' || {toks}[i+1]))"
+    )
+    h32f = _h32_sql(tok="feat")
+    seed_tok = "'%d:' || doc_id::varchar" % seed
+    gu = f"(({_h32_sql(tok=seed_tok)}) + 0.5) / 4294967296.0"
+    denom_extra = alpha * n_buckets
+    return f"""
+WITH tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
+tf AS (
+  SELECT doc_id, ({h32f}) % {n_buckets} AS bucket, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({feats}) AS feat FROM tgt) GROUP BY 1, 2
+),
+rf AS (
+  SELECT doc_id, ({h32f}) % {n_buckets} AS bucket, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({feats}) AS feat FROM raw) GROUP BY 1, 2
+),
+tm AS (SELECT bucket, sum(cnt) AS c FROM tf GROUP BY 1),
+rm AS (SELECT bucket, sum(cnt) AS c FROM rf GROUP BY 1),
+tt AS (SELECT sum(c) AS tot FROM tm),
+rt AS (SELECT sum(c) AS tot FROM rm),
+model AS (
+  SELECT b.bucket,
+    ln((coalesce(tm.c, 0) + {alpha}) / (tt.tot + {denom_extra})) AS log_p,
+    ln((coalesce(rm.c, 0) + {alpha}) / (rt.tot + {denom_extra})) AS log_q
+  FROM (SELECT unnest(generate_series(0, {n_buckets - 1})) AS bucket) b
+  LEFT JOIN tm USING (bucket) LEFT JOIN rm USING (bucket), tt, rt
+),
+scored AS (
+  SELECT rf.doc_id, sum(cnt) AS n_feats, sum(cnt * (log_p - log_q)) AS logw
+  FROM rf JOIN model USING (bucket) GROUP BY 1
+),
+g AS (
+  SELECT doc_id, n_feats, logw, logw + (-ln(-ln({gu}))) AS gkey FROM scored
+),
+r AS (
+  SELECT doc_id, n_feats, logw, gkey,
+         row_number() OVER (ORDER BY gkey DESC, doc_id ASC) AS rank
+  FROM g
+)
+SELECT doc_id, n_feats::bigint AS n_feats, {_r4("logw")} AS logw,
+       {_r4("gkey")} AS gkey, rank::int AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
 def _corpus_pack_oracle(budget: int = 600, group: str = "source") -> str:
     """Mirror of pipeline.pack_by_token_budget: quality-ordered running
     token sum per source, cut at the budget. The quality expression is the
@@ -2109,6 +2181,83 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
 """
 
 
+def _semdedup_oracle(
+    n_clusters: int = 16, threshold: float = 0.92, lloyd_iters: int = 2
+) -> str:
+    """Mirror of semdedup.semdedup: seeded initial centroids (same md5-nibble
+    PRNG as the LSH planes), ``lloyd_iters`` quantized Lloyd updates (1e-6
+    quantization makes the float means bit-stable across engines), final
+    cosine argmax assignment, and the one-shot within-cell suppression rule
+    (j drops i iff cos >= threshold and j precedes i by (cent_cos, vec_id))."""
+
+    def cos(v: str, c: str) -> str:
+        dot = (
+            f"list_sum(list_transform(generate_series(1, len({v})), "
+            f"i -> {v}[i]::double * {c}[i]))"
+        )
+        nv = f"sqrt(list_sum(list_transform({v}, x -> x::double * x::double)))"
+        nc = f"sqrt(list_sum(list_transform({c}, x -> x::double * x::double)))"
+        return f"({dot}) / (({nv}) * ({nc}))"
+
+    steps = [
+        f"c0 AS (SELECT plane_id AS centroid_id, p_emb AS c_emb FROM ({_planes_sql(n_clusters)}))"
+    ]
+    for i in range(lloyd_iters + 1):
+        steps.append(
+            f"""a{i} AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT v.vec_id, c.centroid_id AS cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY ({cos("v.embedding", "c.c_emb")}) DESC, c.centroid_id ASC) AS rn
+    FROM embeddings v, c{i} c) WHERE rn = 1
+)"""
+        )
+        if i == lloyd_iters:
+            break
+        steps.append(
+            f"""comp{i} AS (
+  SELECT cell, pos, floor(avg(embedding[pos]::double) * 1e6 + 0.5) / 1e6 AS q
+  FROM (SELECT a.cell, unnest(generate_series(1, len(v.embedding))) AS pos, v.embedding
+        FROM embeddings v JOIN a{i} a USING (vec_id))
+  GROUP BY cell, pos
+)"""
+        )
+        steps.append(
+            f"""c{i + 1} AS (
+  SELECT c.centroid_id, coalesce(n.new_emb, c.c_emb) AS c_emb
+  FROM c{i} c LEFT JOIN (
+    SELECT cell, list(q ORDER BY pos) AS new_emb FROM comp{i} GROUP BY cell
+  ) n ON n.cell = c.centroid_id
+)"""
+        )
+    last = lloyd_iters
+    steps.append(
+        f"""scored AS (
+  SELECT v.vec_id, a.cell, v.embedding,
+         ({cos("v.embedding", "c.c_emb")}) AS cent_cos
+  FROM embeddings v JOIN a{last} a USING (vec_id)
+  JOIN c{last} c ON c.centroid_id = a.cell
+)"""
+    )
+    steps.append(
+        f"""sup AS (
+  SELECT DISTINCT a.vec_id
+  FROM scored a JOIN scored b
+    ON a.cell = b.cell AND a.vec_id != b.vec_id
+   AND (b.cent_cos < a.cent_cos
+        OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id))
+  WHERE ({cos("a.embedding", "b.embedding")}) >= {threshold}
+)"""
+    )
+    chain = ",\n".join(steps)
+    return f"""
+WITH {chain}
+SELECT s.vec_id, s.cell, {_r4("s.cent_cos")} AS cent_cos,
+       (sup.vec_id IS NULL) AS is_kept
+FROM scored s LEFT JOIN sup ON sup.vec_id = s.vec_id
+"""
+
+
 _EN = "['the','a','of','and','to','in','is','it','on','for']"
 _ES = "['el','la','de','los','las','y','en','es','un','una']"
 _EN_HITS = f"len(list_filter(string_split(text,' '), x -> list_contains({_EN}, x)))"
@@ -2244,6 +2393,7 @@ SELECT source AS host, doc_id, n_chars, rn::int AS rk FROM (
         "corpus_sample": _corpus_sample_oracle(),
         "corpus_pack": _corpus_pack_oracle(),
         "corpus_sequence_pack": _sequence_pack_oracle(),
+        "dsir_select": _dsir_oracle(),
         # binned variant returns the IDENTICAL set (see pipeline.py docstring),
         # so its oracle is the same greedy SQL over the lang grouping
         "corpus_pack_binned": _corpus_pack_oracle(budget=1500, group="lang"),
@@ -2285,6 +2435,7 @@ FROM documents
         "quality_classifier": _classifier_oracle(),
         "lm_perplexity": _lm_perplexity_oracle(head_max=29.0, middle_max=30.5),
         "ann_ivf_topk": _ann_ivf_oracle(),
+        "semdedup": _semdedup_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_clusters": _clusters_oracle(),
         "dedup_simhash": _simhash_oracle(),

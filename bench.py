@@ -108,6 +108,8 @@ def main() -> int:
         "text_gopher_rules",
         "text_c4_clean",
         "corpus_sequence_pack",
+        "dsir_select",
+        "semdedup",
         "decontaminate",
         "chunk_dedup",
         "pii_scrub",

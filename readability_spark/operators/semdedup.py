@@ -1,0 +1,174 @@
+"""SemDeDup — semantic deduplication via embedding clustering (Abbas et
+al. 2023, arXiv:2303.09540).
+
+The published pipeline: k-means-cluster the document embeddings, then
+within each cluster find groups of semantic duplicates (pairwise cosine
+above a threshold) and keep, per group, the example with the LOWEST cosine
+similarity to the cluster centroid (the most "marginal" exemplar — the
+paper found it beats keeping random or most-central). Pruning 50%+ of
+LAION/C4 this way preserved or improved downstream accuracy.
+
+Semantics implemented here (the standard one-shot distributed variant): a
+vector ``i`` is dropped iff some ``j`` in the same cluster has
+``cos(i, j) >= threshold`` and ``j`` precedes ``i`` in keep-priority order
+(lower centroid-cosine first, then lower ``vec_id``). The per-group
+minimum-centroid-cosine member is never suppressed, matching the paper's
+keep rule; the one-shot rule is deliberately non-iterative — the greedy
+chain variant (only *kept* items suppress) serializes on the cluster and
+cannot be expressed as a join.
+
+Determinism / oracle story:
+- initial centroids are the seeded md5-nibble pseudo-random vectors of
+  :func:`~readability_spark.operators.similarity.seeded_centroids`;
+- each Lloyd update QUANTIZES the new centroid components to 1e-6
+  (``floor(m * 1e6 + 0.5) / 1e6``): float mean drift between engines is
+  ~1e-12, so quantization makes the iteration bit-stable and the whole
+  pipeline exactly reproducible in the DuckDB oracle;
+- empty clusters keep their previous centroid (both engines).
+
+Scale shape (10^9+ vectors, the paper's regime):
+- every Lloyd iteration is one scan: assignment joins the **broadcast**
+  centroid table (k x d doubles — KB to MB for any practical k) and
+  reduces with a map-side-combined ``max_by``; the update is a
+  ``groupBy(cell, pos)`` average whose shuffle carries (int, int, double)
+  rows — k*d result rows regardless of corpus size;
+- the within-cluster pair join is the only quadratic term, O(sum c_i^2);
+  the paper sizes k so clusters stay bounded (~n/k docs each; they use
+  50k clusters for 100M+ docs — k grows linearly with n, cluster size
+  stays constant, so the join is linear in n with a constant factor of
+  cluster size). Skewed giant clusters are the operational risk: cap them
+  with the same salted two-phase top-k used by ``domain_top_k`` or split
+  on a second-level clustering — documented in docs/SCALE.md;
+- suppression is an EXISTS — expressed as a left-semi join on the pair
+  table, no distinct materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from readability_spark.operators.dedup import round4
+from readability_spark.operators.similarity import (
+    DEFAULT_PLANE_SEED,
+    _dot,
+    _infer_dim,
+    _norm,
+    seeded_centroids,
+)
+
+
+def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): highest-cosine centroid, ties to the lowest id —
+    same argmax as similarity.ivf_assign (one broadcast join + map-side
+    combined max_by)."""
+    scored = emb.join(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        (
+            _dot(F.col("embedding"), F.col("c_emb"))
+            / (_norm(F.col("embedding")) * _norm(F.col("c_emb")))
+        ).alias("cos"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("centroid_id"),
+            F.struct(F.col("cos"), (-F.col("centroid_id")).alias("nid")),
+        ).alias("cell")
+    )
+
+
+def _lloyd_update(emb: DataFrame, assign: DataFrame, cents: DataFrame) -> DataFrame:
+    """New centroid = per-cell component mean, quantized to 1e-6; empty
+    cells keep the previous centroid. Shuffle carries (cell, pos, double)
+    rows; the result is k x d — broadcast-sized at any corpus scale."""
+    comp = (
+        emb.join(assign, "vec_id")
+        .select("cell", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+    )
+    arrs = comp.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: F.floor(s.m * 1e6 + 0.5) / 1e6,
+        ).alias("new_emb")
+    )
+    return (
+        cents.join(arrs, cents.centroid_id == arrs.cell, "left")
+        .select(
+            "centroid_id",
+            F.coalesce(F.col("new_emb"), F.col("c_emb")).alias("c_emb"),
+        )
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.92,
+    lloyd_iters: int = 2,
+    seed: int = DEFAULT_PLANE_SEED,
+) -> DataFrame:
+    """Run SemDeDup over ``(vec_id, embedding)``.
+
+    Returns one row per vector — ``(vec_id, cell, cent_cos, is_kept)`` —
+    so drop decisions stay auditable; the corpus filter is one
+    ``WHERE is_kept``. ``cent_cos`` is the vector's cosine to its final
+    cluster centroid (round4 for engine-portable comparison; the keep
+    ordering uses the unrounded value, ties broken by ``vec_id``).
+    """
+    spark = emb.sparkSession
+    cents = seeded_centroids(spark, n_clusters, _infer_dim(emb), seed)
+    for _ in range(lloyd_iters):
+        cents = _lloyd_update(emb, _assign(emb, cents), cents)
+    assign = _assign(emb, cents)
+    scored = (
+        emb.join(assign, "vec_id")
+        .join(
+            F.broadcast(cents), F.col("cell") == F.col("centroid_id")
+        )
+        .select(
+            "vec_id",
+            "cell",
+            "embedding",
+            (
+                _dot(F.col("embedding"), F.col("c_emb"))
+                / (_norm(F.col("embedding")) * _norm(F.col("c_emb")))
+            ).alias("cent_cos"),
+        )
+    )
+    a = scored.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cell").alias("cell_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("cent_cos").alias("cc_a"),
+    )
+    b = scored.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("cent_cos").alias("cc_b"),
+    )
+    # j (=b side) suppresses i (=a side): same cell, cos >= threshold, and
+    # j precedes i in keep-priority (lower centroid-cos, then lower id).
+    suppressed = (
+        a.join(b, (F.col("cell_a") == F.col("cell_b")) & (F.col("id_a") != F.col("id_b")))
+        .filter(
+            (F.col("cc_b") < F.col("cc_a"))
+            | ((F.col("cc_b") == F.col("cc_a")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .filter(
+            _dot(F.col("emb_a"), F.col("emb_b"))
+            / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
+            >= threshold
+        )
+        .select(F.col("id_a").alias("vec_id"))
+    )
+    sup = suppressed.distinct().withColumn("_sup", F.lit(True))
+    return scored.join(sup, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        round4(F.col("cent_cos")).alias("cent_cos"),
+        F.col("_sup").isNull().alias("is_kept"),
+    )
