@@ -373,6 +373,12 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_embeddings(spark, sf_dir))
 
 
+def _q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.imaging import image_pixel_stats, synthesize_images
+
+    return image_pixel_stats(synthesize_images(_docs(spark, sf_dir)))
+
+
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.semdedup import semdedup
     from readability_spark.operators.similarity import load_embeddings
@@ -938,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "semdedup": _q_semdedup,
+        "image_pixel_stats": _q_image_pixel_stats,
         "dedup_embedding_cosine": _q_embedding_near_dups,
         "media_metadata": _q_media_metadata,
         "media_frame_samples": _q_media_frames,
@@ -2258,6 +2265,42 @@ FROM scored s LEFT JOIN sup ON sup.vec_id = s.vec_id
 """
 
 
+def _image_pixel_stats_oracle(max_w: int = 40, max_h: int = 30) -> str:
+    """Mirror of imaging.image_pixel_stats — but computed from the closed-form
+    synthesized pixel (doc_id*7 + x*3 + y*5) % 256, never from bytes: the
+    Spark side must reach the same numbers through a real PNG encode → zlib
+    inflate → per-row unfilter round trip. All means are exact-integer sums
+    divided once, so the aHash threshold comparison is engine-stable."""
+    return f"""
+WITH dims AS (
+  SELECT doc_id, doc_id % {max_w} + 1 AS w, doc_id % {max_h} + 1 AS h FROM documents
+),
+pxy AS (SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS y FROM dims),
+px AS (SELECT doc_id, w, h, y, unnest(generate_series(0, w - 1)) AS x FROM pxy),
+v AS (SELECT doc_id, w, h, x, y, (doc_id * 7 + x * 3 + y * 5) % 256 AS v FROM px),
+stats AS (
+  SELECT doc_id, any_value(w) AS w, any_value(h) AS h, count(*) AS n_px,
+         sum(v)::double / count(*) AS m, min(v) AS px_min, max(v) AS px_max
+  FROM v GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, ((y * 8) // h) * 8 + (x * 8) // w AS b,
+         sum(v)::double / count(*) AS bm
+  FROM v GROUP BY doc_id, ((y * 8) // h) * 8 + (x * 8) // w
+),
+ah AS (
+  SELECT b.doc_id,
+         sum(CASE WHEN b.b >= 32 AND b.bm > s.m THEN (1::bigint << (b.b - 32)) ELSE 0 END) AS hi,
+         sum(CASE WHEN b.b < 32 AND b.bm > s.m THEN (1::bigint << b.b) ELSE 0 END) AS lo
+  FROM blocks b JOIN stats s USING (doc_id) GROUP BY b.doc_id
+)
+SELECT s.doc_id, s.w::int AS width, s.h::int AS height, s.n_px::bigint AS n_px,
+       s.m AS px_mean, s.px_min::int AS px_min, s.px_max::int AS px_max,
+       ah.hi::bigint AS ahash_hi, ah.lo::bigint AS ahash_lo, TRUE AS ok
+FROM stats s JOIN ah ON ah.doc_id = s.doc_id
+"""
+
+
 _EN = "['the','a','of','and','to','in','is','it','on','for']"
 _ES = "['el','la','de','los','las','y','en','es','un','una']"
 _EN_HITS = f"len(list_filter(string_split(text,' '), x -> list_contains({_EN}, x)))"
@@ -2436,6 +2479,7 @@ FROM documents
         "lm_perplexity": _lm_perplexity_oracle(head_max=29.0, middle_max=30.5),
         "ann_ivf_topk": _ann_ivf_oracle(),
         "semdedup": _semdedup_oracle(),
+        "image_pixel_stats": _image_pixel_stats_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_clusters": _clusters_oracle(),
         "dedup_simhash": _simhash_oracle(),

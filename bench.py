@@ -110,6 +110,7 @@ def main() -> int:
         "corpus_sequence_pack",
         "dsir_select",
         "semdedup",
+        "image_pixel_stats",
         "decontaminate",
         "chunk_dedup",
         "pii_scrub",

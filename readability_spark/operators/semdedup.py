@@ -122,6 +122,11 @@ def semdedup(
     cents = seeded_centroids(spark, n_clusters, _infer_dim(emb), seed)
     for _ in range(lloyd_iters):
         cents = _lloyd_update(emb, _assign(emb, cents), cents)
+    # The final centroid table is k x d — tiny. Cutting its lineage here
+    # stops every downstream branch (assignment, scoring, both sides of the
+    # pair join) from re-running the whole Lloyd iteration chain; results
+    # are unchanged because the quantized updates are bit-stable anyway.
+    cents = cents.localCheckpoint()
     assign = _assign(emb, cents)
     scored = (
         emb.join(assign, "vec_id")

@@ -1,0 +1,133 @@
+"""PNG pixel codec: the encode → decode round trip must be lossless across
+all five PNG filter types, corruption must be detected (CRC), and the Spark
+pixel-stats operator must reproduce stats computed independently from the
+closed-form pixel formula — without any shuffle in the plan."""
+
+import struct
+import zlib
+
+import pytest
+
+from readability_spark.operators.imaging import (
+    _ahash,
+    build_png_gray,
+    decode_png_gray,
+    image_pixel_stats,
+    synth_dims,
+    synth_pixel,
+    synthesize_images,
+)
+
+
+def _rows(doc_id, w, h):
+    return [bytes(synth_pixel(doc_id, x, y) for x in range(w)) for y in range(h)]
+
+
+@pytest.mark.parametrize(
+    "w,h", [(1, 1), (1, 7), (7, 1), (3, 5), (8, 8), (40, 30), (13, 11)]
+)
+def test_png_roundtrip_all_filters(w, h):
+    rows = _rows(99, w, h)
+    blob = build_png_gray(w, h, rows)
+    gw, gh, px = decode_png_gray(blob)
+    assert (gw, gh) == (w, h)
+    assert bytes(px) == b"".join(rows)
+    if h >= 5:  # every filter type appeared (y % 5 cycling)
+        raw = zlib.decompress(
+            blob[blob.index(b"IDAT") + 4 : blob.rindex(b"IEND") - 8]
+        )
+        assert {raw[y * (w + 1)] for y in range(h)} == {0, 1, 2, 3, 4}
+
+
+def test_png_corruption_detected():
+    blob = bytearray(build_png_gray(5, 5, _rows(3, 5, 5)))
+    idat_body = blob.index(b"IDAT") + 6
+    blob[idat_body] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_gray(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_png_gray(b"\x89PNG\r\n\x1a\njunk")
+
+
+def test_png_rejects_wrong_scanline_size():
+    # valid chunks but IDAT inflates to the wrong length
+    from readability_spark.operators.imaging import _chunk
+    from readability_spark.operators.multimodal import _PNG_SIG
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    blob = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 7))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="scanline"):
+        decode_png_gray(blob)
+
+
+def _py_ahash(doc_id, w, h):
+    """Independent aHash reference: plain double loops, no numpy."""
+    vals = [[synth_pixel(doc_id, x, y) for x in range(w)] for y in range(h)]
+    gmean = sum(map(sum, vals)) / (w * h)
+    bits = 0
+    for b in range(64):
+        block = [
+            vals[y][x]
+            for y in range(h)
+            for x in range(w)
+            if (y * 8) // h == b // 8 and (x * 8) // w == b % 8
+        ]
+        if block and sum(block) / len(block) > gmean:
+            bits |= 1 << b
+    return bits >> 32, bits & 0xFFFFFFFF
+
+
+@pytest.mark.parametrize("doc_id", [0, 7, 123, 4567])
+def test_ahash_matches_pure_python(doc_id):
+    import numpy as np
+
+    w, h = synth_dims(doc_id)
+    arr = np.array(
+        [[synth_pixel(doc_id, x, y) for x in range(w)] for y in range(h)],
+        dtype=np.uint8,
+    )
+    assert _ahash(arr, w, h) == _py_ahash(doc_id, w, h)
+
+
+def test_pixel_stats_matches_formula(spark):
+    docs = spark.createDataFrame([(i,) for i in (0, 5, 41, 137)], "doc_id long")
+    got = {r.doc_id: r for r in image_pixel_stats(synthesize_images(docs)).collect()}
+    for d in (0, 5, 41, 137):
+        w, h = synth_dims(d)
+        vals = [synth_pixel(d, x, y) for y in range(h) for x in range(w)]
+        r = got[d]
+        assert r.ok
+        assert (r.width, r.height, r.n_px) == (w, h, w * h)
+        assert r.px_mean == sum(vals) / (w * h)
+        assert (r.px_min, r.px_max) == (min(vals), max(vals))
+        assert (r.ahash_hi, r.ahash_lo) == _py_ahash(d, w, h)
+
+
+def test_pixel_stats_failure_isolation(spark):
+    import pandas as pd
+
+    good = build_png_gray(3, 2, _rows(1, 3, 2))
+    bad = bytearray(good)
+    bad[20] ^= 0x01  # corrupt IHDR field -> CRC mismatch
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "payload": [good, bytes(bad)]})
+    )
+    rows = {r.doc_id: r for r in image_pixel_stats(df).collect()}
+    assert rows[1].ok and rows[1].n_px == 6
+    assert not rows[2].ok and rows[2].n_px is None
+
+
+def test_pixel_stats_plan_has_no_shuffle(spark):
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    plan = (
+        image_pixel_stats(synthesize_images(docs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
