@@ -373,6 +373,12 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_embeddings(spark, sf_dir))
 
 
+def _q_audio_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.audio import audio_sample_stats, synthesize_audio
+
+    return audio_sample_stats(synthesize_audio(_docs(spark, sf_dir)))
+
+
 def _q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.imaging import image_pixel_stats, synthesize_images
 
@@ -945,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "semdedup": _q_semdedup,
         "image_pixel_stats": _q_image_pixel_stats,
+        "audio_sample_stats": _q_audio_sample_stats,
         "dedup_embedding_cosine": _q_embedding_near_dups,
         "media_metadata": _q_media_metadata,
         "media_frame_samples": _q_media_frames,
@@ -2301,6 +2308,35 @@ FROM stats s JOIN ah ON ah.doc_id = s.doc_id
 """
 
 
+def _audio_sample_stats_oracle(max_n: int = 400) -> str:
+    """Mirror of audio.audio_sample_stats from the closed-form sample
+    (doc_id*31 + i*17) % 65536 - 32768 — the Spark side must reach the same
+    numbers by parsing the RIFF container and decoding real PCM bytes. All
+    sums are exact integers; one division + one sqrt keeps doubles
+    engine-identical."""
+    return f"""
+WITH params AS (
+  SELECT doc_id, (8000 * (1 + doc_id % 3)) AS rate, doc_id % {max_n} + 50 AS n
+  FROM documents
+),
+idx AS (SELECT doc_id, rate, n, unnest(generate_series(0, n - 1)) AS i FROM params),
+v AS (
+  SELECT doc_id, rate, n, i,
+         (doc_id * 31 + i * 17) % 65536 - 32768 AS s,
+         (doc_id * 31 + (i + 1) * 17) % 65536 - 32768 AS s_next
+  FROM idx
+)
+SELECT doc_id, any_value(rate)::int AS sample_rate, count(*)::bigint AS n_samples,
+       sum(s)::double / count(*) AS amp_mean,
+       sqrt(sum(s * s)::double / count(*)) AS rms,
+       max(abs(s))::int AS peak,
+       sum(CASE WHEN i < n - 1 AND ((s >= 0) != (s_next >= 0)) THEN 1 ELSE 0 END)::bigint
+         AS zero_crossings,
+       TRUE AS ok
+FROM v GROUP BY doc_id
+"""
+
+
 _EN = "['the','a','of','and','to','in','is','it','on','for']"
 _ES = "['el','la','de','los','las','y','en','es','un','una']"
 _EN_HITS = f"len(list_filter(string_split(text,' '), x -> list_contains({_EN}, x)))"
@@ -2480,6 +2516,7 @@ FROM documents
         "ann_ivf_topk": _ann_ivf_oracle(),
         "semdedup": _semdedup_oracle(),
         "image_pixel_stats": _image_pixel_stats_oracle(),
+        "audio_sample_stats": _audio_sample_stats_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_clusters": _clusters_oracle(),
         "dedup_simhash": _simhash_oracle(),

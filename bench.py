@@ -111,6 +111,7 @@ def main() -> int:
         "dsir_select",
         "semdedup",
         "image_pixel_stats",
+        "audio_sample_stats",
         "decontaminate",
         "chunk_dedup",
         "pii_scrub",

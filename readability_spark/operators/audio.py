@@ -1,0 +1,173 @@
+"""Real WAV PCM sample decode (pure stdlib) + audio signal statistics.
+
+Companion to operators/imaging.py: the synthesized WAVs here carry an
+actual int16 waveform — the closed form
+``((doc_id*31 + i*17) % 65536) - 32768`` per sample index ``i`` — and the
+Spark operator recovers the samples only by parsing the RIFF container and
+decoding the PCM bytes. The DuckDB oracle recomputes every statistic from
+the formula without touching bytes, so a decode bug (wrong endianness,
+off-by-one sample count, bad sign handling) breaks the value hash.
+
+Statistics are chosen to be engine-exact:
+- ``n_samples``/``peak`` are integers;
+- ``amp_mean`` and the mean of squares are exact-integer sums (< 2^53)
+  divided once — identical doubles in any IEEE engine; ``rms`` adds one
+  correctly-rounded sqrt;
+- ``zero_crossings`` counts sign boundaries ((s_i >= 0) != (s_{i+1} >= 0))
+  — pure integer logic.
+
+Scale shape: one mapInPandas projection, zero shuffles, audio bytes never
+enter a shuffle — the same execution contract as image/html decode. A
+production deployment swaps in soundfile/ffmpeg for compressed codecs
+inside the same batch shape.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator, List, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from readability_spark.operators.multimodal import build_wav
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("amp_mean", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", IntegerType(), True),
+        StructField("zero_crossings", LongType(), True),
+        StructField("ok", BooleanType(), True),
+    ]
+)
+
+
+def synth_sample(doc_id: int, i: int) -> int:
+    """Closed-form int16 sample — keep in sync with the oracle."""
+    return (doc_id * 31 + i * 17) % 65536 - 32768
+
+
+def synth_audio_params(doc_id: int, max_n: int = 400) -> Tuple[int, int]:
+    """(sample_rate, n_samples) per doc."""
+    return 8000 * (1 + doc_id % 3), doc_id % max_n + 50
+
+
+def decode_wav_pcm16(b: bytes) -> Tuple[int, List[int]]:
+    """RIFF walk → (sample_rate, int16 samples). Mono 16-bit PCM only;
+    raises ValueError on anything malformed."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not RIFF/WAVE")
+    pos, end = 12, min(len(b), 8 + struct.unpack_from("<I", b, 4)[0])
+    rate = bits = channels = None
+    data = None
+    while pos + 8 <= end:
+        tag = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        if pos + 8 + size > len(b):
+            raise ValueError("truncated chunk")
+        if tag == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            fmt_code, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", b, pos + 8
+            )
+            if fmt_code != 1:
+                raise ValueError("not PCM")
+        elif tag == b"data":
+            data = b[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError("only mono 16-bit PCM supported")
+    if len(data) % 2:
+        raise ValueError("odd PCM byte count")
+    n = len(data) // 2
+    return rate, list(struct.unpack(f"<{n}h", data))
+
+
+def synthesize_audio(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload): real mono PCM16 WAVs whose samples are
+    the deterministic closed form of :func:`synth_sample`."""
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"].to_numpy():
+                d = int(doc_id)
+                rate, n = synth_audio_params(d)
+                pcm = struct.pack(
+                    f"<{n}h", *(synth_sample(d, i) for i in range(n))
+                )
+                rows.append(
+                    {"doc_id": d, "payload": build_wav(rate, n, data=pcm)}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(batches, out_schema)
+
+
+def audio_sample_stats(audio: DataFrame) -> DataFrame:
+    """Arrow-batched WAV decode + signal stats: (doc_id, sample_rate,
+    n_samples, amp_mean, rms, peak, zero_crossings, ok). Malformed payloads
+    yield ok=False rows."""
+
+    def batches(it: Iterator) -> Iterator:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        cols = [f.name for f in AUDIO_STATS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(
+                pdf["doc_id"].to_numpy(), pdf["payload"].to_numpy()
+            ):
+                d = int(doc_id)
+                row = dict.fromkeys(cols)
+                row["doc_id"], row["ok"] = d, False
+                try:
+                    rate, samples = decode_wav_pcm16(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    arr = np.asarray(samples, dtype=np.int64)
+                    n = len(arr)
+                    nonneg = arr >= 0
+                    row.update(
+                        sample_rate=rate,
+                        n_samples=n,
+                        amp_mean=float(arr.sum()) / n,
+                        rms=math.sqrt(float((arr * arr).sum()) / n),
+                        peak=int(np.abs(arr).max()),
+                        zero_crossings=int((nonneg[1:] != nonneg[:-1]).sum()),
+                        ok=True,
+                    )
+                except (ValueError, struct.error, zlib.error):
+                    pass
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return audio.mapInPandas(batches, AUDIO_STATS_SCHEMA)

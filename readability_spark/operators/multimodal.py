@@ -13,9 +13,12 @@ this container, but none is needed for container metadata:
 - MP4 (ISO-BMFF): box walk (ftyp brand; frame count carried in a box
   payload).
 
-Pixel/sample *content* decoding (JPEG DCT, H.264, ...) genuinely needs
-native libs and stays a declared stub: :func:`decode_pixels` raises
-``NotImplementedError`` unless PIL is importable. Synthesis builds fully
+PNG pixel content and WAV PCM sample content ARE decoded for real —
+pure-stdlib codecs in operators/imaging.py (zlib inflate + all five PNG
+filters) and operators/audio.py (int16 PCM). Compressed-codec content
+(JPEG DCT, H.264, ...) genuinely needs native libs and stays a declared
+stub: :func:`decode_pixels` raises ``NotImplementedError`` unless PIL is
+importable. Synthesis builds fully
 valid container bytes (correct lengths + CRCs) so the decoders are
 exercised on real structure, and every synthesized parameter is a
 deterministic function of ``doc_id`` so the DuckDB oracle can verify the
@@ -78,10 +81,21 @@ def build_png(width: int, height: int, idat: bytes = b"\x00" * 16) -> bytes:
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
-def build_wav(sample_rate: int, n_samples: int, channels: int = 1, bits: int = 16) -> bytes:
-    """Valid PCM WAV: RIFF header + fmt + data chunks (silence payload)."""
+def build_wav(
+    sample_rate: int,
+    n_samples: int,
+    channels: int = 1,
+    bits: int = 16,
+    data: Optional[bytes] = None,
+) -> bytes:
+    """Valid PCM WAV: RIFF header + fmt + data chunks. ``data`` carries real
+    PCM bytes (operators/audio.py synthesizes deterministic waveforms);
+    default is silence, which is all the header-metadata path needs."""
     block_align = channels * bits // 8
-    data = b"\x00" * (n_samples * block_align)
+    if data is None:
+        data = b"\x00" * (n_samples * block_align)
+    if len(data) != n_samples * block_align:
+        raise ValueError("data length does not match n_samples")
     fmt = struct.pack(
         "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits
     )

@@ -1,0 +1,96 @@
+"""WAV PCM codec: encode → decode must be lossless, corruption and
+non-PCM formats rejected, and the Spark stats operator must reproduce
+statistics computed independently from the closed-form waveform — with no
+shuffle in the plan."""
+
+import math
+import struct
+
+import pytest
+
+from readability_spark.operators.audio import (
+    audio_sample_stats,
+    decode_wav_pcm16,
+    synth_audio_params,
+    synth_sample,
+    synthesize_audio,
+)
+from readability_spark.operators.multimodal import build_wav
+
+
+def _pcm(doc_id, n):
+    return [synth_sample(doc_id, i) for i in range(n)]
+
+
+@pytest.mark.parametrize("doc_id,n", [(0, 1), (7, 50), (123, 449)])
+def test_wav_roundtrip(doc_id, n):
+    samples = _pcm(doc_id, n)
+    blob = build_wav(16000, n, data=struct.pack(f"<{n}h", *samples))
+    rate, got = decode_wav_pcm16(blob)
+    assert rate == 16000
+    assert got == samples
+
+
+def test_wav_rejects_malformed():
+    blob = build_wav(8000, 4, data=struct.pack("<4h", 1, -2, 3, -4))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav_pcm16(b"JUNK" + blob[4:])
+    # stereo rejected by the mono-PCM16 decoder
+    stereo = build_wav(8000, 4, channels=2, bits=16)
+    with pytest.raises(ValueError, match="mono"):
+        decode_wav_pcm16(stereo)
+    with pytest.raises(ValueError, match="data length"):
+        build_wav(8000, 4, data=b"\x00" * 7)
+
+
+def _py_stats(doc_id):
+    rate, n = synth_audio_params(doc_id)
+    s = _pcm(doc_id, n)
+    crossings = sum(1 for i in range(n - 1) if (s[i] >= 0) != (s[i + 1] >= 0))
+    return {
+        "sample_rate": rate,
+        "n_samples": n,
+        "amp_mean": sum(s) / n,
+        "rms": math.sqrt(sum(x * x for x in s) / n),
+        "peak": max(abs(x) for x in s),
+        "zero_crossings": crossings,
+    }
+
+
+def test_audio_stats_matches_formula(spark):
+    ids = (0, 3, 57, 399)
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r for r in audio_sample_stats(synthesize_audio(docs)).collect()}
+    for d in ids:
+        want = _py_stats(d)
+        r = got[d]
+        assert r.ok
+        assert r.sample_rate == want["sample_rate"]
+        assert r.n_samples == want["n_samples"]
+        assert r.amp_mean == want["amp_mean"]
+        assert r.rms == want["rms"]
+        assert r.peak == want["peak"]
+        assert r.zero_crossings == want["zero_crossings"]
+
+
+def test_audio_stats_failure_isolation(spark):
+    import pandas as pd
+
+    good = build_wav(8000, 2, data=struct.pack("<2h", 100, -100))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "payload": [good, b"not a wav"]})
+    )
+    rows = {r.doc_id: r for r in audio_sample_stats(df).collect()}
+    assert rows[1].ok and rows[1].n_samples == 2 and rows[1].zero_crossings == 1
+    assert not rows[2].ok and rows[2].rms is None
+
+
+def test_audio_stats_plan_has_no_shuffle(spark):
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    plan = (
+        audio_sample_stats(synthesize_audio(docs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
