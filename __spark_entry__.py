@@ -373,6 +373,12 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_embeddings(spark, sf_dir))
 
 
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.spans import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(_docs(spark, sf_dir))
+
+
 def _q_audio_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.audio import audio_sample_stats, synthesize_audio
 
@@ -952,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "image_pixel_stats": _q_image_pixel_stats,
         "audio_sample_stats": _q_audio_sample_stats,
+        "duplicate_spans": _q_duplicate_spans,
         "dedup_embedding_cosine": _q_embedding_near_dups,
         "media_metadata": _q_media_metadata,
         "media_frame_samples": _q_media_frames,
@@ -2308,6 +2315,42 @@ FROM stats s JOIN ah ON ah.doc_id = s.doc_id
 """
 
 
+def _h60_sql(tok: str = "tok") -> str:
+    """DuckDB mirror of the Spark-side 60-bit md5 fingerprint
+    (conv(substr(md5(x), 1, 15), 16, 10)): 15 hex nibbles summed."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({tok}), {i + 1}, 1)) - 1) "
+        f"* {16 ** (14 - i)}"
+        for i in range(15)
+    )
+
+
+def _duplicate_spans_oracle(k: int = 8, min_count: int = 2) -> str:
+    """Mirror of spans.duplicate_ngram_spans: k-token sliding windows,
+    60-bit md5 window hashes, corpus-wide duplicate marking, gaps-and-
+    islands merge into maximal spans."""
+    win = f"array_to_string(toks[i : i + {k} - 1], ' ')"
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks) - {k} + 1)) AS i, toks
+  FROM d WHERE len(toks) >= {k}
+),
+hs AS (SELECT doc_id, (i - 1)::bigint AS pos, ({_h60_sql(win)}) AS h FROM w),
+dup AS (SELECT h FROM hs GROUP BY h HAVING count(*) >= {min_count}),
+m AS (SELECT doc_id, pos FROM hs WHERE h IN (SELECT h FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM m
+)
+SELECT doc_id, min(pos)::bigint AS span_start,
+       (max(pos) + {k - 1})::bigint AS span_end,
+       count(*)::bigint AS n_dup_windows
+FROM isl GROUP BY doc_id, g
+"""
+
+
 def _audio_sample_stats_oracle(max_n: int = 400) -> str:
     """Mirror of audio.audio_sample_stats from the closed-form sample
     (doc_id*31 + i*17) % 65536 - 32768 — the Spark side must reach the same
@@ -2517,6 +2560,7 @@ FROM documents
         "semdedup": _semdedup_oracle(),
         "image_pixel_stats": _image_pixel_stats_oracle(),
         "audio_sample_stats": _audio_sample_stats_oracle(),
+        "duplicate_spans": _duplicate_spans_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_clusters": _clusters_oracle(),
         "dedup_simhash": _simhash_oracle(),

@@ -112,6 +112,7 @@ def main() -> int:
         "semdedup",
         "image_pixel_stats",
         "audio_sample_stats",
+        "duplicate_spans",
         "decontaminate",
         "chunk_dedup",
         "pii_scrub",

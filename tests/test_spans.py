@@ -1,0 +1,90 @@
+"""Duplicate-span detection (Lee et al. 2022 ExactSubstr, windowed
+formulation): the Spark operator must reproduce an independent pure-python
+implementation, merge adjacent duplicated windows into maximal spans, and
+count within-document repeats like the paper does."""
+
+from readability_spark.operators.spans import duplicate_ngram_spans
+
+
+def _py_spans(docs, k, min_count=2):
+    """docs: dict doc_id -> text. Independent reference using real window
+    strings (no hashing — a 60-bit md5 collision in the operator would show
+    up as a mismatch here)."""
+    counts = {}
+    wins = {}
+    for d, text in docs.items():
+        toks = text.split(" ")
+        ws = [
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        ] if len(toks) >= k else []
+        wins[d] = ws
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    out = []
+    for d, ws in wins.items():
+        marked = [i for i, w in enumerate(ws) if counts[w] >= min_count]
+        run = []
+        for p in marked + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                out.append((d, run[0], run[-1] + k - 1, len(run)))
+                run = []
+            if p is not None:
+                run.append(p)
+    return sorted(out)
+
+
+def _collect(df):
+    return sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_windows) for r in df.collect()
+    )
+
+
+def test_spans_match_pure_python_crafted(spark):
+    docs = {
+        # 1 and 2 share "the quick brown fox jumps over the lazy dog" — a
+        # 9-token run of duplicated 3-windows that must merge to ONE span
+        1: "the quick brown fox jumps over the lazy dog said nobody ever",
+        2: "once more the quick brown fox jumps over the lazy dog appeared",
+        # 3 repeats a phrase WITHIN one doc — both occurrences marked
+        3: "alpha beta gamma delta zzz yyy xxx alpha beta gamma delta end",
+        # 4 shares nothing
+        4: "completely unrelated words with no overlap at all here now",
+        # 5 is shorter than k -> contributes nothing
+        5: "tiny doc",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = _collect(duplicate_ngram_spans(df, k=3))
+    want = _py_spans(docs, k=3)
+    assert got == want
+    by_doc = {}
+    for d, s, e, n in got:
+        by_doc.setdefault(d, []).append((s, e, n))
+    # the shared 9-token phrase is one maximal span in each doc (7 windows
+    # of 3 tokens covering indices of the phrase), not 7 single-window rows
+    assert len(by_doc[1]) == 1 and by_doc[1][0][2] == 7
+    assert len(by_doc[2]) == 1 and by_doc[2][0][2] == 7
+    # within-doc repetition found twice
+    assert len(by_doc[3]) == 2
+    assert 4 not in by_doc and 5 not in by_doc
+
+
+def test_spans_match_pure_python_corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    got = _collect(duplicate_ngram_spans(docs, k=8))
+    want = _py_spans(rows, k=8)
+    assert got == want
+    assert len(got) > 0  # the synthetic corpus has injected duplicates
+
+
+def test_spans_min_count_threshold(spark):
+    docs = {
+        1: "a b c d e f",
+        2: "x a b c d y",
+        3: "z a b c d w",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    # "a b c d" appears 3x; with min_count=3 it is still found...
+    assert len(_collect(duplicate_ngram_spans(df, k=4, min_count=3))) == 3
+    # ...but nothing appears 4 times
+    assert _collect(duplicate_ngram_spans(df, k=4, min_count=4)) == []
