@@ -373,6 +373,16 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_embeddings(spark, sf_dir))
 
 
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_TOTAL = 200
+
+
+def _q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.sampling import mix_corpus
+
+    return mix_corpus(_docs(spark, sf_dir), _MIX_WEIGHTS, total=_MIX_TOTAL)
+
+
 def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.spans import duplicate_ngram_spans
 
@@ -959,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pixel_stats": _q_image_pixel_stats,
         "audio_sample_stats": _q_audio_sample_stats,
         "duplicate_spans": _q_duplicate_spans,
+        "corpus_mix": _q_corpus_mix,
         "dedup_embedding_cosine": _q_embedding_near_dups,
         "media_metadata": _q_media_metadata,
         "media_frame_samples": _q_media_frames,
@@ -2315,6 +2326,38 @@ FROM stats s JOIN ah ON ah.doc_id = s.doc_id
 """
 
 
+def _corpus_mix_oracle(weights=None, total: int = _MIX_TOTAL) -> str:
+    """Mirror of sampling.mix_corpus: per-source counts → epoch rate w*T/n →
+    floor copies + one fractional copy iff the doc's unit hash falls below
+    the fraction. Weight literals are cast to DOUBLE (DuckDB would otherwise
+    parse them as DECIMAL and drift from Spark's double arithmetic)."""
+    weights = weights or _MIX_WEIGHTS
+    wsum = float(sum(weights.values()))
+    case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN CAST({w / wsum!r} AS DOUBLE)" for s, w in sorted(weights.items())
+    ) + " ELSE NULL END"
+    u = f"(({_h32_sql(tok='doc_id::varchar')}) / 4294967296.0)"
+    return f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+rates AS (
+  SELECT source, ({case}) * CAST({float(total)!r} AS DOUBLE) / n AS rate FROM counts
+),
+j AS (
+  SELECT d.doc_id, d.source, r.rate
+  FROM documents d JOIN rates r USING (source) WHERE r.rate IS NOT NULL
+),
+c AS (
+  SELECT doc_id, source,
+         (floor(rate)::int
+          + CASE WHEN {u} < rate - floor(rate) THEN 1 ELSE 0 END) AS n_copies
+  FROM j
+)
+SELECT doc_id, source, unnest(generate_series(1, n_copies))::int AS epoch,
+       n_copies::int AS n_copies
+FROM c WHERE n_copies >= 1
+"""
+
+
 def _h60_sql(tok: str = "tok") -> str:
     """DuckDB mirror of the Spark-side 60-bit md5 fingerprint
     (conv(substr(md5(x), 1, 15), 16, 10)): 15 hex nibbles summed."""
@@ -2561,6 +2604,7 @@ FROM documents
         "image_pixel_stats": _image_pixel_stats_oracle(),
         "audio_sample_stats": _audio_sample_stats_oracle(),
         "duplicate_spans": _duplicate_spans_oracle(),
+        "corpus_mix": _corpus_mix_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_clusters": _clusters_oracle(),
         "dedup_simhash": _simhash_oracle(),

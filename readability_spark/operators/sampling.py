@@ -67,3 +67,56 @@ def stratified_sample(
             rate_expr
         )
     return docs.withColumn("u", unit_hash(key_col)).filter(F.col("u") < rate_expr)
+
+
+def mix_corpus(
+    docs: DataFrame,
+    weights: "dict[str, float]",
+    total: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Pile/DoReMi-style mixture construction: build a training corpus whose
+    per-source composition matches target ``weights``, up-sampling scarce
+    high-weight sources by *epoch replication* (the Pile repeats Wikipedia
+    3x per epoch; DoReMi reweights domains the same way) and down-sampling
+    the rest.
+
+    For source s with n_s docs and normalized weight w_s, the required doc
+    count is r_s = w_s * total, i.e. rate_s = r_s / n_s epochs per doc:
+    every doc yields floor(rate_s) copies plus one more iff its unit hash
+    falls below the fractional part. Expected output size is exactly
+    ``total``; sources absent from ``weights`` are dropped. Deterministic
+    on any cluster size/partitioning — same unit-hash axis as the other
+    sampling ops, so mixtures nest with sub/over-sampling stages.
+
+    Returns one row per (doc, epoch): ``(key, source, epoch, n_copies)``.
+
+    Plan shape at 100 TB: per-source counts are one map-side-combined
+    groupBy over a slim (source) projection; the source→rate table is
+    k rows and **broadcast** back; replication is sequence+explode. The
+    document payload never enters a shuffle.
+    """
+    wsum = float(sum(weights.values()))
+    rate_w: Column = F.lit(None).cast("double")
+    for value, w in sorted(weights.items()):
+        rate_w = F.when(F.col(source_col) == value, F.lit(w / wsum)).otherwise(rate_w)
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("n"))
+    rates = counts.select(
+        source_col, (rate_w * F.lit(float(total)) / F.col("n")).alias("rate")
+    ).filter(F.col("rate").isNotNull())
+    j = docs.select(key_col, source_col).join(F.broadcast(rates), source_col)
+    c = j.select(
+        key_col,
+        source_col,
+        (
+            F.floor("rate").cast("int")
+            + F.when(unit_hash(key_col) < F.col("rate") - F.floor("rate"), 1).otherwise(0)
+        ).alias("n_copies"),
+    ).filter(F.col("n_copies") >= 1)
+    return c.select(
+        key_col,
+        source_col,
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("epoch"),
+        "n_copies",
+    )
