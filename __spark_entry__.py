@@ -354,6 +354,12 @@ def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_clean(with_synthetic_lines(_docs(spark, sf_dir)))
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.cleaning import line_dedup, with_synthetic_lines
+
+    return line_dedup(with_synthetic_lines(_docs(spark, sf_dir)))
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.decontam import decontaminate, with_injected_contamination
 
@@ -592,6 +598,15 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(load_embeddings(spark, sf_dir))
 
 
+def _q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-10 (FAISS-SQ8-style bandwidth path): exact
+    integer dot/norms on the quantized grid, one double division at the end,
+    so the oracle reproduces scores bit-for-bit."""
+    from readability_spark.operators.similarity import int8_cosine_topk, load_embeddings
+
+    return int8_cosine_topk(load_embeddings(spark, sf_dir))
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.similarity import load_embeddings, lsh_topk
 
@@ -782,6 +797,15 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), qdf, k=10)
 
 
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF keywords (sklearn smoothed idf); ranks over
+    the round4-floored score with a term tiebreak so the oracle replays the
+    identical ordering."""
+    from readability_spark.operators.lexsearch import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
 def _frontier_host_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(host, host_score) prior for the 7 target hosts: 1.0 + m/10."""
     docs = _docs(spark, sf_dir)
@@ -924,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_repetition,
         "text_gopher_rules": _q_gopher_rules,
         "text_c4_clean": _q_c4_clean,
+        "line_dedup": _q_line_dedup,
         "length_quantiles": _q_length_quantiles,
         "url_blocklist": _q_url_blocklist,
         "robots_filter": _q_robots_filter,
@@ -945,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": _q_link_pagerank,
         "anchor_profile": _q_anchor_profile,
         "bm25_topk": _q_bm25_topk,
+        "tfidf_topk": _q_tfidf_topk,
         "crawl_frontier": _q_frontier,
         "sitemap_entries": _q_sitemap_entries,
         "sitemap_recrawl": _q_sitemap_recrawl,
@@ -963,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash64_near_pairs": _q_simhash64_near_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "ann_cosine_topk": _q_ann_cosine,
+        "ann_int8_topk": _q_ann_int8,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "semdedup": _q_semdedup,
@@ -1217,6 +1244,50 @@ _COSINE = (
     "sqrt(list_sum(list_transform(v.embedding, x -> x::double * x::double))))) "
     "* 10000.0 + 0.5) / 10000.0"
 )
+
+
+def _ann_int8_oracle(n_queries: int = 5, k: int = 10) -> str:
+    """Mirror of similarity.int8_cosine_topk: per-vector symmetric int8
+    quantization (floor half-up), exact bigint dot/norms on the quantized
+    grid, one double division + round4."""
+    return f"""
+WITH sc AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::double))) AS s
+  FROM embeddings
+),
+q8 AS (
+  SELECT vec_id,
+         CASE WHEN s > 0
+              THEN list_transform(embedding,
+                     x -> floor(x::double / s * 127.0 + 0.5)::bigint)
+              ELSE list_transform(embedding, x -> 0::bigint)
+         END AS q
+  FROM sc
+),
+n AS (
+  SELECT vec_id, q,
+         list_sum(list_transform(q, x -> x * x))::bigint AS n8
+  FROM q8
+),
+qq AS (
+  SELECT vec_id AS query_id, q AS qu, n8 AS qn8 FROM n WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT qq.query_id, v.vec_id,
+         CASE WHEN qn8 > 0 AND v.n8 > 0
+              THEN {_r4("list_sum(list_transform(generate_series(1, len(qu)), i -> qu[i] * v.q[i]))::double / (sqrt(qn8::double) * sqrt(v.n8::double))")}
+              ELSE 0.0 END AS cosine_q8
+  FROM n v, qq WHERE v.vec_id != qq.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_q8,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_q8 DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine_q8 FROM ranked WHERE rank <= {k}
+"""
 
 
 def _ann_cosine_oracle() -> str:
@@ -1547,14 +1618,13 @@ FROM m
 """
 
 
-def _c4_clean_oracle(width: int = 8) -> str:
-    """Mirror of cleaning.with_synthetic_lines + cleaning.c4_clean: rebuild
-    the identical deterministically-lined text, then apply the C4 rules
-    (terminal punctuation, >=5 words, no 'javascript' line; >=3 kept lines,
-    no blocklist word / 'lorem ipsum' / curly brace page)."""
+def _lined_cte(width: int = 8) -> str:
+    """Shared DuckDB mirror of cleaning.with_synthetic_lines: the ``t`` and
+    ``lined`` CTE bodies that rebuild the identical deterministically-lined
+    text (used by both the C4 and the line-dedup oracles so the synthetic
+    liner has exactly one SQL mirror)."""
     w = width
-    return f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    return f"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 lined AS (
   SELECT doc_id,
     array_to_string(list_concat(
@@ -1570,7 +1640,46 @@ lined AS (
       ], x -> x IS NOT NULL)
     ), chr(10)) AS text
   FROM t
+)"""
+
+
+def _line_dedup_oracle(width: int = 8, min_docs: int = 4) -> str:
+    """Mirror of cleaning.with_synthetic_lines + cleaning.line_dedup: a line
+    occurring in >= min_docs distinct docs is dropped from every doc;
+    survivors rejoin in original order (list_filter preserves it, matching
+    the Spark side's idx-sorted reassembly)."""
+    return f"""
+WITH {_lined_cte(width)},
+m AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM lined),
+freq AS (
+  SELECT line, count(DISTINCT doc_id) AS doc_freq
+  FROM (SELECT doc_id, unnest(lines) AS line FROM m)
+  GROUP BY line
 ),
+banned AS (
+  SELECT coalesce(list(line), []::varchar[]) AS bl
+  FROM freq WHERE doc_freq >= {min_docs}
+),
+k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, l -> NOT list_contains(bl, l)) AS kept
+  FROM m, banned
+)
+SELECT doc_id,
+  len(lines)::bigint AS n_lines,
+  len(kept)::bigint AS n_kept,
+  array_to_string(kept, chr(10)) AS text_clean
+FROM k
+"""
+
+
+def _c4_clean_oracle(width: int = 8) -> str:
+    """Mirror of cleaning.with_synthetic_lines + cleaning.c4_clean: rebuild
+    the identical deterministically-lined text, then apply the C4 rules
+    (terminal punctuation, >=5 words, no 'javascript' line; >=3 kept lines,
+    no blocklist word / 'lorem ipsum' / curly brace page)."""
+    return f"""
+WITH {_lined_cte(width)},
 m AS (
   SELECT doc_id,
     string_split(text, chr(10)) AS lines,
@@ -1840,6 +1949,34 @@ tot AS (
 SELECT t.href, t.n_links, t.n_src_hosts, t.n_distinct_anchors,
        p.top_anchor, p.top_anchor_n
 FROM tot t JOIN top p ON t.href = p.href AND p.r = 1
+"""
+
+
+def _tfidf_oracle(k: int = 5) -> str:
+    """Mirror of lexsearch.tfidf_topk: whitespace tokens (empties dropped),
+    tf per (doc, term), df over the tf aggregate, sklearn smoothed idf
+    ln((N+1)/(df+1)) + 1, round4-floored score, row_number ordered by
+    (score desc, term asc)."""
+    score = _r4("tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::double AS n_docs FROM documents),
+s AS (
+  SELECT doc_id, term, tf, df, {score} AS score
+  FROM tf JOIN dfq USING (term), n
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+  FROM s
+)
+SELECT doc_id, term, tf, df, score, rk::int AS rk FROM r WHERE rk <= {k}
 """
 
 
@@ -2530,6 +2667,7 @@ FROM dup GROUP BY 1 HAVING count(*) > 1
         "text_repetition": _repetition_oracle(),
         "text_gopher_rules": _gopher_oracle(),
         "text_c4_clean": _c4_clean_oracle(),
+        "line_dedup": _line_dedup_oracle(),
         "length_quantiles": _quantiles_oracle(),
         "url_blocklist": _blocklist_oracle(),
         "robots_filter": _robots_oracle(),
@@ -2593,6 +2731,7 @@ FROM documents
         "link_pagerank": _pagerank_oracle(),
         "anchor_profile": _anchor_profile_oracle(),
         "bm25_topk": _bm25_oracle(),
+        "tfidf_topk": _tfidf_oracle(),
         "crawl_frontier": _frontier_oracle(),
         "sitemap_entries": _sitemap_entries_oracle(),
         "sitemap_recrawl": _sitemap_recrawl_oracle(),
@@ -2612,6 +2751,7 @@ FROM documents
         "dedup_simhash64_near_pairs": _simhash64_pairs_oracle(),
         "dedup_ngram_jaccard": _ngram_oracle(),
         "ann_cosine_topk": _ann_cosine_oracle(),
+        "ann_int8_topk": _ann_int8_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "dedup_embedding_cosine": _embedding_near_dup_oracle(),
         "media_metadata": """

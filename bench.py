@@ -98,6 +98,7 @@ def main() -> int:
         "url_blocklist",
         "tokenfinder_paths",
         "ann_cosine_topk",
+        "ann_int8_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",
         "dedup_clusters",
@@ -107,7 +108,9 @@ def main() -> int:
         "text_repetition",
         "text_gopher_rules",
         "text_c4_clean",
+        "line_dedup",
         "corpus_sequence_pack",
+        "corpus_mix",
         "dsir_select",
         "semdedup",
         "image_pixel_stats",
@@ -118,6 +121,7 @@ def main() -> int:
         "pii_scrub",
         "text_fingerprints",
         "bm25_topk",
+        "tfidf_topk",
         "quality_classifier",
         "lm_perplexity",
         "anchor_profile",

@@ -91,6 +91,70 @@ def c4_clean(
     )
 
 
+def line_dedup(
+    docs: DataFrame, min_docs: int = 4, broadcast_banned: bool = True
+) -> DataFrame:
+    """Corpus-frequency boilerplate-line removal (RefinedWeb §"exact line
+    deduplication", Penedo et al. 2023; CCNet's paragraph-hash dedup, Wenzek
+    et al. 2020): a line that occurs in ``min_docs`` or more *distinct*
+    documents is boilerplate (cookie banners, nav menus, share widgets) and
+    is dropped from EVERY document — including the first occurrence, which
+    is what distinguishes this from :func:`~readability_spark.operators.
+    decontam.chunk_dedup`'s keep-first election (there the first copy is
+    content; here no copy is).
+
+    Works over ``\\n``-lined ``(doc_id, text)``. Returns one row per input
+    doc: ``doc_id, n_lines, n_kept, text_clean`` (``text_clean`` rejoins the
+    surviving lines in original order; empty when every line was banned).
+
+    Scale shape at 100 TB: document frequency is two map-side-combined
+    aggregations over ``(md5(line), doc_id)`` — the per-(line, doc) distinct
+    pass collapses within-doc repeats before the count, so a line repeated
+    on every page never funnels one task (same pattern as chunk_dedup's
+    keeper election). The banned set is the boilerplate *vocabulary* —
+    orders of magnitude smaller than the corpus — so the removal join is a
+    **broadcast anti-join**: document lines never shuffle for it. Set
+    ``broadcast_banned=False`` if a pathological threshold makes the banned
+    set exceed broadcast size; the anti-join then shuffles on the line hash.
+    Reassembly groups by doc_id with fan-in bounded by lines-per-doc.
+    """
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "line")
+    ).withColumn("h", F.md5("line"))
+    banned = (
+        lines.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+        .select("h")
+    )
+    if broadcast_banned:
+        banned = F.broadcast(banned)
+    kept = lines.join(banned, "h", "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+    )
+    n_lines = F.size(F.split(F.col("text"), "\n"))
+    return (
+        docs.select("doc_id", n_lines.cast("bigint").alias("n_lines"))
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
 def with_synthetic_lines(docs: DataFrame, width: int = 8) -> DataFrame:
     """Deterministically re-line the single-line synthetic corpus so every
     C4 rule branch has work to do (the driver's ``documents.text`` is one

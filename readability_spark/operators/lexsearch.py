@@ -40,6 +40,80 @@ from pyspark.sql import functions as F
 from readability_spark.operators.dedup import round4
 
 
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 5,
+    hot_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords — the per-doc representation
+    counterpart to :func:`bm25_topk`'s query-relevance ranking (keyword
+    indexing, near-dup triage labels, topic sampling keys).
+
+    Uses the sklearn-convention smoothed idf ``ln((N + 1) / (df + 1)) + 1``
+    so no term gets a zero/negative weight. Returns one row per kept
+    keyword: ``(doc_id, term, tf, df, score, rk)`` with ``rk`` 1..k per doc
+    (ties broken by term; the rank is over the round4-floored score so
+    exact-duplicate docs rank identically in any engine).
+
+    Scale shape at 100 TB: term frequency is one map-side-combined groupBy
+    of the exploded tokens; document frequency derives from the tf
+    *aggregate* (one row per (doc, term) — the postings shuffle is shared
+    via ReuseExchange, the corpus is scanned and exploded once). The
+    df-to-postings join is where stopword skew lives — a shuffle join on
+    ``term`` would route every posting of "the" through one task — so the
+    vocabulary is split at ``hot_df``: terms in >= ``hot_df`` docs are by
+    definition few (the vocabulary head) and their df table **broadcasts**
+    (hot postings never shuffle for the join); the long tail shuffle-joins
+    with per-term posting lists bounded by ``hot_df`` rows — no skew by
+    construction (same split as the n-gram DF tagging in operators/dedup).
+    The final top-k window partitions by doc_id, whose fan-in is bounded by
+    distinct terms per document, not corpus size.
+    """
+    # NB: no redundant `alias("doc_id")` when id_col already is doc_id — a
+    # surviving no-op Alias de-canonicalizes this branch's exchange vs the
+    # df/hot branches' and silently duplicates the postings scan+explode
+    # (ReuseExchange matches canonical plans only; pinned in
+    # tests/test_frontier_lexsearch.py).
+    id_expr = F.col(id_col) if id_col == "doc_id" else F.col(id_col).alias("doc_id")
+    base = docs.select(
+        id_expr,
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = base.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # count(when(tf > 0)) keeps tf live in this branch's partial aggregate so
+    # it stays canonically equal to the scoring branch's and ReuseExchange
+    # shares the one postings shuffle (same pin as bm25_topk's df branch).
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, True)).alias("df")
+    )
+    stats = docs.agg(F.count("*").cast("double").alias("n_docs"))
+
+    hot = dfreq.filter(F.col("df") >= hot_df)
+    cold = dfreq.filter(F.col("df") < hot_df)
+    joined = tf.join(cold, "term").unionByName(
+        tf.join(F.broadcast(hot), "term")
+    )
+
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0)
+    scored = joined.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        round4(F.col("tf").cast("double") * idf).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
 def query_terms(queries: DataFrame, query_col: str = "query") -> DataFrame:
     """(query_id, query) → one row per (query_id, term); terms are the
     same whitespace tokens the corpus side uses."""

@@ -104,6 +104,80 @@ def cosine_topk(
     )
 
 
+def quantize_int8(emb_col):
+    """Symmetric per-vector int8 quantization: ``scale = max|x_i|``,
+    ``q_i = floor(x_i / scale * 127 + 0.5)`` ∈ [-127, 127]. Half-up via the
+    floor(+0.5) trick — the same double ops in Spark and DuckDB, so the
+    quantized grid (and therefore every downstream integer score) is
+    engine-identical. A zero vector quantizes to zeros."""
+    sc = F.array_max(F.transform(emb_col, lambda x: F.abs(x.cast("double"))))
+    return F.when(
+        sc > 0,
+        F.transform(
+            emb_col,
+            lambda x: F.floor(x.cast("double") / sc * 127.0 + 0.5).cast("long"),
+        ),
+    ).otherwise(F.transform(emb_col, lambda x: F.lit(0).cast("long")))
+
+
+def _idot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def int8_cosine_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """Top-k neighbors by cosine over **int8-quantized** vectors — the
+    bandwidth-optimized rescoring path every production vector store runs
+    (FAISS SQ8 / Milvus / pgvector halfvec-style): a quantized corpus is 4×
+    smaller than float32, so the scan reads a quarter of the bytes and a
+    broadcast probe set holds 4× more queries before spilling — at 10^12
+    vectors that's the difference between an in-memory pass and a shuffle.
+
+    The dot product and squared norms are **exact integer arithmetic** on
+    the quantized grid (bigint — |dot| ≤ dim·127², no float accumulation
+    order to disagree on), with one double division + round4 at the end, so
+    the SQL oracle reproduces scores bit-for-bit rather than "close".
+    Quantization itself is a pure codegen projection (no shuffle); plan
+    shape is identical to :func:`cosine_topk` — broadcast(queries) × one
+    scan → window top-k. Returns ``(query_id, rank, vec_id, cosine_q8)``;
+    recall vs the float path is measured in tests/test_ann_recall.py.
+    """
+    from pyspark.sql.window import Window
+
+    q8 = emb.select(
+        "vec_id",
+        quantize_int8(F.col("embedding")).alias("q8"),
+    ).withColumn("n8", _idot(F.col("q8"), F.col("q8")))
+    queries = q8.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q8").alias("qq8"),
+        F.col("n8").alias("qn8"),
+    )
+    joined = q8.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    # zero-vector convention: cosine 0.0 (also keeps ANSI mode from raising
+    # DIVIDE_BY_ZERO on the degenerate row; the oracle mirrors the CASE)
+    cos = F.when(
+        (F.col("qn8") > 0) & (F.col("n8") > 0),
+        round4(
+            _idot(F.col("qq8"), F.col("q8")).cast("double")
+            / (
+                F.sqrt(F.col("qn8").cast("double"))
+                * F.sqrt(F.col("n8").cast("double"))
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    scored = joined.select("query_id", "vec_id", cos.alias("cosine_q8"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q8"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine_q8")
+    )
+
+
 def lsh_bucket(emb: DataFrame, planes: DataFrame) -> DataFrame:
     """Sign-bit bucket id per vector against broadcast hyperplanes
     (``planes``: (plane_id, p_emb) from :func:`seeded_planes`)."""

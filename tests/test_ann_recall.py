@@ -87,3 +87,72 @@ def test_ivf_assignment_partitions_table(spark):
     per_cell = assign.groupBy("cell").count().collect()
     assert sum(r["count"] for r in per_cell) == n
     assert max(r["count"] for r in per_cell) < n / 2
+
+
+# ------------------------------------------------------------- int8 path
+
+
+def _py_quantize(vec):
+    import math
+
+    s = max(abs(x) for x in vec)
+    if s <= 0:
+        return [0] * len(vec)
+    return [int(math.floor(x / s * 127.0 + 0.5)) for x in vec]
+
+
+def test_int8_quantize_matches_python_reference(spark):
+    from readability_spark.operators.similarity import int8_cosine_topk, quantize_int8
+    import math
+
+    vecs = [
+        (0, [1.0, -0.5, 0.25, 0.0]),
+        (1, [0.1, 0.2, -0.3, 0.4]),
+        (2, [-1.0, -1.0, 1.0, 1.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> zero grid
+        (4, [0.333, 0.666, 0.999, -0.001]),
+        (5, [0.9, 0.1, 0.1, 0.1]),
+        (6, [0.5, 0.5, 0.49, 0.51]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: list(r.q)
+        for r in df.select("vec_id", quantize_int8(F.col("embedding")).alias("q")).collect()
+    }
+    for vid, v in vecs:
+        assert got[vid] == _py_quantize(v), (vid, got[vid], _py_quantize(v))
+
+    # end-to-end scores match a pure-python replay (int dot / int norms)
+    out = {
+        (r.query_id, r.vec_id): r.cosine_q8
+        for r in int8_cosine_topk(df, n_queries=2, k=3).collect()
+    }
+    for (qid, vid), score in out.items():
+        qa, qb = _py_quantize(dict(vecs)[qid]), _py_quantize(dict(vecs)[vid])
+        dot = sum(a * b for a, b in zip(qa, qb))
+        na, nb = sum(a * a for a in qa), sum(b * b for b in qb)
+        if na == 0 or nb == 0:  # zero-vector convention: cosine 0.0
+            want = 0.0
+        else:
+            want = math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000.0 + 0.5) / 10000.0
+        assert score == want, ((qid, vid), score, want)
+
+
+def test_int8_recall_vs_exact(spark):
+    from readability_spark.operators.similarity import int8_cosine_topk
+
+    emb = load_embeddings(spark, SF)
+    exact = _topk_sets(cosine_topk(emb, n_queries=5, k=10))
+    q8 = _topk_sets(int8_cosine_topk(emb, n_queries=5, k=10))
+    recalls = [len(exact[q] & q8.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_int8_plan_broadcasts_queries(spark):
+    from readability_spark.operators.similarity import int8_cosine_topk
+
+    emb = load_embeddings(spark, SF)
+    plan = (
+        int8_cosine_topk(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

@@ -116,3 +116,101 @@ def test_c4_plan_is_pure_projection(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
     plan = c4_clean(with_synthetic_lines(docs))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def _py_line_dedup(docs, min_docs=4):
+    """docs: list of (doc_id, text). Returns sorted
+    (doc_id, n_lines, n_kept, text_clean) rows."""
+    freq = {}
+    for d, text in docs:
+        for l in set(text.split("\n")):
+            freq.setdefault(l, set()).add(d)
+    banned = {l for l, ds in freq.items() if len(ds) >= min_docs}
+    out = []
+    for d, text in docs:
+        lines = text.split("\n")
+        kept = [l for l in lines if l not in banned]
+        out.append((d, len(lines), len(kept), "\n".join(kept)))
+    return sorted(out)
+
+
+BOILER = "accept all cookies to continue."
+FOOTER = "copyright fakehost all rights reserved."
+
+
+def _boiler_docs():
+    docs = []
+    for i in range(12):
+        lines = [BOILER, f"unique content line {i} alpha.", FOOTER]
+        if i % 2 == 0:
+            lines.insert(1, f"more content for doc {i} beta!")
+        if i == 7:
+            # within-doc repeat of the banner: one doc must count once
+            # toward doc-frequency, and both copies must be dropped
+            lines.append(BOILER)
+        docs.append((i, "\n".join(lines)))
+    # a doc made ENTIRELY of boilerplate -> n_kept 0, text_clean ''
+    docs.append((99, "\n".join([BOILER, FOOTER])))
+    return docs
+
+
+def test_line_dedup_matches_python_reference(spark):
+    from readability_spark.operators.cleaning import line_dedup
+
+    docs = _boiler_docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.n_lines, r.n_kept, r.text_clean)
+        for r in line_dedup(df, min_docs=4).collect()
+    )
+    want = _py_line_dedup(docs, min_docs=4)
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    # boilerplate gone from every doc, including the all-boilerplate one
+    assert by_id[99] == (99, 2, 0, "")
+    assert BOILER not in by_id[0][3] and FOOTER not in by_id[0][3]
+    # content survives in original order
+    assert by_id[0][3] == "more content for doc 0 beta!\nunique content line 0 alpha."
+    # doc 7's within-doc banner repeat: both copies dropped
+    assert by_id[7] == (7, 4, 1, "unique content line 7 alpha.")
+
+
+def test_line_dedup_threshold_and_order(spark):
+    from readability_spark.operators.cleaning import line_dedup
+
+    docs = _boiler_docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # min_docs above corpus size -> nothing banned, text round-trips
+    out = {r.doc_id: r for r in line_dedup(df, min_docs=1000).collect()}
+    for d, text in docs:
+        assert out[d].text_clean == text and out[d].n_kept == out[d].n_lines
+
+
+def test_line_dedup_plan_broadcast_anti_join(spark):
+    from readability_spark.operators.cleaning import line_dedup
+
+    df = spark.createDataFrame(_boiler_docs(), "doc_id long, text string")
+    plan = (
+        line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # banned-set removal must be a broadcast anti-join: document lines
+    # never shuffle to subtract the (small) boilerplate vocabulary
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_line_dedup_matches_python_on_synthetic_corpus(spark):
+    from readability_spark.operators.cleaning import line_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    lined = with_synthetic_lines(docs)
+    rows = [(r.doc_id, r.text) for r in lined.collect()]
+    got = sorted(
+        (r.doc_id, r.n_lines, r.n_kept, r.text_clean)
+        for r in line_dedup(lined).collect()
+    )
+    assert got == _py_line_dedup(rows)
+    # the injected lorem/config/badword extras are corpus-frequent -> banned
+    assert not any("lorem ipsum" in t for _, _, _, t in got)
+    # and a meaningful share of docs lost at least one line
+    dropped = sum(1 for _, nl, nk, _ in got if nk < nl)
+    assert dropped > len(got) // 10

@@ -195,3 +195,87 @@ def test_anchor_profile_modal_and_tiebreak(spark):
     t2 = got["http://t/2"]
     assert (t2.top_anchor, t2.top_anchor_n) == ("aa", 1)
     assert (t2.n_links, t2.n_src_hosts, t2.n_distinct_anchors) == (2, 1, 2)
+
+
+# ---------------------------------------------------------------- tf-idf
+
+
+def _py_tfidf(docs, k=5):
+    """docs: list of (doc_id, text). Returns sorted
+    (doc_id, term, tf, df, score, rk) rows — sklearn smoothed idf."""
+    from collections import Counter
+
+    n = len(docs)
+    tfs = {d: Counter(t for t in text.split(" ") if t) for d, text in docs}
+    dfq = Counter()
+    for c in tfs.values():
+        for t in c:
+            dfq[t] += 1
+    out = []
+    for d, c in tfs.items():
+        scored = sorted(
+            (
+                (_round4(tf * (math.log((n + 1.0) / (dfq[t] + 1.0)) + 1.0)), t, tf)
+                for t, tf in c.items()
+            ),
+            key=lambda s: (-s[0], s[1]),
+        )
+        for rk, (sc, t, tf) in enumerate(scored[:k], 1):
+            out.append((d, t, tf, dfq[t], sc, rk))
+    return sorted(out)
+
+
+TFIDF_DOCS = [
+    (0, "apple banana apple cherry  apple"),  # double space -> empty token
+    (1, "banana cherry banana dates elder"),
+    (2, "apple cherry figs figs grape"),
+    (3, "zeta yank zeta yank"),  # tf/df ties -> term-asc tiebreak
+    (4, "apple banana cherry dates elder figs grape"),
+]
+
+
+def test_tfidf_matches_python_reference(spark):
+    from readability_spark.operators.lexsearch import tfidf_topk
+
+    df = spark.createDataFrame(TFIDF_DOCS, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.term, r.tf, r.df, r.score, r.rk)
+        for r in tfidf_topk(df, k=3).collect()
+    )
+    assert got == _py_tfidf(TFIDF_DOCS, k=3)
+    by_doc = {}
+    for d, t, *_ , rk in got:
+        by_doc.setdefault(d, []).append((rk, t))
+    # doc 3's tied pair orders by term: yank before zeta
+    assert sorted(by_doc[3]) == [(1, "yank"), (2, "zeta")]
+
+
+def test_tfidf_hot_cold_split_is_invisible(spark):
+    from readability_spark.operators.lexsearch import tfidf_topk
+
+    df = spark.createDataFrame(TFIDF_DOCS, "doc_id long, text string")
+    rows = lambda out: sorted(map(tuple, out.collect()))
+    all_hot = rows(tfidf_topk(df, k=3, hot_df=1))     # whole vocab broadcast
+    all_cold = rows(tfidf_topk(df, k=3, hot_df=10**9))  # whole vocab shuffled
+    assert all_hot == all_cold == rows(tfidf_topk(df, k=3))
+
+
+def test_tfidf_plan_shares_postings_shuffle(spark):
+    """df derives from the tf aggregate: the corpus must be scanned and
+    exploded ONCE, every other consumer riding ReusedExchange; the
+    hot-vocabulary side must broadcast. Checked with AQE off — AQE's
+    runtime stage reuse keys on the same exchange canonicalization."""
+    from readability_spark.operators.lexsearch import tfidf_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = (
+            tfidf_topk(docs, k=5)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ReusedExchange" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        # one postings scan + one corpus-count scan; never a third
+        assert plan.count("Scan parquet") == 2, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
