@@ -187,6 +187,15 @@ def main() -> int:
         "cardinalities": cardinalities,
     }
     print(json.dumps(result))
+    sys.stdout.flush()
+    # The JSON line above IS the contract. A large local[32] session was
+    # observed hanging in shutdown for >10 min after printing it; don't let
+    # a stuck spark.stop() stall the harness that invoked us.
+    import threading
+
+    watchdog = threading.Timer(60.0, lambda: os._exit(0))
+    watchdog.daemon = True
+    watchdog.start()
     spark.stop()
     return 0
 
