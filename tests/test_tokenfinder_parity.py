@@ -12,6 +12,16 @@ the goldens (do not re-try): text-only parents as markup via vacuous
 All<Tag> (-9 net), headings dropped from PERMITS_PHRASING (net 0, loses 4
 cascade elections), per-char / per-same-char whitespace tokens (-14/-4),
 document-root-instead-of-html ancestry walks (neutral on all 137).
+Round-3 re-measurement of the markup-rule contradiction (the "/" pages
+prove body markup>0 in the reference, i.e. vacuous All<Tag> IS its literal
+code): text-only AND childless as markup = 85/137 (+7/-16); the
+reference-literal combination (childless -> NOT markup per the
+HasChildren:true guard, text/ws-only -> markup) = 84/137 (+6/-16). Both
+lose the same ~16 pages the current predicate wins, and a
+remove-extra-paragraphs cascade replay shows those wins depend on
+compensating token/density counts — the resolution needs FuzzyCompare's
+exact token categories, not obtainable offline. The current predicate
+(childless -> markup, text-only -> not) is the calibrated optimum.
 The matched-page list lives in sources/fixtures.py (single source of truth
 shared with the `tokenfinder_real_paths` oracle query); it pins the set so
 it can only grow, and test_parity_rate_floor guards the aggregate."""
