@@ -21,7 +21,11 @@ lose the same ~16 pages the current predicate wins, and a
 remove-extra-paragraphs cascade replay shows those wins depend on
 compensating token/density counts — the resolution needs FuzzyCompare's
 exact token categories, not obtainable offline. The current predicate
-(childless -> markup, text-only -> not) is the calibrated optimum.
+(childless -> markup, text-only -> not) is the calibrated optimum — and a
+full 16-config grid over {single-child mode: any/text/element/leaf} x
+{childless as markup} x {text-only as markup} confirms 94/137 is the
+maximum of the whole space (next best 87); the residual 43 sit behind
+FuzzyCompare's exact token categories.
 The matched-page list lives in sources/fixtures.py (single source of truth
 shared with the `tokenfinder_real_paths` oracle query); it pins the set so
 it can only grow, and test_parity_rate_floor guards the aggregate."""
