@@ -407,6 +407,21 @@ def _q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(synthesize_images(_docs(spark, sf_dir)))
 
 
+def _q_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize every synthesized PNG to 8x8 (exact box-average), re-encode as
+    a real PNG, then decode THAT and compute pixel stats + aHash — so the
+    oracle-checked numbers prove both the resize arithmetic and that the
+    re-encoded bytes are valid PNGs."""
+    from readability_spark.operators.imaging import (
+        image_pixel_stats,
+        image_resize,
+        synthesize_images,
+    )
+
+    resized = image_resize(synthesize_images(_docs(spark, sf_dir)))
+    return image_pixel_stats(resized.select("doc_id", "payload"))
+
+
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.semdedup import semdedup
     from readability_spark.operators.similarity import load_embeddings
@@ -994,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "semdedup": _q_semdedup,
         "image_pixel_stats": _q_image_pixel_stats,
+        "image_resize_stats": _q_image_resize_stats,
         "audio_sample_stats": _q_audio_sample_stats,
         "duplicate_spans": _q_duplicate_spans,
         "corpus_mix": _q_corpus_mix,
@@ -2463,6 +2479,54 @@ FROM stats s JOIN ah ON ah.doc_id = s.doc_id
 """
 
 
+def _image_resize_oracle(max_w: int = 40, max_h: int = 30, out: int = 8) -> str:
+    """Mirror of imaging.image_resize + image_pixel_stats over the resized
+    grid, computed from the closed-form pixel — never from bytes. Cell
+    (i, j) floors the box-average of source rows [j*h//8, max(+1, (j+1)*h//8))
+    × cols likewise (the max reuses the nearest-floor pixel on upscale);
+    everything is integer arithmetic so the Spark side's decode → resize →
+    re-encode → decode round trip must land on identical values."""
+    return f"""
+WITH dims AS (
+  SELECT doc_id, doc_id % {max_w} + 1 AS w, doc_id % {max_h} + 1 AS h FROM documents
+),
+cj AS (SELECT doc_id, w, h, unnest(generate_series(0, {out - 1})) AS j FROM dims),
+cells AS (SELECT doc_id, w, h, j, unnest(generate_series(0, {out - 1})) AS i FROM cj),
+bounds AS (
+  SELECT doc_id, i, j,
+         (j * h) // {out} AS y0,
+         greatest((j * h) // {out} + 1, ((j + 1) * h) // {out}) AS y1,
+         (i * w) // {out} AS x0,
+         greatest((i * w) // {out} + 1, ((i + 1) * w) // {out}) AS x1
+  FROM cells
+),
+vals AS (
+  SELECT doc_id, i, j,
+         (list_sum(flatten(list_transform(generate_series(y0, y1 - 1), y ->
+            list_transform(generate_series(x0, x1 - 1), x ->
+              (doc_id * 7 + x * 3 + y * 5) % 256))))
+          // ((y1 - y0) * (x1 - x0))) AS v
+  FROM bounds
+),
+stats AS (
+  SELECT doc_id, sum(v)::double / {out * out} AS m, min(v) AS mn, max(v) AS mx
+  FROM vals GROUP BY doc_id
+),
+ah AS (
+  SELECT v.doc_id,
+         sum(CASE WHEN (j * {out} + i) >= 32 AND v > m
+                  THEN (1::bigint << (j * {out} + i - 32)) ELSE 0 END) AS hi,
+         sum(CASE WHEN (j * {out} + i) < 32 AND v > m
+                  THEN (1::bigint << (j * {out} + i)) ELSE 0 END) AS lo
+  FROM vals v JOIN stats USING (doc_id) GROUP BY v.doc_id
+)
+SELECT s.doc_id, {out} AS width, {out} AS height, {out * out}::bigint AS n_px,
+       s.m AS px_mean, s.mn::int AS px_min, s.mx::int AS px_max,
+       ah.hi::bigint AS ahash_hi, ah.lo::bigint AS ahash_lo, TRUE AS ok
+FROM stats s JOIN ah USING (doc_id)
+"""
+
+
 def _corpus_mix_oracle(weights=None, total: int = _MIX_TOTAL) -> str:
     """Mirror of sampling.mix_corpus: per-source counts → epoch rate w*T/n →
     floor copies + one fractional copy iff the doc's unit hash falls below
@@ -2741,6 +2805,7 @@ FROM documents
         "ann_ivf_topk": _ann_ivf_oracle(),
         "semdedup": _semdedup_oracle(),
         "image_pixel_stats": _image_pixel_stats_oracle(),
+        "image_resize_stats": _image_resize_oracle(),
         "audio_sample_stats": _audio_sample_stats_oracle(),
         "duplicate_spans": _duplicate_spans_oracle(),
         "corpus_mix": _corpus_mix_oracle(),

@@ -114,6 +114,7 @@ def main() -> int:
         "dsir_select",
         "semdedup",
         "image_pixel_stats",
+        "image_resize_stats",
         "audio_sample_stats",
         "duplicate_spans",
         "decontaminate",

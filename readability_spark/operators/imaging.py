@@ -43,6 +43,7 @@ from typing import Iterator, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     DoubleType,
     IntegerType,
@@ -222,6 +223,88 @@ def synthesize_images(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return docs.select("doc_id").mapInPandas(batches, out_schema)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("src_w", IntegerType(), True),
+        StructField("src_h", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("ok", BooleanType(), True),
+    ]
+)
+
+
+def resize_box_gray(px, src_w: int, src_h: int, out_w: int, out_h: int):
+    """Exact box-average resize of a (src_h, src_w) uint8 grid to
+    (out_h, out_w): cell (i, j) averages the source box
+    rows [j*src_h // out_h, max(that+1, (j+1)*src_h // out_h)) ×
+    cols likewise (the max keeps boxes non-empty when upscaling — the
+    nearest-floor pixel is reused), value = floor(box_sum / box_size).
+    Pure integer arithmetic, so the DuckDB oracle reproduces every output
+    pixel from the synthesis formula bit-for-bit. Returns a list of
+    out_h rows (bytes)."""
+    rows = []
+    for j in range(out_h):
+        y0 = (j * src_h) // out_h
+        y1 = max(y0 + 1, ((j + 1) * src_h) // out_h)
+        row = bytearray(out_w)
+        for i in range(out_w):
+            x0 = (i * src_w) // out_w
+            x1 = max(x0 + 1, ((i + 1) * src_w) // out_w)
+            box = px[y0:y1, x0:x1]
+            row[i] = int(box.sum()) // ((y1 - y0) * (x1 - x0))
+        rows.append(bytes(row))
+    return rows
+
+
+def image_resize(images: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Arrow-batched PNG resize: decode → exact box-average downscale (or
+    nearest-floor upscale) → re-encode as a real PNG. The multimodal
+    pipeline stage the brief names alongside decode/feature-extract/
+    frame-sample — thumbnails for vision dedup, fixed-size model inputs.
+
+    Returns ``(doc_id, src_w, src_h, payload, ok)`` where ``payload`` is
+    the re-encoded ``out_w × out_h`` grayscale PNG (malformed inputs yield
+    ok=False, payload NULL — same isolation contract as extraction).
+
+    Scale shape: one mapInPandas projection, zero shuffles; resized bytes
+    are ~(out_w·out_h)/(w·h) of the input, so a thumbnail pass SHRINKS the
+    data in flight — at 100 TB of originals the output is the only thing
+    downstream stages ever shuffle."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = [f.name for f in RESIZE_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(
+                pdf["doc_id"].to_numpy(), pdf["payload"].to_numpy()
+            ):
+                d = int(doc_id)
+                row = dict.fromkeys(cols)
+                row["doc_id"], row["ok"] = d, False
+                try:
+                    w, h, px = decode_png_gray(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w)
+                    out_rows = resize_box_gray(arr, w, h, out_w, out_h)
+                    row.update(
+                        src_w=w,
+                        src_h=h,
+                        payload=build_png_gray(out_w, out_h, out_rows),
+                        ok=True,
+                    )
+                except (ValueError, zlib.error, struct.error):
+                    pass
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return images.mapInPandas(batches, RESIZE_SCHEMA)
 
 
 def _ahash(px, w: int, h: int) -> Tuple[int, int]:

@@ -131,3 +131,67 @@ def test_pixel_stats_plan_has_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------- resize
+
+
+def _py_resize(doc_id, src_w, src_h, out=8):
+    """Independent pure-python replay of the box-average resize over the
+    closed-form pixels."""
+    grid = []
+    for j in range(out):
+        y0 = (j * src_h) // out
+        y1 = max(y0 + 1, ((j + 1) * src_h) // out)
+        row = []
+        for i in range(out):
+            x0 = (i * src_w) // out
+            x1 = max(x0 + 1, ((i + 1) * src_w) // out)
+            s = sum(
+                synth_pixel(doc_id, x, y)
+                for y in range(y0, y1)
+                for x in range(x0, x1)
+            )
+            row.append(s // ((y1 - y0) * (x1 - x0)))
+        grid.append(row)
+    return grid
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 5), (8, 8), (40, 30), (13, 11), (5, 23)])
+def test_resize_matches_pure_python(w, h):
+    import numpy as np
+
+    from readability_spark.operators.imaging import resize_box_gray
+
+    arr = np.frombuffer(b"".join(_rows(7, w, h)), dtype=np.uint8).reshape(h, w)
+    got = [list(r) for r in resize_box_gray(arr, w, h, 8, 8)]
+    assert got == _py_resize(7, w, h)
+
+
+def test_image_resize_roundtrip_spark(spark):
+    """resize -> re-encode -> decode must land on the independent replay,
+    for downscale (w,h > 8), upscale (w,h < 8), and mixed pages."""
+    from readability_spark.operators.imaging import image_resize
+
+    docs = spark.createDataFrame([(i,) for i in (0, 3, 6, 7, 12, 39)], "doc_id long")
+    out = {r.doc_id: r for r in image_resize(synthesize_images(docs)).collect()}
+    for d, r in out.items():
+        assert r.ok and (r.src_w, r.src_h) == synth_dims(d)
+        w8, h8, px = decode_png_gray(bytes(r.payload))
+        assert (w8, h8) == (8, 8)
+        got = [list(px[j * 8 : (j + 1) * 8]) for j in range(8)]
+        assert got == _py_resize(d, r.src_w, r.src_h)
+
+
+def test_image_resize_failure_isolation(spark):
+    import pandas as pd
+
+    from readability_spark.operators.imaging import image_resize
+
+    good = build_png_gray(3, 2, _rows(1, 3, 2))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "payload": [good, b"notapng"]})
+    )
+    rows = {r.doc_id: r for r in image_resize(df).collect()}
+    assert rows[1].ok and rows[1].payload is not None
+    assert not rows[2].ok and rows[2].payload is None
