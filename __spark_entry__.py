@@ -401,6 +401,21 @@ def _q_audio_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_sample_stats(synthesize_audio(_docs(spark, sf_dir)))
 
 
+def _q_audio_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample every synthesized WAV to 8 kHz (integer box decimation),
+    re-encode, then decode THAT and compute signal stats — the oracle
+    numbers prove the decimation arithmetic and that the re-encoded RIFF
+    container parses."""
+    from readability_spark.operators.audio import (
+        audio_resample,
+        audio_sample_stats,
+        synthesize_audio,
+    )
+
+    resampled = audio_resample(synthesize_audio(_docs(spark, sf_dir)))
+    return audio_sample_stats(resampled.select("doc_id", "payload"))
+
+
 def _q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.imaging import image_pixel_stats, synthesize_images
 
@@ -1011,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pixel_stats": _q_image_pixel_stats,
         "image_resize_stats": _q_image_resize_stats,
         "audio_sample_stats": _q_audio_sample_stats,
+        "audio_resample_stats": _q_audio_resample_stats,
         "duplicate_spans": _q_duplicate_spans,
         "corpus_mix": _q_corpus_mix,
         "dedup_embedding_cosine": _q_embedding_near_dups,
@@ -2624,6 +2640,42 @@ FROM v GROUP BY doc_id
 """
 
 
+def _audio_resample_oracle(max_n: int = 400, target: int = 8000) -> str:
+    """Mirror of audio.audio_resample + audio_sample_stats from the
+    closed-form sample: decimation factor k = rate/8000 = 1 + doc_id % 3,
+    output sample j = floor(frame_sum / k) (floor toward -inf — matches
+    Python's // on the Spark side), trailing partial frame dropped, then
+    the standard signal stats over the decimated sequence."""
+    return f"""
+WITH params AS (
+  SELECT doc_id, (1 + doc_id % 3) AS k, doc_id % {max_n} + 50 AS n FROM documents
+),
+fr AS (
+  SELECT doc_id, k, n // k AS n_out, unnest(generate_series(0, n // k - 1)) AS j
+  FROM params
+),
+v AS (
+  SELECT doc_id, n_out, j,
+         floor(list_sum(list_transform(generate_series(j * k, j * k + k - 1),
+             i -> (doc_id * 31 + i * 17) % 65536 - 32768))::double / k)::bigint AS s
+  FROM fr
+),
+w AS (
+  SELECT doc_id, n_out, j, s,
+         lead(s) OVER (PARTITION BY doc_id ORDER BY j) AS s_next
+  FROM v
+)
+SELECT doc_id, {target} AS sample_rate, any_value(n_out)::bigint AS n_samples,
+       sum(s)::double / count(*) AS amp_mean,
+       sqrt(sum(s * s)::double / count(*)) AS rms,
+       max(abs(s))::int AS peak,
+       sum(CASE WHEN s_next IS NOT NULL AND ((s >= 0) != (s_next >= 0))
+                THEN 1 ELSE 0 END)::bigint AS zero_crossings,
+       TRUE AS ok
+FROM w GROUP BY doc_id
+"""
+
+
 _EN = "['the','a','of','and','to','in','is','it','on','for']"
 _ES = "['el','la','de','los','las','y','en','es','un','una']"
 _EN_HITS = f"len(list_filter(string_split(text,' '), x -> list_contains({_EN}, x)))"
@@ -2807,6 +2859,7 @@ FROM documents
         "image_pixel_stats": _image_pixel_stats_oracle(),
         "image_resize_stats": _image_resize_oracle(),
         "audio_sample_stats": _audio_sample_stats_oracle(),
+        "audio_resample_stats": _audio_resample_oracle(),
         "duplicate_spans": _duplicate_spans_oracle(),
         "corpus_mix": _corpus_mix_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),

@@ -116,6 +116,7 @@ def main() -> int:
         "image_pixel_stats",
         "image_resize_stats",
         "audio_sample_stats",
+        "audio_resample_stats",
         "duplicate_spans",
         "decontaminate",
         "chunk_dedup",

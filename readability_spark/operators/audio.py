@@ -129,6 +129,79 @@ def synthesize_audio(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, out_schema)
 
 
+def resample_box_pcm16(samples, k: int):
+    """Exact decimation by integer factor ``k``: output sample j is
+    floor(mean) of input frame [j*k, (j+1)*k) — integer sum, one floor
+    division toward -inf (Python ``//`` == SQL ``floor(x/k)``), trailing
+    partial frame dropped. The box average is the standard anti-aliasing
+    low-pass for integer-factor downsampling."""
+    n_out = len(samples) // k
+    return [
+        int(sum(samples[j * k : (j + 1) * k])) // k for j in range(n_out)
+    ]
+
+
+def audio_resample(audio: DataFrame, target_rate: int = 8000) -> DataFrame:
+    """Arrow-batched WAV resample: decode → integer-factor box decimation to
+    ``target_rate`` → re-encode as a real mono PCM16 WAV. The audio
+    counterpart of the PNG thumbnail pass: model front-ends want one fixed
+    rate, and the resampled bytes are ~1/k of the input, so only the small
+    stream reaches downstream stages.
+
+    Returns ``(doc_id, src_rate, out_rate, n_in, payload, ok)``; inputs
+    whose rate is not an integer multiple of ``target_rate`` and malformed
+    payloads yield ok=False (isolation contract as everywhere else).
+
+    Scale shape: one mapInPandas projection, zero shuffles."""
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("src_rate", IntegerType(), True),
+            StructField("out_rate", IntegerType(), True),
+            StructField("n_in", LongType(), True),
+            StructField("payload", BinaryType(), True),
+            StructField("ok", BooleanType(), True),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = [f.name for f in out_schema.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(
+                pdf["doc_id"].to_numpy(), pdf["payload"].to_numpy()
+            ):
+                d = int(doc_id)
+                row = dict.fromkeys(cols)
+                row["doc_id"], row["ok"] = d, False
+                try:
+                    rate, samples = decode_wav_pcm16(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    if rate % target_rate:
+                        raise ValueError("rate not an integer multiple")
+                    k = rate // target_rate
+                    out = resample_box_pcm16(samples, k)
+                    pcm = struct.pack(f"<{len(out)}h", *out)
+                    row.update(
+                        src_rate=rate,
+                        out_rate=target_rate,
+                        n_in=len(samples),
+                        payload=build_wav(target_rate, len(out), data=pcm),
+                        ok=True,
+                    )
+                except (ValueError, struct.error):
+                    pass
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return audio.mapInPandas(batches, out_schema)
+
+
 def audio_sample_stats(audio: DataFrame) -> DataFrame:
     """Arrow-batched WAV decode + signal stats: (doc_id, sample_rate,
     n_samples, amp_mean, rms, peak, zero_crossings, ok). Malformed payloads

@@ -94,3 +94,58 @@ def test_audio_stats_plan_has_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------- resample
+
+
+def _py_resample(doc_id, target=8000):
+    rate, n = synth_audio_params(doc_id)
+    k = rate // target
+    samples = [synth_sample(doc_id, i) for i in range(n)]
+    return [sum(samples[j * k : (j + 1) * k]) // k for j in range(n // k)]
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 7, 50, 399])
+def test_resample_matches_pure_python(doc_id):
+    from readability_spark.operators.audio import resample_box_pcm16
+
+    rate, n = synth_audio_params(doc_id)
+    samples = [synth_sample(doc_id, i) for i in range(n)]
+    k = rate // 8000
+    assert resample_box_pcm16(samples, k) == _py_resample(doc_id)
+    # identity when already at target rate
+    assert resample_box_pcm16(samples, 1) == samples
+
+
+def test_audio_resample_roundtrip_spark(spark):
+    """resample -> re-encode -> decode equals the independent replay across
+    all three synthesized rates (8/16/24 kHz -> k = 1/2/3)."""
+    from readability_spark.operators.audio import audio_resample, synthesize_audio
+
+    docs = spark.createDataFrame([(i,) for i in (0, 1, 2, 5, 7)], "doc_id long")
+    out = {r.doc_id: r for r in audio_resample(synthesize_audio(docs)).collect()}
+    for d, r in out.items():
+        rate, n = synth_audio_params(d)
+        assert r.ok and (r.src_rate, r.out_rate, r.n_in) == (rate, 8000, n)
+        got_rate, got = decode_wav_pcm16(bytes(r.payload))
+        assert got_rate == 8000
+        assert got == _py_resample(d)
+
+
+def test_audio_resample_failure_isolation(spark):
+    import pandas as pd
+
+    from readability_spark.operators.audio import audio_resample
+
+    rate, n = synth_audio_params(1)
+    pcm = struct.pack(f"<{n}h", *(synth_sample(1, i) for i in range(n)))
+    good = build_wav(rate, n, data=pcm)
+    odd_rate = build_wav(11025, n, data=pcm)  # not a multiple of 8000
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "payload": [good, b"notwav", odd_rate]})
+    )
+    rows = {r.doc_id: r for r in audio_resample(df).collect()}
+    assert rows[1].ok and rows[1].payload is not None
+    assert not rows[2].ok and rows[2].payload is None
+    assert not rows[3].ok and rows[3].payload is None
