@@ -592,6 +592,21 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(with_injected_duplicates(_docs(spark, sf_dir)))
 
 
+def _q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup admission of a synthetic crawl increment (injected copies +
+    every 7th original) against the remaining corpus as history — banded
+    minhash probe, exact-Jaccard verify on collisions only."""
+    from readability_spark.operators.dedup import (
+        DUP_OFFSET,
+        incremental_minhash_new,
+        with_injected_duplicates,
+    )
+
+    d = with_injected_duplicates(_docs(spark, sf_dir))
+    is_new = (F.col("doc_id") >= DUP_OFFSET) | (F.col("doc_id") % 7 == 2)
+    return incremental_minhash_new(d.filter(is_new), d.filter(~is_new))
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.dedup import near_dup_clusters, with_injected_duplicates
 
@@ -1008,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "lm_perplexity": _q_lm_perplexity,
         "dedup_incremental_new": _q_incremental_new,
+        "dedup_incremental_near": _q_dedup_incremental_near,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -1201,6 +1217,59 @@ pairs AS (
   JOIN sh sb ON sb.doc_id = id_b
   WHERE {jac} >= 0.5
 )"""
+
+
+def _incremental_minhash_oracle(threshold: float = 0.5) -> str:
+    """Mirror of dedup.incremental_minhash_new over the injected-dup table
+    split new = (copies | doc_id%7==2) vs history = rest: same 16-hash/
+    4-band signatures per side, bucket-collision candidates, exact Jaccard
+    over ALL candidates, per-new-doc count/max/is_new."""
+    mh = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{k}:' || s))) AS mh{k}" for k in range(16)
+    )
+    bands = ", ".join(
+        "md5(" + " || '|' || ".join(f"mh{b * 4 + r}" for r in range(4)) + f") AS band{b}"
+        for b in range(4)
+    )
+    bn = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS key FROM bandn" for b in range(4)
+    )
+    bh = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS key FROM bandh" for b in range(4)
+    )
+    jac = (
+        "floor((len(list_intersect(sa.sh, sb.sh))::double / "
+        "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) "
+        "* 10000.0 + 0.5) / 10000.0"
+    )
+    return f"""
+WITH dup AS ({_DUP_DOCS}),
+newd AS (SELECT * FROM dup WHERE doc_id >= 1000000 OR doc_id % 7 = 2),
+hist AS (SELECT * FROM dup WHERE NOT (doc_id >= 1000000 OR doc_id % 7 = 2)),
+shn AS (SELECT doc_id, {_SHINGLES} AS sh FROM newd),
+shh AS (SELECT doc_id, {_SHINGLES} AS sh FROM hist),
+sign AS (SELECT doc_id, {mh} FROM shn),
+sigh AS (SELECT doc_id, {mh} FROM shh),
+bandn AS (SELECT doc_id, {bands} FROM sign),
+bandh AS (SELECT doc_id, {bands} FROM sigh),
+bucketn AS ({bn}),
+bucketh AS ({bh}),
+cands AS (
+  SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+  FROM bucketn n JOIN bucketh h ON n.band = h.band AND n.key = h.key
+),
+ver AS (
+  SELECT new_id, count(*) AS n_candidates, max({jac}) AS mj
+  FROM cands
+  JOIN shn sa ON sa.doc_id = new_id
+  JOIN shh sb ON sb.doc_id = hist_id
+  GROUP BY new_id
+)
+SELECT d.doc_id, coalesce(v.n_candidates, 0)::bigint AS n_candidates,
+       v.mj AS max_jaccard,
+       (v.mj IS NULL OR v.mj < {threshold}) AS is_new
+FROM newd d LEFT JOIN ver v ON v.new_id = d.doc_id
+"""
 
 
 def _minhash_oracle() -> str:
@@ -2863,6 +2932,7 @@ FROM documents
         "duplicate_spans": _duplicate_spans_oracle(),
         "corpus_mix": _corpus_mix_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_incremental_near": _incremental_minhash_oracle(),
         "dedup_clusters": _clusters_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "dedup_simhash64": _simhash64_oracle(),

@@ -102,6 +102,7 @@ def main() -> int:
         "ann_lsh_topk",
         "ann_ivf_topk",
         "dedup_clusters",
+        "dedup_incremental_near",
         "corpus_pack",
         "corpus_build",
         "text_quality",

@@ -110,6 +110,29 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16) -> DataFrame:
     return exploded.groupBy("doc_id").agg(*sig_cols)
 
 
+def minhash_band_buckets(
+    docs: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc_id, band, key) LSH bucket rows: the K signatures split into
+    ``bands`` groups, each group md5-combined into one bucket key."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -127,22 +150,7 @@ def minhash_lsh_pairs(
     (bench cardinality reporting — candidate volume is the number that
     predicts 100x behavior).
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                )
-            ).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    buckets = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    buckets = minhash_band_buckets(docs, num_hashes, bands)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cands = (
@@ -167,6 +175,77 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_minhash_new(
+    new_docs: DataFrame,
+    history: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup admission for a crawl increment: is each NEW document a
+    near-duplicate of anything already in the corpus? The companion of
+    :func:`~readability_spark.operators.bloom.incremental_new_docs` (exact
+    hashes there, minhash similarity here) — the pass a daily-crawl
+    pipeline runs before admitting documents into the training corpus.
+
+    Bands the new docs and probes the history's bucket table; only
+    colliding (new, history) pairs are verified with exact shingle Jaccard
+    (over ALL candidates, not just those above the threshold, so
+    ``max_jaccard`` is informative). Returns one row per new doc:
+    ``(doc_id, n_candidates, max_jaccard, is_new)`` with ``is_new`` true
+    when no verified history neighbor reaches ``jaccard_threshold``.
+
+    Scale shape at 100 TB: the history side's signatures/buckets are
+    computed once per corpus snapshot in production and persisted (here
+    recomputed — same plan); the probe join keys are (band, 32-hex-key)
+    short strings, the increment side is small by definition, and the
+    verify join touches candidates only. No new-vs-new comparison happens
+    (that's :func:`minhash_lsh_pairs` within the increment).
+    """
+    buckets_new = minhash_band_buckets(new_docs, num_hashes, bands)
+    buckets_hist = minhash_band_buckets(history, num_hashes, bands)
+    cands = (
+        buckets_new.join(
+            buckets_hist.withColumnRenamed("doc_id", "hist_id"), ["band", "key"]
+        )
+        .select("doc_id", "hist_id")
+        .distinct()
+    )
+    sh_new = new_docs.select("doc_id", _shingles(F.col("text")).alias("sh_a"))
+    sh_hist = history.select(
+        F.col("doc_id").alias("hist_id"), _shingles(F.col("text")).alias("sh_b")
+    )
+    verified = (
+        cands.join(sh_new, "doc_id")
+        .join(sh_hist, "hist_id")
+        .select(
+            "doc_id",
+            round4(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(verified, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.col("max_jaccard"),
+            (
+                F.col("max_jaccard").isNull()
+                | (F.col("max_jaccard") < jaccard_threshold)
+            ).alias("is_new"),
+        )
     )
 
 

@@ -158,3 +158,43 @@ def test_near_dup_clusters_sizes(spark):
         assert cid in {m.doc_id for m in members}  # survivor is a member
         assert all(m.cluster_size == len(members) for m in members)
         assert len(members) >= 2
+
+
+def test_incremental_minhash_admission(spark):
+    """Increment vs history: an exact copy of a history doc is rejected
+    (max_jaccard 1.0), a disjoint-vocabulary doc is admitted with zero
+    candidates, and the same doc run through the SELF-pair path agrees."""
+    from readability_spark.operators.dedup import incremental_minhash_new
+
+    hist_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    hist_b = "one two three four five six seven eight nine ten " * 3
+    fresh = "crimson umber viridian ochre cobalt cerulean magenta sienna teal azure " * 3
+    history = spark.createDataFrame(
+        [(0, hist_a.strip()), (1, hist_b.strip())], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100, hist_a.strip()), (101, fresh.strip())], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in incremental_minhash_new(new, history).collect()}
+    assert not rows[100].is_new and rows[100].max_jaccard == 1.0
+    assert rows[100].n_candidates >= 1
+    assert rows[101].is_new and rows[101].n_candidates == 0
+    assert rows[101].max_jaccard is None
+
+
+def test_incremental_minhash_counts_all_candidates(spark):
+    """max_jaccard reflects ALL bucket collisions, including sub-threshold
+    ones (the verify join must not pre-filter)."""
+    from readability_spark.operators.dedup import incremental_minhash_new
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # shares a long prefix with base -> bucket collision likely, jaccard < 0.5
+    partial = "alpha beta gamma delta epsilon zeta nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two"
+    history = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    new = spark.createDataFrame([(100, partial)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in incremental_minhash_new(new, history).collect()}
+    r = rows[100]
+    if r.n_candidates:  # collision happened -> verified but below threshold
+        assert r.is_new and r.max_jaccard is not None and r.max_jaccard < 0.5
+    else:  # no band collided -> admitted with no evidence
+        assert r.is_new and r.max_jaccard is None
