@@ -976,7 +976,50 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order = verification priority, not narrative order.
+
+    The round driver's oracle pass walks this dict front to back and has
+    historically recorded rows for only a bounded prefix (CORRECTNESS_r03
+    stopped at the first 50 of 76). So the entries whose oracle rows are
+    youngest-or-missing lead: first the block that had never had a driver
+    row as of r3 (ANN int8/IVF, semdedup, media codecs, duplicate_spans,
+    corpus_mix), then the block whose last green row was r02, then the 50
+    queries green in CORRECTNESS_r03. Under any prefix cap ≥ 26 every
+    operator therefore has a green row in the union of rounds 3+4.
+    """
     return {
+        # -- never driver-oracle-checked before r4 ---------------------------
+        "ann_int8_topk": _q_ann_int8,
+        "ann_ivf_topk": _q_ann_ivf,
+        "semdedup": _q_semdedup,
+        "image_pixel_stats": _q_image_pixel_stats,
+        "image_resize_stats": _q_image_resize_stats,
+        "audio_sample_stats": _q_audio_sample_stats,
+        "audio_resample_stats": _q_audio_resample_stats,
+        "duplicate_spans": _q_duplicate_spans,
+        "corpus_mix": _q_corpus_mix,
+        # -- last green row was CORRECTNESS_r02 ------------------------------
+        # NOTE: the 32-bit `simhash_near_pairs` operator is intentionally NOT
+        # exposed here — its 8-bit band keys (256 buckets/band) go quadratic
+        # past ~10^8 docs. The prod near-dup surface is simhash64.
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash64": _q_simhash64,
+        "dedup_simhash64_near_pairs": _q_simhash64_near_pairs,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_lsh_topk": _q_ann_lsh,
+        "dedup_embedding_cosine": _q_embedding_near_dups,
+        "media_metadata": _q_media_metadata,
+        "media_frame_samples": _q_media_frames,
+        "windowed_event_counts": _q_windowed_events,
+        "user_sessions": _q_user_sessions,
+        "training_corpus_select": _q_training_corpus,
+        "resume_pending_buckets": _q_resume_pending,
+        "tpch_pricing_summary": _q_tpch_pricing,
+        "tpch_revenue_by_nation": _q_tpch_revenue_by_nation,
+        "tpch_region_part_revenue": _q_tpch_region_part_revenue,
+        "docs_rollup_stats": _q_docs_rollup,
+        # -- green in CORRECTNESS_r03 (flagship extraction block first) ------
         "extract_articles": _q_extract_articles,
         "extract_metrics": _q_extract_metrics,
         "extract_length_histogram": _q_extract_length_histogram,
@@ -1027,35 +1070,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
-        # NOTE: the 32-bit `simhash_near_pairs` operator is intentionally NOT
-        # exposed here — its 8-bit band keys (256 buckets/band) go quadratic
-        # past ~10^8 docs. The prod near-dup surface is simhash64 below.
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_simhash64": _q_simhash64,
-        "dedup_simhash64_near_pairs": _q_simhash64_near_pairs,
-        "dedup_ngram_jaccard": _q_dedup_ngram,
-        "ann_cosine_topk": _q_ann_cosine,
-        "ann_int8_topk": _q_ann_int8,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
-        "semdedup": _q_semdedup,
-        "image_pixel_stats": _q_image_pixel_stats,
-        "image_resize_stats": _q_image_resize_stats,
-        "audio_sample_stats": _q_audio_sample_stats,
-        "audio_resample_stats": _q_audio_resample_stats,
-        "duplicate_spans": _q_duplicate_spans,
-        "corpus_mix": _q_corpus_mix,
-        "dedup_embedding_cosine": _q_embedding_near_dups,
-        "media_metadata": _q_media_metadata,
-        "media_frame_samples": _q_media_frames,
-        "windowed_event_counts": _q_windowed_events,
-        "user_sessions": _q_user_sessions,
-        "training_corpus_select": _q_training_corpus,
-        "resume_pending_buckets": _q_resume_pending,
-        "tpch_pricing_summary": _q_tpch_pricing,
-        "tpch_revenue_by_nation": _q_tpch_revenue_by_nation,
-        "tpch_region_part_revenue": _q_tpch_region_part_revenue,
-        "docs_rollup_stats": _q_docs_rollup,
     }
 
 

@@ -138,42 +138,51 @@ def main() -> int:
 
     # -- per-stage candidate cardinalities for the banded dedup pipelines:
     # candidate volume relative to corpus size is what predicts behavior at
-    # 100x (a near-linear count here stays near-linear; quadratic explodes)
-    from readability_spark.operators.dedup import (
-        minhash_lsh_pairs,
-        ngram_jaccard_pairs,
-        simhash64_near_pairs,
-        with_injected_duplicates,
-    )
+    # 100x (a near-linear count here stays near-linear; quadratic explodes).
+    # Opt-in (SPARK_GRAFT_BENCH_CARDINALITIES=1): the sweep's counts cost
+    # real wall time the round driver should spend on verification instead;
+    # the standing record lives in BENCH/CARDINALITY.md (scripts/
+    # cardinality_sweep.py regenerates it).
+    cardinalities: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_CARDINALITIES", "0") == "1":
+        from readability_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+            simhash64_near_pairs,
+            with_injected_duplicates,
+        )
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    dup = with_injected_duplicates(docs).persist()
-    n_dup_docs = dup.count()
-    cardinalities: dict = {"dedup_input_docs": n_dup_docs}
-    st: dict = {}
-    result_n = minhash_lsh_pairs(dup, _stages=st).count()
-    cardinalities["minhash"] = {
-        "band_rows": st["band_rows"].count(),
-        "candidate_pairs": st["candidate_pairs"].count(),
-        "verified_pairs": result_n,
-    }
-    st = {}
-    result_n = simhash64_near_pairs(dup, _stages=st).count()
-    cardinalities["simhash64"] = {
-        "candidate_pairs": st["candidate_pairs"].count(),
-        "verified_pairs": result_n,
-    }
-    st = {}
-    result_n = ngram_jaccard_pairs(dup, _stages=st).count()
-    cardinalities["ngram_jaccard"] = {
-        "shingle_rows": st["shingle_rows"].count(),
-        "discriminative_shingle_rows": st["discriminative_shingle_rows"].count(),
-        "candidate_pairs": st["candidate_pairs"].count(),
-        "verified_pairs": result_n,
-    }
-    dup.unpersist()
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        dup = with_injected_duplicates(docs).persist()
+        cardinalities["dedup_input_docs"] = dup.count()
+        st: dict = {}
+        result_n = minhash_lsh_pairs(dup, _stages=st).count()
+        cardinalities["minhash"] = {
+            "band_rows": st["band_rows"].count(),
+            "candidate_pairs": st["candidate_pairs"].count(),
+            "verified_pairs": result_n,
+        }
+        st = {}
+        result_n = simhash64_near_pairs(dup, _stages=st).count()
+        cardinalities["simhash64"] = {
+            "candidate_pairs": st["candidate_pairs"].count(),
+            "verified_pairs": result_n,
+        }
+        st = {}
+        result_n = ngram_jaccard_pairs(dup, _stages=st).count()
+        cardinalities["ngram_jaccard"] = {
+            "shingle_rows": st["shingle_rows"].count(),
+            "discriminative_shingle_rows": st["discriminative_shingle_rows"].count(),
+            "candidate_pairs": st["candidate_pairs"].count(),
+            "verified_pairs": result_n,
+        }
+        dup.unpersist()
 
     total = round(sum(queries.values()), 3)
+    # The final stdout line IS the contract, and the consumer tail-captures a
+    # bounded buffer (BENCH_r03.json came back `parsed: null` after the line
+    # grew past it). Keep it compact: headline numbers + per-query best only.
+    # Full per-trial walls and cardinalities go to BENCH/TRIALS.json.
     result = {
         "metric": "headline query wall time (extraction + dedup + ANN + stats) at sf dir",
         "value": total,
@@ -186,17 +195,34 @@ def main() -> int:
         if queries["extract_articles"]
         else None,
         "bench_trials": TRIALS,
-        "query_trials": ALL_TRIALS,
-        "cardinalities": cardinalities,
     }
+    detail = dict(result, query_trials=ALL_TRIALS, cardinalities=cardinalities)
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH", "TRIALS.json"
+        )
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:
+        print(f"bench: could not write TRIALS.json: {e}", file=sys.stderr)
     print(json.dumps(result))
     sys.stdout.flush()
     # The JSON line above IS the contract. A large local[32] session was
     # observed hanging in shutdown for >10 min after printing it; don't let
-    # a stuck spark.stop() stall the harness that invoked us.
+    # a stuck spark.stop() stall the harness that invoked us. Exit nonzero
+    # from the watchdog so a hung shutdown stays observable.
     import threading
 
-    watchdog = threading.Timer(60.0, lambda: os._exit(0))
+    def _watchdog_fire():
+        print(
+            "bench: watchdog fired — spark.stop() hung >60s after the JSON "
+            "line; hard-exiting 17",
+            file=sys.stderr,
+        )
+        sys.stderr.flush()
+        os._exit(17)
+
+    watchdog = threading.Timer(60.0, _watchdog_fire)
     watchdog.daemon = True
     watchdog.start()
     spark.stop()

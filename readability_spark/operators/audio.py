@@ -228,6 +228,11 @@ def audio_sample_stats(audio: DataFrame) -> DataFrame:
                     )
                     arr = np.asarray(samples, dtype=np.int64)
                     n = len(arr)
+                    if n == 0:
+                        # A structurally valid WAV with an empty data chunk
+                        # decodes fine but has no stats; keep the ok=False
+                        # isolation contract instead of dividing by zero.
+                        raise ValueError("empty data chunk")
                     nonneg = arr >= 0
                     row.update(
                         sample_rate=rate,

@@ -72,7 +72,16 @@ def c4_clean(
     lines = F.split(F.col("text"), "\n")
     kept = F.filter(lines, _keep_line(min_line_words))
     low = F.lower(F.col("text"))
-    bad_re = "(^|[^a-z0-9])(" + "|".join(badwords) + ")($|[^a-z0-9])"
+    # Real LDNOOBW entries contain regex metacharacters (punctuation); escape
+    # each word so the alternation matches literally. re.escape output is
+    # valid in both Java regex (Spark) and RE2 (DuckDB oracle side).
+    import re as _re
+
+    bad_re = (
+        "(^|[^a-z0-9])("
+        + "|".join(_re.escape(w) for w in badwords)
+        + ")($|[^a-z0-9])"
+    )
     has_badword = low.rlike(bad_re)
     has_lorem = low.contains("lorem ipsum")
     has_brace = F.col("text").contains("{")

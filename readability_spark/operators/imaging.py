@@ -147,6 +147,11 @@ def decode_png_gray(b: bytes) -> Tuple[int, int, bytearray]:
             width, height, depth, color = struct.unpack(">IIBB", data[:10])
             if depth != 8 or color != 0:
                 raise ValueError("only 8-bit grayscale supported")
+            if width == 0 or height == 0:
+                # A zero-area image would pass the scanline-size check
+                # (h*(w+1)=0) and then divide by w*h downstream; treat it
+                # as malformed so callers take their ok=False path.
+                raise ValueError("zero-area image")
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":

@@ -149,3 +149,18 @@ def test_audio_resample_failure_isolation(spark):
     assert rows[1].ok and rows[1].payload is not None
     assert not rows[2].ok and rows[2].payload is None
     assert not rows[3].ok and rows[3].payload is None
+
+
+def test_audio_stats_zero_sample_wav_is_isolated(spark):
+    """A structurally valid WAV whose data chunk is empty decodes to zero
+    samples; the stats operator must emit ok=False, not raise (ADVICE r3)."""
+    import pandas as pd
+
+    empty = build_wav(8000, 0, data=b"")
+    good = build_wav(8000, 2, data=struct.pack("<2h", 100, -100))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "payload": [empty, good]})
+    )
+    rows = {r.doc_id: r for r in audio_sample_stats(df).collect()}
+    assert not rows[1].ok and rows[1].n_samples is None
+    assert rows[2].ok and rows[2].n_samples == 2

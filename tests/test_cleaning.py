@@ -214,3 +214,23 @@ def test_line_dedup_matches_python_on_synthetic_corpus(spark):
     # and a meaningful share of docs lost at least one line
     dropped = sum(1 for _, nl, nk, _ in got if nk < nl)
     assert dropped > len(got) // 10
+
+
+def test_c4_badwords_with_regex_metacharacters(spark):
+    """Real LDNOOBW entries contain punctuation; the blocklist alternation
+    must match the words literally, not as regex syntax (ADVICE r3). An
+    unbalanced '(' in a word used to break pattern compilation outright."""
+    from readability_spark.operators.cleaning import c4_clean
+
+    bad = ("s.o.b(x", "c++")
+    texts = [
+        "the phrase s.o.b(x appears mid sentence here.",  # literal hit
+        "the word ssoqbxx must not match via dot wildcards.",  # regex-only hit
+        "we write c++ programs every single day now.",  # literal hit
+        "clean prose line with no banned vocabulary today.",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.has_badword for r in c4_clean(df, badwords=bad).collect()}
+    assert got == {0: True, 1: False, 2: True, 3: False}

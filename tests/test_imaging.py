@@ -195,3 +195,31 @@ def test_image_resize_failure_isolation(spark):
     rows = {r.doc_id: r for r in image_resize(df).collect()}
     assert rows[1].ok and rows[1].payload is not None
     assert not rows[2].ok and rows[2].payload is None
+
+
+def test_zero_area_png_rejected_everywhere(spark):
+    """A decodable zero-area PNG (width or height 0) must be treated as
+    malformed: decode raises, and all three Spark operators take their
+    ok=False path instead of dividing by w*h = 0 (ADVICE r3)."""
+    import pandas as pd
+    import pytest
+
+    from readability_spark.operators.imaging import (
+        image_pixel_stats,
+        image_resize,
+    )
+
+    zero_h = build_png_gray(3, 0, [])
+    zero_w = build_png_gray(0, 2, [b"", b""])
+    for blob in (zero_h, zero_w):
+        with pytest.raises(ValueError, match="zero-area"):
+            decode_png_gray(blob)
+    good = build_png_gray(3, 2, _rows(1, 3, 2))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "payload": [good, zero_h, zero_w]})
+    )
+    stats = {r.doc_id: r for r in image_pixel_stats(df).collect()}
+    assert stats[1].ok and not stats[2].ok and not stats[3].ok
+    rs = {r.doc_id: r for r in image_resize(df).collect()}
+    assert rs[1].ok and not rs[2].ok and not rs[3].ok
+    assert rs[2].payload is None and rs[3].payload is None
