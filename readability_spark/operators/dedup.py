@@ -391,14 +391,39 @@ def simhash64_near_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
     use_xxhash64: bool = False,
+    bucket_cap: int = 256,
     _stages: "dict | None" = None,
 ) -> DataFrame:
     """Near-dup pairs on the 64-bit simhash: 4 bands of 16 bits each
     (pigeonhole: hamming<=3 ⇒ at least one band equal), verify by popcount.
 
     Scale shape: 65,536 buckets per band keep per-bucket membership ~N/2^16
-    — the self-join stays near-linear where the 8-bit variant went quadratic.
+    on high-entropy corpora — but template-similar populations (mirrors,
+    forums, listing pages) concentrate into a few band buckets and the
+    bucket-local self-join goes quadratic (measured 105× candidate growth
+    per 10× docs on the low-entropy synthetic corpus, BENCH/CARDINALITY.md
+    pre-r4). So buckets past ``bucket_cap`` members are *refined*, not
+    joined directly: each hot-bucket member re-bands its remaining 48 bits
+    into 4 sub-bands of 12 bits and the join adds (sub, subkey) to the key.
+
+    The refinement is EXACT for ``max_hamming <= 3``: a near pair that is
+    band-equal in a hot band has ≤3 differing bits among the other 48, so
+    by pigeonhole at least one 12-bit sub-band is equal — no verified pair
+    is lost, which is why the SQL oracle keeps the plain one-level banding.
+    Per-bucket candidate volume drops from c² to Σ(sub-bucket²): hot-bucket
+    members must now agree on 28 bits (16+12) rather than 16 to meet.
+    Worst-case identical-hash floods remain quadratic — those pairs ARE all
+    verified near-dups, so the output itself is quadratic (output-sensitive
+    cost, the property that survives 100×).
+
+    Plan: one extra same-key count aggregation + join to tag bucket sizes
+    (map-side combined, (long,long,long) rows), then cold/hot split —
+    two joins instead of one, both on bounded buckets.
     """
+    if max_hamming > 3:
+        # both pigeonhole arguments (4 bands of 16; 4 sub-bands of 12 on the
+        # hot path) are sound only up to 3 differing bits
+        raise ValueError("simhash64_near_pairs supports max_hamming <= 3")
     sh = simhash64(docs, use_xxhash64=use_xxhash64)
     band_structs = [
         F.struct(F.lit(0).alias("band"), (F.col("sim_hi") / F.lit(65536)).cast("long").alias("key")),
@@ -412,22 +437,61 @@ def simhash64_near_pairs(
         "doc_id", "sim_hi", "sim_lo",
         F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sim_hi").alias("hi_a"),
-            F.col("a.sim_lo").alias("lo_a"),
-            F.col("b.sim_hi").alias("hi_b"),
-            F.col("b.sim_lo").alias("lo_b"),
+    counts = bands.groupBy("band", "key").agg(F.count("*").alias("bk_n"))
+    tagged = bands.join(counts, ["band", "key"])
+    cold = tagged.filter(F.col("bk_n") <= bucket_cap)
+    hot = tagged.filter(F.col("bk_n") > bucket_cap)
+    # the 48 bits outside this row's band, as one bigint (< 2^48, exact)
+    rem = F.expr(
+        "CASE band "
+        "WHEN 0 THEN (sim_hi % 65536) * 4294967296 + sim_lo "
+        "WHEN 1 THEN (sim_hi div 65536) * 4294967296 + sim_lo "
+        "WHEN 2 THEN sim_hi * 65536 + (sim_lo % 65536) "
+        "ELSE sim_hi * 65536 + (sim_lo div 65536) END"
+    )
+    sub_structs = [
+        F.struct(
+            F.lit(j).alias("sub"),
+            ((F.col("rem") / F.lit(4096**j)).cast("long") % 4096).alias("subkey"),
         )
+        for j in range(4)
+    ]
+    hot_sub = (
+        hot.withColumn("rem", rem)
+        .select(
+            "doc_id", "sim_hi", "sim_lo", "band", "key",
+            F.explode(F.array(*sub_structs)).alias("sk"),
+        )
+        .select(
+            "doc_id", "sim_hi", "sim_lo", "band", "key",
+            F.col("sk.sub").alias("sub"), F.col("sk.subkey").alias("subkey"),
+        )
+    )
+
+    def _pairs(side: DataFrame, keys: list) -> DataFrame:
+        a, b = side.alias("a"), side.alias("b")
+        return (
+            a.join(b, keys)
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.col("a.sim_hi").alias("hi_a"),
+                F.col("a.sim_lo").alias("lo_a"),
+                F.col("b.sim_hi").alias("hi_b"),
+                F.col("b.sim_lo").alias("lo_b"),
+            )
+        )
+
+    cands = (
+        _pairs(cold, ["band", "key"])
+        .unionByName(_pairs(hot_sub, ["band", "key", "sub", "subkey"]))
         .distinct()
     )
     if _stages is not None:
         _stages["candidate_pairs"] = cands
+        _stages["hot_band_keys"] = counts.filter(F.col("bk_n") > bucket_cap)
+        _stages["hot_rows"] = hot
     # native popcount on both engines (Spark bit_count / DuckDB bit_count)
     ham = F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)")
     return (

@@ -109,6 +109,8 @@ def semdedup(
     threshold: float = 0.92,
     lloyd_iters: int = 2,
     seed: int = DEFAULT_PLANE_SEED,
+    cluster_cap: int = 4096,
+    _stages: "dict | None" = None,
 ) -> DataFrame:
     """Run SemDeDup over ``(vec_id, embedding)``.
 
@@ -117,6 +119,19 @@ def semdedup(
     ``WHERE is_kept``. ``cent_cos`` is the vector's cosine to its final
     cluster centroid (round4 for engine-portable comparison; the keep
     ordering uses the unrounded value, ties broken by ``vec_id``).
+
+    ``cluster_cap`` is the giant-cluster skew guard (VERDICT r3): the
+    within-cluster pair join is salted so no single task ever computes a
+    hot cluster's full c² pair block. The suppressing (b) side of a cell
+    of size c is replicated across ``S = ceil(c / cluster_cap)`` salt
+    slices and the suppressed (a) side hashes into one slice, so each
+    (cell, salt) join task handles ~``cluster_cap`` a-rows × c b-rows —
+    linear in c per task instead of quadratic, parallelism grows with the
+    cluster. Salting only redistributes rows; the pair set, and therefore
+    the SQL oracle, is unchanged. Cold clusters get S = 1 and degenerate
+    to the plain join. (Total work is still Σc² — SemDeDup's semantics
+    need every within-cluster pair; the paper bounds it by growing k with
+    n so cluster size stays constant.)
     """
     spark = emb.sparkSession
     cents = seeded_centroids(spark, n_clusters, _infer_dim(emb), seed)
@@ -143,22 +158,42 @@ def semdedup(
             ).alias("cent_cos"),
         )
     )
-    a = scored.select(
+    # per-cell sizes -> salt-slice counts; one map-side-combined count over
+    # the assignment and a broadcast join back (k rows — KBs at any scale)
+    slices = (
+        scored.groupBy("cell")
+        .agg(F.count("*").alias("c_n"))
+        .select(
+            "cell",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("c_n") / F.lit(cluster_cap)).cast("int")
+            ).alias("n_salt"),
+        )
+    )
+    salted = scored.join(F.broadcast(slices), "cell")
+    a = salted.select(
         F.col("vec_id").alias("id_a"),
         F.col("cell").alias("cell_a"),
         F.col("embedding").alias("emb_a"),
         F.col("cent_cos").alias("cc_a"),
+        F.pmod(F.xxhash64("vec_id"), F.col("n_salt")).cast("int").alias("salt_a"),
     )
-    b = scored.select(
+    b = salted.select(
         F.col("vec_id").alias("id_b"),
         F.col("cell").alias("cell_b"),
         F.col("embedding").alias("emb_b"),
         F.col("cent_cos").alias("cc_b"),
+        F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1)).alias("salt_b"),
     )
     # j (=b side) suppresses i (=a side): same cell, cos >= threshold, and
     # j precedes i in keep-priority (lower centroid-cos, then lower id).
     suppressed = (
-        a.join(b, (F.col("cell_a") == F.col("cell_b")) & (F.col("id_a") != F.col("id_b")))
+        a.join(
+            b,
+            (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("salt_a") == F.col("salt_b"))
+            & (F.col("id_a") != F.col("id_b")),
+        )
         .filter(
             (F.col("cc_b") < F.col("cc_a"))
             | ((F.col("cc_b") == F.col("cc_a")) & (F.col("id_b") < F.col("id_a")))
@@ -170,6 +205,8 @@ def semdedup(
         )
         .select(F.col("id_a").alias("vec_id"))
     )
+    if _stages is not None:
+        _stages["cell_slices"] = slices
     sup = suppressed.distinct().withColumn("_sup", F.lit(True))
     return scored.join(sup, "vec_id", "left").select(
         "vec_id",

@@ -15,8 +15,15 @@ two parents, vocabulary statistics are unchanged, and everything is a
 deterministic column expression (re-runnable, no RNG).
 
 Usage: python scripts/cardinality_sweep.py [sf_dir] [reps]
+       python scripts/cardinality_sweep.py --real [reps]
 Prints one JSON line with per-stage cardinalities for the three banded
 pipelines at the expanded scale.
+
+``--real`` (VERDICT r3 item 8) swaps the synthetic base corpus for the 127
+reference fixture pages' *extracted article text* (real web prose, real
+entropy) and expands with the same split-splice, so the "web entropy
+behaves better than the synthetic corpus" claim in CARDINALITY.md has a
+measured row instead of an argument. Requires /root/reference.
 """
 
 from __future__ import annotations
@@ -28,15 +35,37 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+REAL = len(sys.argv) > 1 and sys.argv[1] == "--real"
+if REAL:
+    SF_DIR = "fixtures:real-text"
+    REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 433
+else:
+    SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 REP_OFFSET = 100_000_000  # far above DUP_OFFSET: replica ids never collide
+
+
+def real_text_docs(spark):
+    """(doc_id, text) from the 127 reference fixture pages' expected
+    extracted text, whitespace-normalized to the corpus's space-joined
+    token convention."""
+    from readability_spark.sources.fixtures import expected_text, iter_cases
+
+    rows = []
+    for case in iter_cases():
+        t = expected_text(case)
+        if t:
+            rows.append((len(rows), " ".join(t.split())))
+    return spark.createDataFrame(rows, "doc_id long, text string")
 
 
 def expanded_docs(spark, sf_dir: str, reps: int):
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    if sf_dir == "fixtures:real-text":
+        docs = real_text_docs(spark)
+    else:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     n = docs.count()
     toks = F.split("text", " ")
     half = (F.size(toks) / 2).cast("int")
@@ -108,6 +137,8 @@ def main() -> int:
     out["simhash64"] = {
         "candidate_pairs": st["candidate_pairs"].count(),
         "verified_pairs": verified,
+        "hot_band_keys": st["hot_band_keys"].count(),
+        "hot_rows": st["hot_rows"].count(),
         "wall_sec": round(time.time() - t0, 1),
     }
 

@@ -198,3 +198,69 @@ def test_incremental_minhash_counts_all_candidates(spark):
         assert r.is_new and r.max_jaccard is not None and r.max_jaccard < 0.5
     else:  # no band collided -> admitted with no evidence
         assert r.is_new and r.max_jaccard is None
+
+
+def test_simhash64_bucket_cap_is_exact_and_no_wider(spark, docs):
+    """The hot-bucket refinement (r3 VERDICT item: per-(band,key) cap) must
+    be lossless — pigeonhole over 4×12-bit sub-bands of the remaining 48
+    bits guarantees every hamming<=3 pair survives — while never generating
+    MORE candidates than the uncapped single-level join."""
+    dense = with_injected_duplicates(docs, every=1)
+    st_cold, st_hot = {}, {}
+    # cap above any bucket size = the pre-r4 single-level behavior
+    cold = simhash64_near_pairs(dense, bucket_cap=10**9, _stages=st_cold)
+    # cap of 2 pushes every shared bucket through the refined path
+    hot = simhash64_near_pairs(dense, bucket_cap=2, _stages=st_hot)
+    cold_pairs = {(r.id_a, r.id_b, r.hamming) for r in cold.collect()}
+    hot_pairs = {(r.id_a, r.id_b, r.hamming) for r in hot.collect()}
+    assert hot_pairs == cold_pairs and cold_pairs  # exact, and non-trivial
+    n_cold = st_cold["candidate_pairs"].count()
+    n_hot = st_hot["candidate_pairs"].count()
+    assert n_hot <= n_cold
+    # the refinement must actually engage on this corpus (identical injected
+    # copies guarantee buckets past a cap of 2)
+    assert st_hot["hot_band_keys"].count() > 0
+
+
+def test_simhash64_refinement_splits_band_equal_far_pairs(spark):
+    """Docs equal in one 16-bit band but far in the remaining 48 bits are
+    exactly the hot-bucket population that went quadratic pre-r4; with the
+    cap they must produce ZERO candidates unless a 12-bit sub-band also
+    matches. Build the population directly at the banding layer by driving
+    simhash64 with single-token docs (one token = that token's md5 decides
+    the full 64-bit hash), then check candidate counts via _stages."""
+    import hashlib
+
+    # find single tokens whose md5-derived sim_hi top-16 collide but whose
+    # remaining 48 bits are pairwise distant (>3 bits)
+    by_band: dict = {}
+    for i in range(200000):
+        tok = f"t{i}"
+        h = hashlib.md5(tok.encode()).hexdigest()
+        hi, lo = int(h[:8], 16), int(h[8:16], 16)
+        by_band.setdefault(hi >> 16, []).append((tok, hi, lo))
+        # single-token doc: every vote is decided by this one hash, so
+        # sim_hi == hi and sim_lo == lo exactly
+    group = max(by_band.values(), key=len)
+    group = group[:40]
+    assert len(group) >= 12
+
+    def ham48(a, b):
+        ra = ((a[1] & 0xFFFF) << 32) | a[2]
+        rb = ((b[1] & 0xFFFF) << 32) | b[2]
+        return bin(ra ^ rb).count("1")
+
+    far = [t for t in group if all(ham48(t, u) > 3 for u in group if u is not t)]
+    assert len(far) >= 8
+    docs = spark.createDataFrame(
+        [(i, t[0]) for i, t in enumerate(far)], "doc_id long, text string"
+    )
+    st: dict = {}
+    out = simhash64_near_pairs(docs, bucket_cap=2, _stages=st)
+    assert out.count() == 0  # none are true near-dups
+    # uncapped, this bucket alone yields C(n,2) candidates; with the cap the
+    # sub-band split must cut that down (any survivors share a 12-bit
+    # sub-band by chance — allow a sliver, not the quadratic pile)
+    n = len(far)
+    uncapped = n * (n - 1) // 2
+    assert st["candidate_pairs"].count() < uncapped // 2

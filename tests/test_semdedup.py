@@ -139,3 +139,32 @@ def test_semdedup_plan_broadcasts_centroids(spark):
     # shuffled cartesian
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_giant_cluster_guard(spark):
+    """VERDICT r3: one hot cluster must not become one task's c² pair
+    block. Build a corpus where (nearly) everything lands in a single
+    k-means cell, then assert (a) the salted join splits that cell across
+    >1 salt slice, and (b) salting changes nothing about the answer."""
+    from readability_spark.operators.semdedup import semdedup as _sd
+
+    # 300 near-identical vectors (one dominant direction + per-id jitter)
+    # collapse into one cell; jitter keeps cosines straddling the threshold
+    rows = [
+        (i, [1.0, 0.002 * (i % 7), 0.003 * (i % 5), 0.001 * (i % 11)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    st: dict = {}
+    capped = _sd(df, n_clusters=4, cluster_cap=50, _stages=st)
+    got = {(r.vec_id, r.cell, r.cent_cos, r.is_kept) for r in capped.collect()}
+    slices = {r.cell: r.n_salt for r in st["cell_slices"].collect()}
+    assert max(slices.values()) >= 6  # 300-member cell / cap 50
+    # a cap larger than any cell = the unsalted pre-r4 behavior
+    want = {
+        (r.vec_id, r.cell, r.cent_cos, r.is_kept)
+        for r in _sd(df, n_clusters=4, cluster_cap=10**9).collect()
+    }
+    assert got == want
+    # and suppression actually happened (the guard wasn't vacuous)
+    assert any(not kept for _, _, _, kept in got)
