@@ -424,7 +424,11 @@ def simhash64_near_pairs(
         # both pigeonhole arguments (4 bands of 16; 4 sub-bands of 12 on the
         # hot path) are sound only up to 3 differing bits
         raise ValueError("simhash64_near_pairs supports max_hamming <= 3")
-    sh = simhash64(docs, use_xxhash64=use_xxhash64)
+    # The signature table is 3 longs/doc but feeds five branches (bucket
+    # counts, cold a/b, hot a/b) and self-join aliasing defeats exchange
+    # reuse — without the cut, the token-explode + 64-vote aggregation runs
+    # once per branch. Lazy local checkpoint = compute once on first action.
+    sh = simhash64(docs, use_xxhash64=use_xxhash64).localCheckpoint(eager=False)
     band_structs = [
         F.struct(F.lit(0).alias("band"), (F.col("sim_hi") / F.lit(65536)).cast("long").alias("key")),
         F.struct(F.lit(1).alias("band"), (F.col("sim_hi") % 65536).alias("key")),
@@ -438,7 +442,9 @@ def simhash64_near_pairs(
         F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
     )
     counts = bands.groupBy("band", "key").agg(F.count("*").alias("bk_n"))
-    tagged = bands.join(counts, ["band", "key"])
+    # counts is bounded by 4 bands × 2^16 keys = 262,144 rows at ANY corpus
+    # size — always broadcast; the size tag never costs bands a shuffle
+    tagged = bands.join(F.broadcast(counts), ["band", "key"])
     cold = tagged.filter(F.col("bk_n") <= bucket_cap)
     hot = tagged.filter(F.col("bk_n") > bucket_cap)
     # the 48 bits outside this row's band, as one bigint (< 2^48, exact)
