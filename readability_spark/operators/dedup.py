@@ -391,7 +391,7 @@ def simhash64_near_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
     use_xxhash64: bool = False,
-    bucket_cap: int = 256,
+    bucket_cap: int = 64,
     _stages: "dict | None" = None,
 ) -> DataFrame:
     """Near-dup pairs on the 64-bit simhash: 4 bands of 16 bits each
@@ -410,6 +410,9 @@ def simhash64_near_pairs(
     band-equal in a hot band has ≤3 differing bits among the other 48, so
     by pigeonhole at least one 12-bit sub-band is equal — no verified pair
     is lost, which is why the SQL oracle keeps the plain one-level banding.
+    (Measured on the 55k-doc low-entropy sweep: verified pairs identical at
+    every cap in {32,64,128,256,∞}; the default 64 minimizes the decade-2
+    candidate growth ratio, 105× uncapped → 26×. BENCH/CARDINALITY.md.)
     Per-bucket candidate volume drops from c² to Σ(sub-bucket²): hot-bucket
     members must now agree on 28 bits (16+12) rather than 16 to meet.
     Worst-case identical-hash floods remain quadratic — those pairs ARE all
