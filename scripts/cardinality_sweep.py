@@ -45,17 +45,24 @@ else:
 REP_OFFSET = 100_000_000  # far above DUP_OFFSET: replica ids never collide
 
 
+REAL_DOC_TOKENS = 600  # ≈ the synthetic corpus's doc length
+
+
 def real_text_docs(spark):
     """(doc_id, text) from the 127 reference fixture pages' expected
     extracted text, whitespace-normalized to the corpus's space-joined
-    token convention."""
+    token convention and truncated to REAL_DOC_TOKENS words. Truncation
+    keeps the sweep's cost profile comparable to the synthetic rows (some
+    fixture articles run 50k+ words — shingle mass, not collision
+    structure) while preserving what the row is for: real-web token
+    entropy in the band keys."""
     from readability_spark.sources.fixtures import expected_text, iter_cases
 
     rows = []
     for case in iter_cases():
         t = expected_text(case)
         if t:
-            rows.append((len(rows), " ".join(t.split())))
+            rows.append((len(rows), " ".join(t.split()[:REAL_DOC_TOKENS])))
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
