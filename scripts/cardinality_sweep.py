@@ -83,23 +83,28 @@ def expanded_docs(spark, sf_dir: str, reps: int):
         "doc_id",
         F.concat_ws(" ", F.slice(toks, half + 1, F.size(toks) - half)).alias("r"),
     )
-    parts = [docs]
-    for rep in range(1, reps):
-        partner = right.withColumn(
-            "doc_id", (F.col("doc_id") - F.lit(37 * rep) + F.lit(n)) % F.lit(n)
-        )
-        spliced = (
-            left.join(partner, "doc_id")
-            .select(
-                (F.col("doc_id") + F.lit(rep * REP_OFFSET)).alias("doc_id"),
-                F.concat_ws(" ", "l", "r").alias("text"),
-            )
-        )
-        parts.append(spliced)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    if reps <= 1:
+        return docs
+    # One join over an exploded rep range instead of a reps-way union of
+    # joins (a 433-rep real-text sweep would otherwise build a 433-join
+    # plan). pmod, not %: for rep where 37*rep > n + doc_id the signed %
+    # returns a negative partner id and the splice join silently matches
+    # nothing (caught on the 127-doc real-text base, where reps > 3
+    # produced empty replicas; the synthetic n >= 5,500 base never hit it).
+    rep_range = spark.range(1, reps).select(F.col("id").cast("int").alias("rep"))
+    keyed = (
+        left.crossJoin(F.broadcast(rep_range))
+        .withColumn("partner", F.pmod(F.col("doc_id") + 37 * F.col("rep"), F.lit(n)))
+    )
+    spliced = keyed.join(
+        right.withColumnRenamed("doc_id", "partner"), "partner"
+    ).select(
+        (F.col("doc_id") + F.col("rep").cast("long") * F.lit(REP_OFFSET)).alias(
+            "doc_id"
+        ),
+        F.concat_ws(" ", "l", "r").alias("text"),
+    )
+    return docs.unionByName(spliced)
 
 
 def main() -> int:
