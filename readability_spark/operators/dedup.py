@@ -150,7 +150,12 @@ def minhash_lsh_pairs(
     (bench cardinality reporting — candidate volume is the number that
     predicts 100x behavior).
     """
-    buckets = minhash_band_buckets(docs, num_hashes, bands)
+    # 4 small (long, int, 32-byte) rows per doc, consumed by both self-join
+    # sides — checkpoint so the K-md5s-per-shingle signature pipeline runs
+    # once, not once per side (self-join aliasing defeats exchange reuse)
+    buckets = minhash_band_buckets(docs, num_hashes, bands).localCheckpoint(
+        eager=False
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     cands = (
@@ -162,7 +167,11 @@ def minhash_lsh_pairs(
     if _stages is not None:
         _stages["band_rows"] = buckets
         _stages["candidate_pairs"] = cands
-    sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    # verify side: the shingle arrays join in twice (id_a, id_b) — one
+    # materialization instead of two text scans
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh")).localCheckpoint(
+        eager=False
+    )
     return (
         cands.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -615,7 +624,14 @@ def ngram_jaccard_pairs(
     (few distinct hot shingles by construction). Exact |intersection| =
     common_rare + common_hot; sizes come from the per-doc shingle arrays.
     """
-    sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    # The shingle table feeds four branches (df counts, rare postings, hot
+    # postings, per-doc sizes) and Spark recomputes the shingle transform
+    # per branch (self-join aliasing defeats exchange reuse). Lazy local
+    # checkpoint = one corpus-sized executor-local materialization instead
+    # of four text scans; measured 4x on the sf0.1 bench (16.7s -> 4.2s).
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh")).localCheckpoint(
+        eager=False
+    )
     exploded = sh.select("doc_id", F.explode("sh").alias("g"))
     # Document frequency via groupBy (map-side combined: a hot shingle adds
     # one partial count per input partition, never its full posting list in
