@@ -157,6 +157,10 @@ def semdedup(
                 / (_norm(F.col("embedding")) * _norm(F.col("c_emb")))
             ).alias("cent_cos"),
         )
+        # consumed by four branches (slice counts, pair-join a/b, final
+        # keep-join) — checkpoint so the assignment scan + centroid cosine
+        # runs once, not per branch
+        .localCheckpoint(eager=False)
     )
     # per-cell sizes -> salt-slice counts; one map-side-combined count over
     # the assignment and a broadcast join back (k rows — KBs at any scale)

@@ -133,11 +133,23 @@ def test_semdedup_covers_every_vector_once(spark):
 
 
 def test_semdedup_plan_broadcasts_centroids(spark):
+    from readability_spark.operators.semdedup import _assign
+    from readability_spark.operators.similarity import (
+        DEFAULT_PLANE_SEED,
+        _infer_dim,
+        seeded_centroids,
+    )
+
     df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # the r4 scored-stage checkpoint truncates the final plan at a LogicalRDD,
+    # so assert the centroid attach on the assignment subplan it hides:
+    # no equi-key -> broadcast nested loop, never a shuffled cartesian
+    cents = seeded_centroids(spark, 16, _infer_dim(df), DEFAULT_PLANE_SEED)
+    aplan = _assign(df, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in aplan, aplan
+    assert "CartesianProduct" not in aplan, aplan
+    # and the end-to-end plan stays cartesian-free
     plan = semdedup(df)._jdf.queryExecution().executedPlan().toString()
-    # centroid attach has no equi-key -> broadcast nested loop, never a
-    # shuffled cartesian
-    assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 
