@@ -258,7 +258,9 @@ def embedding_near_dup_pairs(
     if n_planes is None:
         n_planes = auto_n_planes(emb.count())
     planes = seeded_planes(emb.sparkSession, n_planes * n_tables, _infer_dim(emb), seed)
-    keys = lsh_table_keys(emb, planes, n_planes)
+    # (vec_id, tbl, key) longs feed both self-join sides; checkpoint so the
+    # n_planes*n_tables plane dot products per vector run once, not twice
+    keys = lsh_table_keys(emb, planes, n_planes).localCheckpoint(eager=False)
     a = keys.select(F.col("vec_id").alias("id_a"), "tbl", "key")
     b = keys.select(F.col("vec_id").alias("id_b"), "tbl", "key")
     cands = (
@@ -424,7 +426,9 @@ def lsh_topk(
     from pyspark.sql.window import Window
 
     planes = seeded_planes(emb.sparkSession, n_planes * n_tables, _infer_dim(emb), seed)
-    keys = lsh_table_keys(emb, planes, n_planes)
+    # consumed by both the query-probe build and the candidate join —
+    # checkpoint so the plane dot products per vector run once
+    keys = lsh_table_keys(emb, planes, n_planes).localCheckpoint(eager=False)
     q_ids = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
