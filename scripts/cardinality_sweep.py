@@ -35,6 +35,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+ONLY = None
+if "--only" in sys.argv:
+    i = sys.argv.index("--only")
+    ONLY = sys.argv[i + 1]
+    del sys.argv[i : i + 2]
 REAL = len(sys.argv) > 1 and sys.argv[1] == "--real"
 if REAL:
     SF_DIR = "fixtures:real-text"
@@ -133,37 +138,40 @@ def main() -> int:
     n_docs = dup.count()
     out: dict = {"sf_dir": SF_DIR, "reps": REPS, "dedup_input_docs": n_docs}
 
-    t0 = time.time()
-    st: dict = {}
-    verified = minhash_lsh_pairs(dup, _stages=st).count()
-    out["minhash"] = {
-        "band_rows": st["band_rows"].count(),
-        "candidate_pairs": st["candidate_pairs"].count(),
-        "verified_pairs": verified,
-        "wall_sec": round(time.time() - t0, 1),
-    }
+    if ONLY in (None, "minhash"):
+        t0 = time.time()
+        st: dict = {}
+        verified = minhash_lsh_pairs(dup, _stages=st).count()
+        out["minhash"] = {
+            "band_rows": st["band_rows"].count(),
+            "candidate_pairs": st["candidate_pairs"].count(),
+            "verified_pairs": verified,
+            "wall_sec": round(time.time() - t0, 1),
+        }
 
-    t0 = time.time()
-    st = {}
-    verified = simhash64_near_pairs(dup, _stages=st).count()
-    out["simhash64"] = {
-        "candidate_pairs": st["candidate_pairs"].count(),
-        "verified_pairs": verified,
-        "hot_band_keys": st["hot_band_keys"].count(),
-        "hot_rows": st["hot_rows"].count(),
-        "wall_sec": round(time.time() - t0, 1),
-    }
+    if ONLY in (None, "simhash64"):
+        t0 = time.time()
+        st = {}
+        verified = simhash64_near_pairs(dup, _stages=st).count()
+        out["simhash64"] = {
+            "candidate_pairs": st["candidate_pairs"].count(),
+            "verified_pairs": verified,
+            "hot_band_keys": st["hot_band_keys"].count(),
+            "hot_rows": st["hot_rows"].count(),
+            "wall_sec": round(time.time() - t0, 1),
+        }
 
-    t0 = time.time()
-    st = {}
-    verified = ngram_jaccard_pairs(dup, _stages=st).count()
-    out["ngram_jaccard"] = {
-        "shingle_rows": st["shingle_rows"].count(),
-        "discriminative_shingle_rows": st["discriminative_shingle_rows"].count(),
-        "candidate_pairs": st["candidate_pairs"].count(),
-        "verified_pairs": verified,
-        "wall_sec": round(time.time() - t0, 1),
-    }
+    if ONLY in (None, "ngram_jaccard"):
+        t0 = time.time()
+        st = {}
+        verified = ngram_jaccard_pairs(dup, _stages=st).count()
+        out["ngram_jaccard"] = {
+            "shingle_rows": st["shingle_rows"].count(),
+            "discriminative_shingle_rows": st["discriminative_shingle_rows"].count(),
+            "candidate_pairs": st["candidate_pairs"].count(),
+            "verified_pairs": verified,
+            "wall_sec": round(time.time() - t0, 1),
+        }
 
     dup.unpersist()
     print(json.dumps(out))
