@@ -975,6 +975,33 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity(_docs(spark, sf_dir), head_max=29.0, middle_max=30.5)
 
 
+def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.bpe import bpe_vocab
+
+    return bpe_vocab(_docs(spark, sf_dir), num_merges=8)
+
+
+def _q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.bpe import bpe_segment, bpe_vocab
+
+    docs = _docs(spark, sf_dir)
+    seg = bpe_segment(docs, bpe_vocab(docs, num_merges=8))
+    return seg.select(
+        "doc_id",
+        F.concat_ws(" ", "tokens").alias("text_seg"),
+        "n_tokens",
+    )
+
+
+def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.normalize import (
+        normalize_text,
+        with_messy_text,
+    )
+
+    return normalize_text(with_messy_text(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = verification priority, not narrative order.
 
@@ -988,6 +1015,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     operator therefore has a green row in the union of rounds 3+4.
     """
     return {
+        # -- new in r4 (no driver row yet) -----------------------------------
+        "bpe_vocab": _q_bpe_vocab,
+        "bpe_segment": _q_bpe_segment,
+        "text_normalize": _q_text_normalize,
         # -- never driver-oracle-checked before r4 ---------------------------
         "ann_int8_topk": _q_ann_int8,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2765,10 +2796,142 @@ _EN_HITS = f"len(list_filter(string_split(text,' '), x -> list_contains({_EN}, x
 _ES_HITS = f"len(list_filter(string_split(text,' '), x -> list_contains({_ES}, x)))"
 
 
+def _bpe_cte_chain(num_merges: int = 8) -> str:
+    """Shared unrolled-CTE chain for the BPE oracles: word-frequency table,
+    char-wrapped delimited representation, then ``num_merges`` rounds of
+    (adjacent-pair count, max(count, a, b) winner m{r}, replace
+    re-segmentation w{r}). chr(30) = the U+001E token delimiter; tie-break
+    ORDER BY c DESC, a DESC, b DESC matches Spark's max(struct(c, a, b))."""
+    s = r"""
+WITH words AS (
+  SELECT word, count(*)::bigint AS cnt FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+w0 AS (
+  SELECT regexp_replace(word, '(.)', chr(30) || '\1' || chr(30), 'g') AS repr,
+         cnt
+  FROM words
+)"""
+    for r in range(1, num_merges + 1):
+        s += f""",
+t{r} AS (
+  SELECT string_split(trim(repr, chr(30)), chr(30) || chr(30)) AS t, cnt
+  FROM w{r - 1}
+),
+p{r} AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS a,
+         unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i + 1])) AS b,
+         cnt
+  FROM t{r}
+),
+g{r} AS (SELECT a, b, sum(cnt)::bigint AS c FROM p{r} GROUP BY a, b),
+m{r} AS (SELECT a, b, c FROM g{r} ORDER BY c DESC, a DESC, b DESC LIMIT 1),
+w{r} AS (
+  SELECT replace(repr, chr(30) || a || chr(30) || chr(30) || b || chr(30),
+                 chr(30) || a || b || chr(30)) AS repr, cnt
+  FROM w{r - 1}, m{r}
+)"""
+    return s
+
+
+def _bpe_vocab_oracle(num_merges: int = 8) -> str:
+    """Mirror of operators/bpe.bpe_vocab: the merge table, one row per
+    unrolled round."""
+    return _bpe_cte_chain(num_merges) + "\n" + "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, a AS left_tok, b AS right_tok, c AS merge_count FROM m{r}"
+        for r in range(1, num_merges + 1)
+    )
+
+
+def _bpe_segment_oracle(num_merges: int = 8) -> str:
+    """Mirror of operators/bpe.bpe_vocab + bpe_segment: learn the merge
+    table (same CTE chain), then segment every document — wrap letters in
+    the chr(30) delimiter, blank non-letter runs, apply the learned merges
+    as nested left-to-right replaces, split back to tokens."""
+    renamed = ",\n".join(
+        f"(SELECT a AS a{r}, b AS b{r} FROM m{r}) x{r}"
+        for r in range(1, num_merges + 1)
+    )
+    rep = (
+        "regexp_replace(regexp_replace(lower(text), '([a-z])', "
+        "chr(30) || '\\1' || chr(30), 'g'), '[^a-z' || chr(30) || ']+', ' ', 'g')"
+    )
+    for r in range(1, num_merges + 1):
+        rep = (
+            f"replace({rep}, chr(30) || a{r} || chr(30) || chr(30) || b{r} || chr(30),"
+            f" chr(30) || a{r} || b{r} || chr(30))"
+        )
+    return (
+        _bpe_cte_chain(num_merges)
+        + f""",
+seg AS (
+  SELECT doc_id, {rep} AS r{num_merges}
+  FROM documents,
+{renamed}
+),
+toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(r{num_merges}, '[' || chr(30) || ' ]+'),
+                t -> t <> '') AS tk
+  FROM seg
+)
+SELECT doc_id, array_to_string(tk, ' ') AS text_seg, len(tk)::bigint AS n_tokens
+FROM toks
+"""
+    )
+
+
+def _text_normalize_oracle() -> str:
+    """Mirror of operators/normalize.with_messy_text + normalize_text:
+    rebuild the identical dirtied bytes (BEL=chr(7), NBSP=chr(160),
+    combining acute=chr(769), ANGSTROM=chr(8491), combining
+    diaeresis=chr(776), OHM=chr(8486), combining ring=chr(778)), then
+    NBSP->space, strip C0-except-TAB/LF/CR plus DEL, collapse ws, trim,
+    NFC."""
+    return r"""
+WITH messy AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN chr(7) ELSE '' END
+    || CASE WHEN doc_id % 2 = 0 THEN ' ' || chr(160) || ' ' ELSE ' ' END
+    || CASE (doc_id % 4)
+         WHEN 0 THEN ' cafe' || chr(769)
+         WHEN 1 THEN ' ' || chr(8491) || 'ngstro' || chr(776) || 'm'
+         WHEN 2 THEN ' ' || chr(8486) || 'hm'
+         ELSE ' A' || chr(778)
+       END AS text
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, text,
+    nfc_normalize(
+      trim(
+        regexp_replace(
+          regexp_replace(
+            replace(text, chr(160), ' '),
+            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+          '\s+', ' ', 'g')
+      )
+    ) AS text_norm
+  FROM messy
+)
+SELECT doc_id, text_norm,
+  length(text)::bigint AS n_chars_raw,
+  length(text_norm)::bigint AS n_chars_norm,
+  text_norm <> text AS changed
+FROM canon
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = "string_split(text, ' ')"
     url = "'http://synth.fakehost/doc/' || doc_id || '.html'"
     return {
+        "bpe_vocab": _bpe_vocab_oracle(num_merges=8),
+        "bpe_segment": _bpe_segment_oracle(num_merges=8),
+        "text_normalize": _text_normalize_oracle(),
         "extract_articles": f"""
 SELECT {url} AS url,
        'Synthetic Web Archive Document ' || doc_id AS title,

@@ -149,6 +149,9 @@ def main() -> int:
         "windowed_event_counts",
         "tpch_pricing_summary",
         "tpch_revenue_by_nation",
+        "bpe_vocab",
+        "bpe_segment",
+        "text_normalize",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1
