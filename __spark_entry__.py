@@ -993,6 +993,12 @@ def _q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdx_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.sources.cdx import parse_cdx_lines, synthesize_cdx_lines
+
+    return parse_cdx_lines(synthesize_cdx_lines(_docs(spark, sf_dir)))
+
+
 def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.normalize import (
         normalize_text,
@@ -1019,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": _q_bpe_vocab,
         "bpe_segment": _q_bpe_segment,
         "text_normalize": _q_text_normalize,
+        "cdx_entries": _q_cdx_entries,
         # -- never driver-oracle-checked before r4 ---------------------------
         "ann_int8_topk": _q_ann_int8,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2883,6 +2890,54 @@ FROM toks
     )
 
 
+def _cdx_entries_oracle() -> str:
+    """Mirror of sources/cdx.synthesize_cdx_lines + parse_cdx_lines: every
+    CDXJ field is a closed-form function of doc_id, so the oracle rebuilds
+    the parsed records directly — including the SURT key (lowercase, strip
+    one leading www., reverse host labels comma-joined, keep non-default
+    port, ')' + lowercased path+query, fragment dropped). surt_matches is
+    TRUE by construction: a Spark-side divergence between its synthesized
+    key and its reparse would surface as FALSE and hash-mismatch."""
+    return r"""
+WITH f AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END AS scheme,
+    CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+      || 'h' || (doc_id % 7) || '.example.org' AS host,
+    CASE WHEN doc_id % 11 = 0 THEN ':8080'
+         WHEN doc_id % 13 = 0 AND doc_id % 2 = 0 THEN ':443'
+         WHEN doc_id % 13 = 0 AND doc_id % 2 = 1 THEN ':80'
+         ELSE '' END AS port,
+    '/Dir' || (doc_id % 4) || '/Page' || doc_id || '.html' AS path,
+    CASE WHEN doc_id % 5 = 0 THEN '?Q=' || (doc_id % 9) ELSE '' END AS query,
+    CASE WHEN doc_id % 7 = 0 THEN '#Sec1' ELSE '' END AS frag,
+    md5(text) AS digest,
+    length(text)::bigint AS length,
+    (doc_id * 1024)::bigint AS "offset",
+    'crawl-data/seg-' || (doc_id % 16) || '.warc.gz' AS filename,
+    CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS status
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    array_to_string(
+      list_reverse(string_split(regexp_replace(lower(host), '^www\.', ''), '.')),
+      ',')
+      || CASE WHEN port = ':8080' THEN ':8080' ELSE '' END
+      || ')' || lower(path) || lower(query) AS surt,
+    strptime('202401' || lpad(((doc_id % 28) + 1)::varchar, 2, '0')
+      || lpad((doc_id % 24)::varchar, 2, '0')
+      || lpad((doc_id % 60)::varchar, 2, '0')
+      || lpad(((doc_id * 7) % 60)::varchar, 2, '0'), '%Y%m%d%H%M%S') AS capture_ts,
+    scheme || '://' || host || port || path || query || frag AS url,
+    'text/html' AS mime, status, digest, length, "offset", filename,
+    TRUE AS surt_matches
+  FROM f
+)
+SELECT * FROM g
+"""
+
+
 def _text_normalize_oracle() -> str:
     """Mirror of operators/normalize.with_messy_text + normalize_text:
     rebuild the identical dirtied bytes (BEL=chr(7), NBSP=chr(160),
@@ -2932,6 +2987,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab": _bpe_vocab_oracle(num_merges=8),
         "bpe_segment": _bpe_segment_oracle(num_merges=8),
         "text_normalize": _text_normalize_oracle(),
+        "cdx_entries": _cdx_entries_oracle(),
         "extract_articles": f"""
 SELECT {url} AS url,
        'Synthetic Web Archive Document ' || doc_id AS title,

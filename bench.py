@@ -152,6 +152,7 @@ def main() -> int:
         "bpe_vocab",
         "bpe_segment",
         "text_normalize",
+        "cdx_entries",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1
