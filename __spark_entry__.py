@@ -993,6 +993,12 @@ def _q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.jpeg import jpeg_pixel_stats, synthesize_jpegs
+
+    return jpeg_pixel_stats(synthesize_jpegs(_docs(spark, sf_dir)))
+
+
 def _q_cdx_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.sources.cdx import parse_cdx_lines, synthesize_cdx_lines
 
@@ -1026,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": _q_bpe_segment,
         "text_normalize": _q_text_normalize,
         "cdx_entries": _q_cdx_entries,
+        "jpeg_pixel_stats": _q_jpeg_pixel_stats,
         # -- never driver-oracle-checked before r4 ---------------------------
         "ann_int8_topk": _q_ann_int8,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2890,6 +2897,33 @@ FROM toks
     )
 
 
+def _jpeg_pixel_stats_oracle() -> str:
+    """Mirror of jpeg.synthesize_jpegs + jpeg_pixel_stats — computed from
+    the closed-form constant-block value 2*((doc_id*7 + bx*3 + by*5) % 128),
+    never from bytes. Even block values survive Annex-K DC quantization
+    exactly (DC step 16, orthonormal DC coefficient 8·s), so the lossy
+    codec is bit-exact on this construction; the Spark side can only reach
+    these numbers through the full Huffman encode → entropy decode → IDCT
+    round trip."""
+    return """
+WITH dims AS (
+  SELECT doc_id, 8 * (2 + doc_id % 5) AS w, 8 * (2 + doc_id % 4) AS h
+  FROM documents
+),
+bys AS (SELECT doc_id, w, h, unnest(generate_series(0, h // 8 - 1)) AS by FROM dims),
+bxs AS (SELECT doc_id, w, h, by, unnest(generate_series(0, w // 8 - 1)) AS bx FROM bys),
+v AS (
+  SELECT doc_id, w, h, 2 * ((doc_id * 7 + bx * 3 + by * 5) % 128) AS v
+  FROM bxs
+)
+SELECT doc_id, any_value(w)::int AS width, any_value(h)::int AS height,
+  (any_value(w) * any_value(h))::bigint AS n_px,
+  sum(v)::double / count(*) AS px_mean,
+  min(v)::int AS px_min, max(v)::int AS px_max, TRUE AS ok
+FROM v GROUP BY doc_id
+"""
+
+
 def _cdx_entries_oracle() -> str:
     """Mirror of sources/cdx.synthesize_cdx_lines + parse_cdx_lines: every
     CDXJ field is a closed-form function of doc_id, so the oracle rebuilds
@@ -2988,6 +3022,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_segment": _bpe_segment_oracle(num_merges=8),
         "text_normalize": _text_normalize_oracle(),
         "cdx_entries": _cdx_entries_oracle(),
+        "jpeg_pixel_stats": _jpeg_pixel_stats_oracle(),
         "extract_articles": f"""
 SELECT {url} AS url,
        'Synthetic Web Archive Document ' || doc_id AS title,

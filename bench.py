@@ -153,6 +153,7 @@ def main() -> int:
         "bpe_segment",
         "text_normalize",
         "cdx_entries",
+        "jpeg_pixel_stats",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1
@@ -222,7 +223,9 @@ def main() -> int:
     }
     detail = dict(result, query_trials=ALL_TRIALS, cardinalities=cardinalities)
     try:
-        detail_path = os.path.join(
+        # Diagnostic/smoke runs at other SFs set SPARK_GRAFT_TRIALS_PATH so
+        # they don't clobber the committed round-artifact per-trial record.
+        detail_path = os.environ.get("SPARK_GRAFT_TRIALS_PATH") or os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH", "TRIALS.json"
         )
         with open(detail_path, "w") as f:

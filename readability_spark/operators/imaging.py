@@ -30,9 +30,10 @@ Scale shape: one mapInPandas projection, zero shuffles — identical
 execution shape to the html extraction UDF; image bytes never enter a
 shuffle. The pure-Python per-pixel unfilter is the correctness reference;
 a production deployment swaps Pillow/libpng into the same mapInPandas
-batch shape (one import-line change, plan unchanged). JPEG/H.264 content
-decode genuinely needs native libs and stays behind
-multimodal.decode_pixels.
+batch shape (one import-line change, plan unchanged). Baseline JPEG
+content decode is also real (operators/jpeg.py, Huffman + IDCT);
+progressive JPEG / H.264 remain behind multimodal.decode_pixels' PIL
+gate.
 """
 
 from __future__ import annotations

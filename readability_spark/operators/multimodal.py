@@ -13,12 +13,15 @@ this container, but none is needed for container metadata:
 - MP4 (ISO-BMFF): box walk (ftyp brand; frame count carried in a box
   payload).
 
-PNG pixel content and WAV PCM sample content ARE decoded for real —
-pure-stdlib codecs in operators/imaging.py (zlib inflate + all five PNG
-filters) and operators/audio.py (int16 PCM). Compressed-codec content
-(JPEG DCT, H.264, ...) genuinely needs native libs and stays a declared
-stub: :func:`decode_pixels` raises ``NotImplementedError`` unless PIL is
-importable. Synthesis builds fully
+PNG pixel content, baseline JPEG pixel content, and WAV PCM sample
+content ARE decoded for real — pure stdlib+numpy codecs in
+operators/imaging.py (zlib inflate + all five PNG filters),
+operators/jpeg.py (stream-read Huffman tables, interleaved MCUs, IDCT),
+and operators/audio.py (int16 PCM). The remaining compressed-codec
+content (progressive JPEG, H.264, WebP, ...) genuinely needs native libs
+and stays a declared stub: :func:`decode_pixels` raises
+``NotImplementedError`` for those unless PIL is importable. Synthesis
+builds fully
 valid container bytes (correct lengths + CRCs) so the decoders are
 exercised on real structure, and every synthesized parameter is a
 deterministic function of ``doc_id`` so the DuckDB oracle can verify the
@@ -262,17 +265,31 @@ def parse_mp4(b: bytes) -> dict:
     return out
 
 
-def decode_pixels(payload: bytes):  # pragma: no cover - needs PIL
-    """Pixel-content decode: genuinely requires a native imaging lib. Gated
-    behind an import so environments with PIL get it for free; this
-    container does not have it, so callers treat pixels as opaque."""
-    try:
+def decode_pixels(payload: bytes):
+    """Pixel-content decode. PNG and baseline JPEG decode natively via the
+    repo's own codecs (``operators/imaging.py`` / ``operators/jpeg.py``,
+    both pure stdlib+numpy) and return ``(width, height, luma-bytes)``.
+    Everything else (progressive JPEG, WebP, AVIF, …) genuinely requires a
+    native imaging lib and stays gated behind a PIL import; this container
+    does not have it, so callers treat those pixels as opaque."""
+    if payload[:8] == _PNG_SIG:
+        from readability_spark.operators.imaging import decode_png_gray
+
+        return decode_png_gray(payload)
+    if payload[:2] == b"\xff\xd8":
+        from readability_spark.operators.jpeg import decode_jpeg
+
+        w, h, px = decode_jpeg(payload)  # ValueError on progressive etc.
+        return w, h, bytearray(px.tobytes())
+    try:  # pragma: no cover - needs PIL
         import io
 
         from PIL import Image
     except ImportError as exc:
-        raise NotImplementedError("pixel decoding requires PIL") from exc
-    return Image.open(io.BytesIO(payload))
+        raise NotImplementedError(
+            "pixel decoding beyond PNG/baseline-JPEG requires PIL"
+        ) from exc
+    return Image.open(io.BytesIO(payload))  # pragma: no cover - needs PIL
 
 
 # ---------------------------------------------------------------------------
