@@ -2864,8 +2864,13 @@ def _bpe_segment_oracle(num_merges: int = 8) -> str:
     table (same CTE chain), then segment every document — wrap letters in
     the chr(30) delimiter, blank non-letter runs, apply the learned merges
     as nested left-to-right replaces, split back to tokens."""
+    # coalesce-over-aggregate keeps each x{r} a guaranteed 1-row relation:
+    # an exhausted round (empty m{r}) yields a{r}=b{r}='' whose pattern
+    # '␞␞␞␞' never occurs in a repr (no empty tokens), i.e. a no-op —
+    # matching the Spark side, which folds only the merge rows that exist.
     renamed = ",\n".join(
-        f"(SELECT a AS a{r}, b AS b{r} FROM m{r}) x{r}"
+        f"(SELECT coalesce(max(a), '') AS a{r}, coalesce(max(b), '') AS b{r}"
+        f" FROM m{r}) x{r}"
         for r in range(1, num_merges + 1)
     )
     rep = (

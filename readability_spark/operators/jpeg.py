@@ -335,6 +335,13 @@ def decode_jpeg(b: bytes) -> Tuple[int, int, np.ndarray]:
     keep the stream in sync, then discarded. Raises ValueError on
     progressive/arithmetic/12-bit/malformed input.
     """
+    try:
+        return _decode_jpeg_inner(b)
+    except (IndexError, KeyError) as exc:  # truncated/garbled header walks
+        raise ValueError(f"jpeg: malformed stream ({exc})") from exc
+
+
+def _decode_jpeg_inner(b: bytes) -> Tuple[int, int, np.ndarray]:
     if len(b) < 4 or b[0:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     qtabs: dict = {}
@@ -354,6 +361,8 @@ def decode_jpeg(b: bytes) -> Tuple[int, int, np.ndarray]:
             raise ValueError("jpeg: progressive not supported")
         if marker in (0xC9, 0xCB, 0xCD, 0xCF):
             raise ValueError("jpeg: arithmetic coding not supported")
+        if marker in (0xC3, 0xC5, 0xC7):
+            raise ValueError("jpeg: lossless/differential not supported")
         seg_len = int.from_bytes(b[pos : pos + 2], "big")
         seg = b[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -394,8 +403,12 @@ def decode_jpeg(b: bytes) -> Tuple[int, int, np.ndarray]:
             scan = []
             for c in range(ns):
                 cs, tda = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cs)
-                scan.append({**comp, "td": tda >> 4, "ta": tda & 0xF})
+                matches = [x for x in comps if x["id"] == cs]
+                if not matches:  # SOS before SOF, or unknown selector —
+                    # bare StopIteration would escape the mapInPandas
+                    # generator as RuntimeError (PEP 479) and kill the task
+                    raise ValueError("jpeg: scan component not in frame")
+                scan.append({**matches[0], "td": tda >> 4, "ta": tda & 0xF})
             return _decode_scan(b, pos + seg_len, scan, qtabs, htabs, w, h, restart)
         pos += seg_len
     raise ValueError("jpeg: no SOS segment")

@@ -159,10 +159,12 @@ def parse_cdx_lines(lines: DataFrame, line_col: str = "line") -> DataFrame:
         ).alias("capture_ts"),
         url.alias("url"),
         j["mime"].alias("mime"),
-        j["status"].cast("int").alias("status"),
+        # try_cast: real Common Crawl CDX uses '-' for status/length on
+        # revisit records; ANSI cast would fail the task on such a row.
+        j["status"].try_cast("int").alias("status"),
         j["digest"].alias("digest"),
-        j["length"].cast("long").alias("length"),
-        j["offset"].cast("long").alias("offset"),
+        j["length"].try_cast("long").alias("length"),
+        j["offset"].try_cast("long").alias("offset"),
         j["filename"].alias("filename"),
         (surt_key(url) == F.element_at(parts, 1)).alias("surt_matches"),
     )

@@ -111,17 +111,12 @@ def _encode_color_420(y_blocks: dict, mcux: int, restart: int = 0) -> bytes:
     four constant EVEN Y blocks per MCU from y_blocks[(mx, v, h)], chroma
     constant 128 (all coefficients zero). All components share the
     Annex-K luminance tables (legal). Optionally emits DRI/RSTn."""
+    from readability_spark.operators.jpeg import _ZZ_FLAT
+
     dc = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     bw = _BitWriter()
     out = bytearray(b"\xff\xd8")
-    qzz = bytes(
-        int(QTAB_LUMA[i // 8][i % 8]) for i in
-        [r * 8 + c for r, c in [(int(p // 8), int(p % 8)) for p in range(64)]]
-    )
-    # zigzag the quant table exactly as the module does
-    from readability_spark.operators.jpeg import _ZZ_FLAT
-
     qzz = bytes(int(QTAB_LUMA.flat[i]) for i in _ZZ_FLAT)
     out += _seg(0xDB, b"\x00" + qzz)
     out += _seg(
