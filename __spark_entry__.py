@@ -1005,6 +1005,51 @@ def _q_cdx_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_cdx_lines(synthesize_cdx_lines(_docs(spark, sf_dir)))
 
 
+def _q_mp3_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.mp3 import mp3_duration_stats, synthesize_mp3s
+
+    return mp3_duration_stats(synthesize_mp3s(_docs(spark, sf_dir)))
+
+
+def _q_h264_sps_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.h264 import h264_sps_dims, synthesize_sps
+
+    return h264_sps_dims(synthesize_sps(_docs(spark, sf_dir)))
+
+
+def _q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-token estimate per source, with the exact count
+    joined on so the driver value-checks registers, estimate, AND the
+    ground truth the estimate approximates."""
+    from readability_spark.operators.sketches import hll_distinct
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    sk = hll_distinct(toks, "source", "tok").withColumnRenamed("grp", "source")
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("n_exact")
+    )
+    return sk.join(exact, "source")
+
+
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point queries for the exact top-20 tokens: the output
+    carries the true count next to the sketch estimate, so the driver
+    value-checks the full d×w table contents through the min-estimator."""
+    from readability_spark.operators.sketches import cms_estimate, cms_table
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count("*").alias("n_exact"))
+    topk = exact.orderBy(F.desc("n_exact"), "tok").limit(20)
+    est = cms_estimate(cms_table(toks, "tok"), topk.select("tok"), "tok")
+    return topk.join(est, topk.tok == est.q_item).select(
+        "tok", "n_exact", "cms_est"
+    )
+
+
 def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.normalize import (
         normalize_text,
@@ -1033,6 +1078,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": _q_text_normalize,
         "cdx_entries": _q_cdx_entries,
         "jpeg_pixel_stats": _q_jpeg_pixel_stats,
+        "mp3_duration_stats": _q_mp3_duration_stats,
+        "h264_sps_dims": _q_h264_sps_dims,
+        "hll_distinct_tokens": _q_hll_distinct_tokens,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         # -- never driver-oracle-checked before r4 ---------------------------
         "ann_int8_topk": _q_ann_int8,
         "ann_ivf_topk": _q_ann_ivf,
@@ -3019,6 +3068,159 @@ FROM canon
 """
 
 
+def _mp3_duration_stats_oracle() -> str:
+    """Mirror of mp3.synthesize_mp3s + mp3_duration_stats — rebuilt from
+    the closed-form synthesis parameters (bitrate/samplerate tables of
+    ISO 11172-3, 1152 samples per MPEG-1 Layer III frame), never from
+    bytes. byte_len is the strong check: 10-byte ID3v2 header + doc_id%64
+    tag payload + per-frame lengths 144·br·1000//sr plus the alternating
+    padding bit (count (n + doc_id%2)//2) + the 128-byte ID3v1 block —
+    the Spark side can only match it by walking every frame exactly."""
+    return """
+WITH p AS (
+  SELECT doc_id,
+    (doc_id % 50 + 1) AS n_frames,
+    list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                 (doc_id % 14 + 1)::int) AS br,
+    list_extract([44100,48000,32000], (doc_id % 3 + 1)::int) AS sr,
+    (doc_id % 64) AS id3
+  FROM documents
+)
+SELECT doc_id,
+  n_frames::int AS n_frames,
+  br::int AS bitrate_kbps,
+  sr::int AS sample_rate,
+  (n_frames * 1152 * 1000000 // sr)::bigint AS duration_us,
+  (10 + id3 + n_frames * (144 * br * 1000 // sr)
+      + (n_frames + doc_id % 2) // 2 + 128)::bigint AS byte_len,
+  TRUE AS ok
+FROM p
+"""
+
+
+def _h264_sps_dims_oracle() -> str:
+    """Mirror of h264.synthesize_sps + h264_sps_dims — profile/level
+    cycles, macroblock grid, and the 4:2:0 crop arithmetic (2 px per
+    crop unit, frame_mbs_only=1) recomputed from doc_id; Spark can only
+    reach these via the exp-Golomb parse of the NAL it wrote."""
+    return """
+WITH p AS (
+  SELECT doc_id,
+    (doc_id % 40 + 2) AS mw,
+    (doc_id % 23 + 2) AS mh,
+    list_extract([66,77,100], (doc_id % 3 + 1)::int) AS prof,
+    list_extract([30,31,40,41,50], (doc_id % 5 + 1)::int) AS lvl,
+    (doc_id % 2) * (doc_id % 3) AS cr,
+    (doc_id % 2) * ((doc_id // 3) % 2) AS cb
+  FROM documents
+)
+SELECT doc_id,
+  prof::int AS profile_idc,
+  lvl::int AS level_idc,
+  (mw * 16 - 2 * cr)::int AS width,
+  (mh * 16 - 2 * cb)::int AS height,
+  (mw * mh)::int AS n_mbs,
+  TRUE AS ok
+FROM p
+"""
+
+
+def _hll_distinct_tokens_oracle() -> str:
+    """Mirror of sketches.hll_distinct over (source, token): identical
+    md5 bucketing (3 nibbles), leading-zero rank via length(bin(v)), the
+    EXACT hugeint register sum 1<<(53-M), and the same Python-precomputed
+    double constants (bare fractional SQL literals are DECIMAL in both
+    engines, so the constants are embedded as repr'd doubles)."""
+    from readability_spark.operators.sketches import HLL_M, HLL_NUM, HLL_SMALL
+
+    n13 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {4 + i}, 1)) - 1) "
+        f"* cast(pow(16, {12 - i}) as bigint)"
+        for i in range(13)
+    )
+    n3 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {1 + i}, 1)) - 1) "
+        f"* cast(pow(16, {2 - i}) as bigint)"
+        for i in range(3)
+    )
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hxs AS (
+  SELECT source, substr(md5(tok), 1, 16) AS hx FROM toks
+),
+bv AS (
+  SELECT source, ({n3})::int AS bucket, ({n13})::bigint AS v FROM hxs
+),
+regs AS (
+  SELECT source, bucket,
+    max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS register
+  FROM bv GROUP BY source, bucket
+),
+g AS (
+  SELECT source,
+    count(*)::bigint AS n_registers,
+    max(register)::int AS max_register,
+    sum(register)::bigint AS sum_registers,
+    sum(1::hugeint << (53 - register)) AS sum_shift
+  FROM regs GROUP BY source
+),
+r AS (
+  SELECT source, n_registers, max_register, sum_registers,
+    {HLL_NUM!r}
+      / (sum_shift + ({HLL_M} - n_registers)::hugeint * (1::hugeint << 53))::double
+      AS raw
+  FROM g
+),
+e AS (
+  SELECT source, count(DISTINCT tok)::bigint AS n_exact FROM toks GROUP BY source
+)
+SELECT r.source AS source, n_registers, max_register, sum_registers,
+  round(raw, 4) AS raw_est,
+  round(CASE WHEN raw <= {HLL_SMALL!r} AND n_registers < {HLL_M}
+        THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - n_registers)::double)
+        ELSE raw END, 4) AS hll_est,
+  n_exact
+FROM r JOIN e USING (source)
+"""
+
+
+def _cms_heavy_hitters_oracle() -> str:
+    """Mirror of sketches.cms_table + cms_estimate: d=4 rows × w=4096
+    buckets, row hash = 3 md5 nibbles of 'j:item' — identical cell
+    coordinates, counts, and min-estimator recomputed in SQL."""
+    n3 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {1 + i}, 1)) - 1) "
+        f"* cast(pow(16, {2 - i}) as bigint)"
+        for i in range(3)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+cells AS (
+  SELECT j, bucket, count(*)::bigint AS n FROM (
+    SELECT j, ({n3})::int AS bucket
+    FROM (SELECT tok, j, substr(md5(j::varchar || ':' || tok), 1, 3) AS hx
+          FROM toks CROSS JOIN js)
+  ) GROUP BY j, bucket
+),
+exact AS (SELECT tok, count(*)::bigint AS n_exact FROM toks GROUP BY tok),
+topk AS (SELECT tok, n_exact FROM exact ORDER BY n_exact DESC, tok LIMIT 20),
+qh AS (
+  SELECT tok, n_exact, j, ({n3})::int AS bucket
+  FROM (SELECT t.tok, t.n_exact, j,
+               substr(md5(j::varchar || ':' || t.tok), 1, 3) AS hx
+        FROM topk t CROSS JOIN js)
+)
+SELECT tok, n_exact, min(n)::bigint AS cms_est
+FROM qh JOIN cells USING (j, bucket)
+GROUP BY tok, n_exact
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = "string_split(text, ' ')"
     url = "'http://synth.fakehost/doc/' || doc_id || '.html'"
@@ -3028,6 +3230,10 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": _text_normalize_oracle(),
         "cdx_entries": _cdx_entries_oracle(),
         "jpeg_pixel_stats": _jpeg_pixel_stats_oracle(),
+        "mp3_duration_stats": _mp3_duration_stats_oracle(),
+        "h264_sps_dims": _h264_sps_dims_oracle(),
+        "hll_distinct_tokens": _hll_distinct_tokens_oracle(),
+        "cms_heavy_hitters": _cms_heavy_hitters_oracle(),
         "extract_articles": f"""
 SELECT {url} AS url,
        'Synthetic Web Archive Document ' || doc_id AS title,
