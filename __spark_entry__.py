@@ -1050,6 +1050,21 @@ def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k set algebra between every pair of crawl sources:
+    union / Jaccard / intersection estimates over token vocabularies.
+    The integer order statistics (k_used, h_k, n_matches) are in the
+    output so the driver value-checks the sketch contents, not just the
+    rounded estimates."""
+    from readability_spark.operators.kmv import kmv_set_ops, kmv_sketch
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    return kmv_set_ops(kmv_sketch(toks, "source", "tok"))
+
+
 def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.normalize import (
         normalize_text,
@@ -1082,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h264_sps_dims": _q_h264_sps_dims,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "kmv_source_overlap": _q_kmv_source_overlap,
         # -- never driver-oracle-checked before r4 ---------------------------
         "ann_int8_topk": _q_ann_int8,
         "ann_ivf_topk": _q_ann_ivf,
@@ -3221,6 +3237,78 @@ GROUP BY tok, n_exact
 """
 
 
+def _kmv_source_overlap_oracle() -> str:
+    """Mirror of kmv.kmv_sketch + kmv_set_ops: identical 52-bit md5
+    hash (13 nibbles), per-source bottom-128 distinct order statistics,
+    pairwise union sketch, and the estimator arithmetic with the
+    (k-1)·2^52 constant embedded as the same repr'd double — operands
+    of every float division are < 2^53 so both engines produce the
+    identical IEEE-754 quotient, rounded to 4 dp."""
+    from readability_spark.operators.kmv import KMV_K, KMV_SPACE
+
+    c = float((KMV_K - 1) * KMV_SPACE)
+    n13 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {1 + i}, 1)) - 1) "
+        f"* cast(pow(16, {12 - i}) as bigint)"
+        for i in range(13)
+    )
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hv AS (
+  SELECT DISTINCT source AS grp, ({n13})::bigint AS v
+  FROM (SELECT source, substr(md5(tok), 1, 13) AS hx FROM toks)
+),
+sk AS (
+  SELECT grp, v FROM (
+    SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS rk
+    FROM hv
+  ) WHERE rk <= {KMV_K}
+),
+pairs AS (
+  SELECT ga.grp AS a, gb.grp AS b
+  FROM (SELECT DISTINCT grp FROM sk) ga, (SELECT DISTINCT grp FROM sk) gb
+  WHERE ga.grp < gb.grp
+),
+merged AS (
+  SELECT a, b, v, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT p.a, p.b, s.v, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sk s ON s.grp = p.a
+    UNION ALL
+    SELECT p.a, p.b, s.v, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN sk s ON s.grp = p.b
+  ) GROUP BY a, b, v
+),
+union_sk AS (
+  SELECT a, b, v, in_a, in_b FROM (
+    SELECT a, b, v, in_a, in_b,
+           row_number() OVER (PARTITION BY a, b ORDER BY v) AS rk
+    FROM merged
+  ) WHERE rk <= {KMV_K}
+),
+per AS (
+  SELECT a, b,
+    count(*)::bigint AS k_used,
+    max(v)::bigint AS h_k,
+    sum(in_a * in_b)::bigint AS n_matches
+  FROM union_sk GROUP BY a, b
+),
+est AS (
+  SELECT a, b, k_used, h_k, n_matches,
+    CASE WHEN k_used < {KMV_K} THEN k_used::double
+         ELSE {c!r} / h_k::double END AS union_est,
+    n_matches::double / k_used::double AS jac
+  FROM per
+)
+SELECT a AS src_a, b AS src_b, k_used, h_k, n_matches,
+  round(union_est, 4) AS union_est,
+  round(jac, 4) AS jaccard_est,
+  round(jac * union_est, 4) AS inter_est
+FROM est
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = "string_split(text, ' ')"
     url = "'http://synth.fakehost/doc/' || doc_id || '.html'"
@@ -3234,6 +3322,7 @@ def oracle_sql() -> dict[str, str]:
         "h264_sps_dims": _h264_sps_dims_oracle(),
         "hll_distinct_tokens": _hll_distinct_tokens_oracle(),
         "cms_heavy_hitters": _cms_heavy_hitters_oracle(),
+        "kmv_source_overlap": _kmv_source_overlap_oracle(),
         "extract_articles": f"""
 SELECT {url} AS url,
        'Synthetic Web Archive Document ' || doc_id AS title,
