@@ -1050,6 +1050,16 @@ def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k over the embeddings table: trained
+    per-subspace codebooks (quantized Lloyd), integer micro-unit ADC sums
+    so ordering is engine-exact."""
+    from readability_spark.operators.pq import pq_adc_topk
+    from readability_spark.operators.similarity import load_embeddings
+
+    return pq_adc_topk(load_embeddings(spark, sf_dir))
+
+
 def _q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k set algebra between every pair of crawl sources:
     union / Jaccard / intersection estimates over token vocabularies.
@@ -1098,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "kmv_source_overlap": _q_kmv_source_overlap,
+        "ann_pq_topk": _q_ann_pq,
         # -- never driver-oracle-checked before r4 ---------------------------
         "ann_int8_topk": _q_ann_int8,
         "ann_ivf_topk": _q_ann_ivf,
@@ -3237,6 +3248,123 @@ GROUP BY tok, n_exact
 """
 
 
+def _ann_pq_oracle(
+    m: int = 8,
+    k_codes: int = 64,
+    n_queries: int = 5,
+    k: int = 10,
+    lloyd_iters: int = 2,
+    rerank: int = 100,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """Mirror of pq.pq_adc_topk: per-subspace seeded codebooks
+    (_planes_sql with the same per-subspace seed offset), the quantized
+    Lloyd update unrolled as CTE rounds, L2 argmin encoding, the ADC
+    shortlist over integer micro-unit lookup entries (order-independent
+    sums), and the exact micro-unit L2 rerank — every ordering integer,
+    so the top-k agrees bit-for-bit."""
+    d = dim // m
+
+    def l2(sv: str, cw: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {d}), "
+            f"i -> ({sv}[i]::double - {cw}[i]) * ({sv}[i]::double - {cw}[i])))"
+        )
+
+    lfull = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> (q.embedding[i]::double - v.embedding[i]::double) "
+        f"* (q.embedding[i]::double - v.embedding[i]::double)))"
+    )
+    slices = ", ".join(f"({s}, {s * d + 1}, {(s + 1) * d})" for s in range(m))
+    cb0 = "\nUNION ALL\n".join(
+        f"SELECT {s} AS sub, plane_id AS code_id, p_emb AS cw "
+        f"FROM ({_planes_sql(k_codes, d, seed * 100 + s)})"
+        for s in range(m)
+    )
+    rounds = []
+    for t in range(lloyd_iters):
+        rounds.append(
+            f"""a{t} AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code_id AS code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, code_id ASC) AS rn
+    FROM (SELECT v.vec_id, v.sub, c.code_id, {l2("v.sv", "c.cw")} AS d2
+          FROM subs v JOIN cb{t} c ON c.sub = v.sub)
+  ) WHERE rn = 1
+),
+cb{t + 1} AS (
+  SELECT c.sub, c.code_id, coalesce(n.cw, c.cw) AS cw
+  FROM cb{t} c LEFT JOIN (
+    SELECT sub, code, list(q ORDER BY pos) AS cw FROM (
+      SELECT sub, code, pos, floor(avg(val) * 1e6 + 0.5) / 1e6 AS q FROM (
+        SELECT sub, code, b['pos'] AS pos, b['val'] AS val FROM (
+          SELECT a.sub, a.code,
+                 unnest(list_transform(generate_series(1, {d}),
+                        i -> {{'pos': i, 'val': v.sv[i]::double}})) AS b
+          FROM a{t} a JOIN subs v ON v.vec_id = a.vec_id AND v.sub = a.sub
+        )
+      ) GROUP BY sub, code, pos
+    ) GROUP BY sub, code
+  ) n ON n.sub = c.sub AND n.code = c.code_id
+)"""
+        )
+    chain = ",\n".join(rounds)
+    final = f"cb{lloyd_iters}"
+    return f"""
+WITH subs AS MATERIALIZED (
+  SELECT vec_id, s.sub AS sub, embedding[s.a:s.b] AS sv
+  FROM embeddings, (VALUES {slices}) s(sub, a, b)
+),
+cb0 AS ({cb0}),
+{chain},
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code_id AS code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, code_id ASC) AS rn
+    FROM (SELECT v.vec_id, v.sub, c.code_id, {l2("v.sv", "c.cw")} AS d2
+          FROM subs v JOIN {final} c ON c.sub = v.sub)
+  ) WHERE rn = 1
+),
+dt AS (
+  SELECT q.vec_id AS query_id, q.sub, c.code_id AS code,
+         floor({l2("q.sv", "c.cw")} * 1e6 + 0.5)::bigint AS d2_micro
+  FROM subs q JOIN {final} c ON c.sub = q.sub
+  WHERE q.vec_id < {n_queries}
+),
+adc AS (
+  SELECT d.query_id, a.vec_id, sum(d.d2_micro)::bigint AS adc_micro
+  FROM codes a JOIN dt d ON d.sub = a.sub AND d.code = a.code
+  WHERE a.vec_id <> d.query_id
+  GROUP BY d.query_id, a.vec_id
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_micro ASC, vec_id ASC) AS srank
+    FROM adc
+  ) WHERE srank <= {rerank}
+),
+ex AS (
+  SELECT s.query_id, s.vec_id,
+         floor({lfull} * 1e6 + 0.5)::bigint AS d2_micro
+  FROM short s
+  JOIN embeddings v ON v.vec_id = s.vec_id
+  JOIN embeddings q ON q.vec_id = s.query_id
+)
+SELECT query_id, rank, vec_id, d2_micro FROM (
+  SELECT query_id, vec_id, d2_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2_micro ASC, vec_id ASC) AS rank
+  FROM ex
+) WHERE rank <= {k}
+"""
+
+
 def _kmv_source_overlap_oracle() -> str:
     """Mirror of kmv.kmv_sketch + kmv_set_ops: identical 52-bit md5
     hash (13 nibbles), per-source bottom-128 distinct order statistics,
@@ -3323,6 +3451,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_tokens": _hll_distinct_tokens_oracle(),
         "cms_heavy_hitters": _cms_heavy_hitters_oracle(),
         "kmv_source_overlap": _kmv_source_overlap_oracle(),
+        "ann_pq_topk": _ann_pq_oracle(),
         "extract_articles": f"""
 SELECT {url} AS url,
        'Synthetic Web Archive Document ' || doc_id AS title,
