@@ -709,6 +709,77 @@ def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase stamped with the user's latest prior view
+    (union-window formulation — one shuffle, no per-key inequality join)."""
+    from readability_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts", "value")
+    out = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        ts="ts",
+        right_value_cols=["event_id", "value"],
+        right_id="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("view_event_id"),
+        F.round("asof_value", 4).alias("view_value"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        ).alias("lag_micros"),
+    )
+
+
+def _q_events_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range-overlap) join: clicks inside each signup's 30-minute
+    attribution window, bucketized so the theta-join becomes an equi-join."""
+    from readability_spark.operators.temporal import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"), "user_id", "ts"
+    )
+    out = interval_join(clicks, iv, key="user_id", ts="ts", bucket_seconds=1800)
+    return out.select("signup_event_id", "click_event_id", "user_id")
+
+
+def _q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram PMI collocations (Church & Hanks), min_count=5."""
+    from readability_spark.operators.collocations import pmi_bigrams
+
+    out = pmi_bigrams(_docs(spark, sf_dir), min_count=5)
+    return out.select("a", "b", "n_ab", F.round("pmi", 6).alias("pmi"))
+
+
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact consecutive-phrase lookup via positional postings pruned to the
+    phrase's own terms before the shuffle."""
+    from readability_spark.operators.collocations import phrase_search
+
+    return phrase_search(_docs(spark, sf_dir), ["table", "part"])
+
+
+def _q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global training order 0..n-1 with NO single-task global sort
+    (256-bucket two-phase rank; bit-identical to the naive global window)."""
+    from readability_spark.operators.ordering import global_shuffle_index
+
+    return global_shuffle_index(_docs(spark, sf_dir), seed="r4:")
+
+
 def _q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite selection: lang=en + quality>=0.5 + exact-dedup keepers."""
     from readability_spark.operators.dedup import with_injected_duplicates
@@ -1098,6 +1169,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- new in r4 (no driver row yet) -----------------------------------
+        "events_asof_join": _q_events_asof,
+        "events_interval_join": _q_events_interval,
+        "pmi_bigrams": _q_pmi_bigrams,
+        "phrase_search": _q_phrase_search,
+        "corpus_shuffle": _q_corpus_shuffle,
         "bpe_vocab": _q_bpe_vocab,
         "bpe_segment": _q_bpe_segment,
         "text_normalize": _q_text_normalize,
@@ -3441,6 +3517,62 @@ def oracle_sql() -> dict[str, str]:
     toks = "string_split(text, ' ')"
     url = "'http://synth.fakehost/doc/' || doc_id || '.html'"
     return {
+        "events_asof_join": """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')
+SELECT p.event_id AS event_id,
+       p.user_id AS user_id,
+       m.event_id AS view_event_id,
+       round(m.value, 4) AS view_value,
+       epoch_us(p.ts) - epoch_us(m.ts) AS lag_micros
+FROM p LEFT JOIN LATERAL (
+    SELECT v.event_id, v.value, v.ts FROM v
+    WHERE v.user_id = p.user_id AND v.ts <= p.ts
+    ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+) m ON TRUE
+""",
+        "events_interval_join": """
+WITH s AS (SELECT event_id AS signup_event_id, user_id, ts AS start_ts,
+                  ts + INTERVAL 30 MINUTE AS end_ts
+           FROM events WHERE event_type = 'signup'),
+     c AS (SELECT event_id AS click_event_id, user_id, ts
+           FROM events WHERE event_type = 'click')
+SELECT s.signup_event_id AS signup_event_id,
+       c.click_event_id AS click_event_id,
+       c.user_id AS user_id
+FROM s JOIN c
+  ON c.user_id = s.user_id AND c.ts >= s.start_ts AND c.ts < s.end_ts
+""",
+        "pmi_bigrams": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS p FROM toks),
+uni AS (SELECT w, count(*)::double AS n_w FROM pos GROUP BY w),
+mm AS (SELECT sum(n_w) AS m FROM uni),
+bg AS (SELECT x.w AS a, y.w AS b
+       FROM pos x JOIN pos y ON x.doc_id = y.doc_id AND y.p = x.p + 1),
+nab AS (SELECT a, b, count(*) AS n_ab FROM bg GROUP BY a, b),
+nn AS (SELECT sum(n_ab)::double AS n FROM nab)
+SELECT nab.a AS a, nab.b AS b, nab.n_ab AS n_ab,
+       round(ln((nab.n_ab / nn.n) / ((ua.n_w / mm.m) * (ub.n_w / mm.m))), 6) AS pmi
+FROM nab
+JOIN uni ua ON ua.w = nab.a
+JOIN uni ub ON ub.w = nab.b
+CROSS JOIN nn CROSS JOIN mm
+WHERE nab.n_ab >= 5
+""",
+        "phrase_search": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS p FROM toks),
+hits AS (SELECT x.doc_id AS doc_id
+         FROM pos x JOIN pos y ON x.doc_id = y.doc_id AND y.p = x.p + 1
+         WHERE x.w = 'table' AND y.w = 'part')
+SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY doc_id
+""",
+        "corpus_shuffle": """
+SELECT doc_id,
+       row_number() OVER (ORDER BY md5('r4:' || doc_id::varchar)) - 1 AS shuffle_idx
+FROM documents
+""",
         "bpe_vocab": _bpe_vocab_oracle(num_merges=8),
         "bpe_segment": _bpe_segment_oracle(num_merges=8),
         "text_normalize": _text_normalize_oracle(),

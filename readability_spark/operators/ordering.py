@@ -1,0 +1,67 @@
+"""Deterministic global training order without a global sort.
+
+A training run wants every document assigned a contiguous, seeded,
+shuffled index 0..n-1 (data ordering is part of the training recipe and
+must be reproducible). ``row_number() OVER (ORDER BY hash)`` is the
+obvious spelling but its unpartitioned window funnels the whole corpus
+through ONE task — the classic scale-killer.
+
+:func:`global_shuffle_index` computes the identical assignment in two
+parallel phases (the same distributed prefix-sum shape as
+``corpus_sequence_pack``):
+
+1. every row gets a seeded md5 sort key; its first byte pair buckets the
+   corpus into 256 hash ranges; a 256-row count table (one tiny agg) is
+   turned into exclusive prefix offsets by a window over THAT table only;
+2. rows are ranked *within* their bucket (256 parallel window partitions,
+   each ~n/256 rows) and shifted by the broadcast bucket offset.
+
+Because md5 is uniform, bucket sizes are balanced within ~sqrt; no task
+ever sorts more than its bucket. The result is bit-identical to the
+single-task global window at any partitioning, which is what the oracle
+asserts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_shuffle_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """(id, shuffle_idx): a seeded permutation of 0..n-1, no global sort.
+
+    The sort key is md5(seed || id) — unique as long as ids are unique, so
+    the permutation is total and deterministic across partitionings.
+    """
+    keyed = docs.select(
+        F.col(id_col),
+        F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))).alias("_key"),
+    ).withColumn("_bucket", F.conv(F.substring("_key", 1, 2), 16, 10).cast("int"))
+
+    counts = keyed.groupBy("_bucket").agg(F.count("*").alias("_n"))
+    offsets = counts.select(
+        "_bucket",
+        (
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+        ).alias("_off"),
+    )
+
+    ranked = keyed.withColumn(
+        "_rk",
+        F.row_number().over(Window.partitionBy("_bucket").orderBy("_key")) - 1,
+    )
+    return ranked.join(F.broadcast(offsets), "_bucket").select(
+        id_col, (F.col("_off") + F.col("_rk")).cast("long").alias("shuffle_idx")
+    )

@@ -1,0 +1,177 @@
+"""Brute-force oracles for the temporal joins (as-of, interval), collocation
+mining, phrase search, and the no-global-sort shuffle index."""
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from readability_spark.operators.collocations import phrase_search, pmi_bigrams
+from readability_spark.operators.ordering import global_shuffle_index
+from readability_spark.operators.temporal import asof_join, interval_join
+
+
+def _t(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+@pytest.fixture(scope="module")
+def tiny_events(spark):
+    random.seed(7)
+    left, right = [], []
+    for i in range(400):
+        left.append((i, random.randrange(8), _t(random.randrange(50), random.randrange(60))))
+    for j in range(300):
+        right.append(
+            (1000 + j, random.randrange(8), _t(random.randrange(50), random.randrange(60)),
+             float(j))
+        )
+    l_df = spark.createDataFrame(left, "event_id long, user_id long, ts timestamp")
+    r_df = spark.createDataFrame(right, "event_id long, user_id long, ts timestamp, value double")
+    return left, right, l_df, r_df
+
+
+def _brute_asof(left, right, tolerance=None):
+    out = {}
+    for eid, u, ts in left:
+        cands = [r for r in right if r[1] == u and r[2] <= ts]
+        if tolerance is not None:
+            cands = [r for r in cands if (ts - r[2]).total_seconds() <= tolerance]
+        if cands:
+            best = max(cands, key=lambda r: (r[2], r[0]))
+            out[eid] = (best[0], best[3])
+        else:
+            out[eid] = (None, None)
+    return out
+
+
+def test_asof_join_matches_brute_force(tiny_events):
+    left, right, l_df, r_df = tiny_events
+    got = {
+        r["event_id"]: (r["asof_event_id"], r["asof_value"])
+        for r in asof_join(
+            l_df, r_df, key="user_id", ts="ts",
+            right_value_cols=["event_id", "value"], right_id="event_id",
+        ).collect()
+    }
+    assert got == _brute_asof(left, right)
+    assert len(got) == len(left)  # every left row survives (left join)
+
+
+def test_asof_join_tolerance(tiny_events):
+    left, right, l_df, r_df = tiny_events
+    got = {
+        r["event_id"]: (r["asof_event_id"], r["asof_value"])
+        for r in asof_join(
+            l_df, r_df, key="user_id", ts="ts",
+            right_value_cols=["event_id", "value"], right_id="event_id",
+            tolerance_seconds=120,
+        ).collect()
+    }
+    assert got == _brute_asof(left, right, tolerance=120)
+
+
+def test_asof_join_equal_ts_ties(spark):
+    # a right row AT the left ts matches; among equal-ts rights the largest
+    # right_id wins, deterministically
+    l_df = spark.createDataFrame([(1, 5, _t(10))], "event_id long, user_id long, ts timestamp")
+    r_df = spark.createDataFrame(
+        [(100, 5, _t(10), 1.0), (101, 5, _t(10), 2.0), (99, 5, _t(9), 3.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    row = asof_join(
+        l_df, r_df, key="user_id", ts="ts",
+        right_value_cols=["event_id", "value"], right_id="event_id",
+    ).collect()[0]
+    assert row["asof_event_id"] == 101 and row["asof_value"] == 2.0
+
+
+def test_asof_join_single_shuffle(tiny_events):
+    _, _, l_df, r_df = tiny_events
+    plan = asof_join(
+        l_df, r_df, key="user_id", ts="ts", right_value_cols=["value"], right_id="event_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1  # the union-window shuffle
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("bucket_seconds", [60, 300, 3600])
+def test_interval_join_matches_brute_force(tiny_events, bucket_seconds):
+    left, right, l_df, r_df = tiny_events
+    # build intervals [ts, ts + 7 min) from the right rows — spans multiple
+    # cells at bucket=60, fractions of one at bucket=3600
+    iv = r_df.select(
+        F.col("event_id").alias("iv_id"), "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 7 MINUTES")).alias("end"),
+    )
+    got = {
+        (r["iv_id"], r["event_id"])
+        for r in interval_join(
+            l_df, iv, key="user_id", ts="ts", bucket_seconds=bucket_seconds
+        ).collect()
+    }
+    want = {
+        (rid, eid)
+        for rid, ru, rts, _ in right
+        for eid, lu, lts in left
+        if lu == ru and rts <= lts < rts + dt.timedelta(minutes=7)
+    }
+    assert got == want
+
+
+def test_pmi_bigrams_tiny(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b")], "doc_id long, text string"
+    )
+    rows = {(r["a"], r["b"]): (r["n_ab"], r["pmi"]) for r in
+            pmi_bigrams(docs, min_count=1).collect()}
+    # tokens: a×3 b×3 c×1 (M=7); bigrams: ab×3, ba×1, bc×1 (N=5)
+    import math
+    n_ab, pmi = rows[("a", "b")]
+    assert n_ab == 3
+    assert pmi == pytest.approx(math.log((3 / 5) / ((3 / 7) * (3 / 7))))
+    assert rows[("b", "c")][0] == 1
+
+
+def test_phrase_search_tiny(spark):
+    docs = spark.createDataFrame(
+        [(0, "x table part y table part"), (1, "table x part"), (2, "part table")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_hits"] for r in
+           phrase_search(docs, ["table", "part"]).collect()}
+    assert got == {0: 2}
+    # three-term phrase chains the positional join
+    got3 = {r["doc_id"]: r["n_hits"] for r in
+            phrase_search(docs, ["table", "part", "y"]).collect()}
+    assert got3 == {0: 1}
+
+
+def test_global_shuffle_index_matches_global_window(spark):
+    docs = spark.range(0, 5000, 1, 16).select(F.col("id").alias("doc_id"))
+    got = global_shuffle_index(docs, seed="s:").orderBy("doc_id").collect()
+    want = (
+        docs.select(
+            "doc_id",
+            (F.row_number().over(
+                Window.orderBy(F.md5(F.concat(F.lit("s:"), F.col("doc_id").cast("string"))))
+            ) - 1).alias("shuffle_idx"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["shuffle_idx"] for r in got] == [r["shuffle_idx"] for r in want]
+    idxs = sorted(r["shuffle_idx"] for r in got)
+    assert idxs == list(range(5000))  # a total permutation
+
+
+def test_global_shuffle_index_no_single_task_sort(spark):
+    docs = spark.range(0, 5000, 1, 16).select(F.col("id").alias("doc_id"))
+    plan = global_shuffle_index(docs, seed="s:")._jdf.queryExecution().executedPlan().toString()
+    # the only SinglePartition exchange allowed is the 256-row offsets table;
+    # the row-bearing side must partition by _bucket
+    assert "Exchange hashpartitioning(_bucket" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
