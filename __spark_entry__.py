@@ -538,6 +538,19 @@ def _q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 rounds of HITS on the same doc-derived 97-node graph as pagerank;
+    the oracle unrolls the identical half-steps (L2-normalized) as CTEs."""
+    from readability_spark.operators.graph import hits
+
+    out = hits(_pagerank_edges(spark, sf_dir), n_iter=8)
+    return out.select(
+        "node",
+        (F.floor(F.col("authority") * 10000.0 + 0.5) / 10000.0).alias("authority"),
+        (F.floor(F.col("hub") * 10000.0 + 0.5) / 10000.0).alias("hub"),
+    )
+
+
 def _q_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-accelerated incremental dedup: batch rows whose text was never
     seen in the history partition (doc_id % 3 == 0 simulates the prior
@@ -1172,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _q_events_asof,
         "events_interval_join": _q_events_interval,
         "pmi_bigrams": _q_pmi_bigrams,
+        "link_hits": _q_link_hits,
         "phrase_search": _q_phrase_search,
         "corpus_shuffle": _q_corpus_shuffle,
         "bpe_vocab": _q_bpe_vocab,
@@ -2595,6 +2609,48 @@ SELECT node, floor(rank * 10000.0 + 0.5) / 10000.0 AS rank FROM r{n_iter}
 """
 
 
+def _hits_oracle(n_iter: int = 8) -> str:
+    """Mirror of graph.hits on the doc-derived 97-node graph: the same
+    mutual-reinforcement half-steps unrolled as CTEs, L2-normalized per
+    half-step exactly as the operator does."""
+    rounds = []
+    for t in range(n_iter):
+        rounds.append(
+            f"""a{t + 1}r AS MATERIALIZED (
+  SELECT n.node, coalesce(s.v, 0.0) AS a
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(h.h) AS v
+    FROM edges e JOIN h{t} h ON h.node = e.src GROUP BY e.dst) s
+  ON s.node = n.node
+),
+a{t + 1} AS MATERIALIZED (SELECT node, a / (SELECT sqrt(sum(a * a)) FROM a{t + 1}r) AS a FROM a{t + 1}r),
+h{t + 1}r AS MATERIALIZED (
+  SELECT n.node, coalesce(s.v, 0.0) AS h
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, sum(a.a) AS v
+    FROM edges e JOIN a{t + 1} a ON a.node = e.dst GROUP BY e.src) s
+  ON s.node = n.node
+),
+h{t + 1} AS MATERIALIZED (SELECT node, h / (SELECT sqrt(sum(h * h)) FROM h{t + 1}r) AS h FROM h{t + 1}r)"""
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id % 97 AS src, (doc_id * doc_id + 1) % 97 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id % 97 AS src, (doc_id + 1) % 97 AS dst FROM documents)
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, 1.0 AS h FROM nodes),
+{chain}
+SELECT a.node AS node,
+       floor(a.a * 10000.0 + 0.5) / 10000.0 AS authority,
+       floor(h.h * 10000.0 + 0.5) / 10000.0 AS hub
+FROM a{n_iter} a JOIN h{n_iter} h ON h.node = a.node
+"""
+
+
 def _warc_ingest_oracle() -> str:
     """Mirror of warc._q_warc_ingest: every parsed field recomputed from
     `documents` via the byte-exact template reconstruction (pages.ORACLE_HTML
@@ -3743,6 +3799,7 @@ SELECT 'synth.fakehost' AS src_host, 'synth.fakehost' AS dst_host,
 FROM documents
 """,
         "link_pagerank": _pagerank_oracle(),
+        "link_hits": _hits_oracle(),
         "anchor_profile": _anchor_profile_oracle(),
         "bm25_topk": _bm25_oracle(),
         "tfidf_topk": _tfidf_oracle(),

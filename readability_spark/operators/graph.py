@@ -31,6 +31,61 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 8,
+) -> DataFrame:
+    """Kleinberg HITS: (node, authority, hub) after ``n_iter`` mutual-
+    reinforcement rounds with L2 normalization per half-step.
+
+        a_{t+1}(v) = Σ_{u→v} h_t(u)   (then a /= ||a||₂)
+        h_{t+1}(u) = Σ_{u→v} a_{t+1}(v)  (then h /= ||h||₂)
+
+    Same scale shape as :func:`pagerank`: each half-step is ONE equi-join of
+    the persisted edge list against a (node, double) vector plus a
+    map-side-combined sum; the L2 norm is a scalar aggregate (a driver
+    double, like the dangling term); ``localCheckpoint`` truncates lineage
+    per round. Fixed iteration count so the unrolled SQL oracle reproduces
+    the identical arithmetic.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+
+    def _propagate(vec: DataFrame, col: str, edge_key: str, out_key: str, out: str) -> DataFrame:
+        summed = (
+            e.join(vec.withColumnRenamed("node", edge_key), edge_key)
+            .groupBy(F.col(out_key).alias("node"))
+            .agg(F.sum(col).alias("_s"))
+        )
+        raw = nodes.join(summed, "node", "left").select(
+            "node", F.coalesce(F.col("_s"), F.lit(0.0)).alias(out)
+        )
+        norm = raw.agg(F.sqrt(F.sum(F.col(out) * F.col(out)))).first()[0]
+        return raw.select("node", (F.col(out) / F.lit(norm)).alias(out))
+
+    hub = nodes.select("node", F.lit(1.0).alias("hub")).localCheckpoint()
+    auth = None
+    for _ in range(n_iter):
+        auth = _propagate(hub, "hub", "src", "dst", "auth").localCheckpoint()
+        hub = _propagate(auth, "auth", "dst", "src", "hub").localCheckpoint()
+
+    out = auth.join(hub, "node")
+    e.unpersist()
+    nodes.unpersist()
+    return out.select("node", F.col("auth").alias("authority"), "hub")
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

@@ -123,3 +123,48 @@ def test_pagerank_partition_independent(spark):
     rb = {r.node: r.rank for r in b.collect()}
     for v in ra:
         assert ra[v] == pytest.approx(rb[v], abs=1e-12)
+
+
+def _numpy_hits(edges, n_iter=8):
+    from readability_spark.operators.graph import hits  # noqa: F401  (parity target)
+
+    edges = sorted(set(edges))
+    nodes = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for s, t in edges:
+        A[idx[s], idx[t]] = 1.0
+    h = np.ones(n)
+    for _ in range(n_iter):
+        a = A.T @ h
+        a = a / np.sqrt((a * a).sum())
+        h = A @ a
+        h = h / np.sqrt((h * h).sum())
+    return {v: (a[idx[v]], h[idx[v]]) for v in nodes}
+
+
+def test_hits_matches_numpy(spark):
+    from readability_spark.operators.graph import hits
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (5, 3), (4, 1), (2, 2)]
+    want = _numpy_hits(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.authority, r.hub) for r in hits(df, n_iter=8).collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v][0] == pytest.approx(want[v][0], abs=1e-12)
+        assert got[v][1] == pytest.approx(want[v][1], abs=1e-12)
+
+
+def test_hits_partition_independent(spark):
+    from readability_spark.operators.graph import hits
+
+    edges = [(i, (i * i + 1) % 23) for i in range(23)] + [(i, (i + 1) % 23) for i in range(23)]
+    a = hits(spark.createDataFrame(edges, "src long, dst long").repartition(3), n_iter=6)
+    b = hits(spark.createDataFrame(edges, "src long, dst long").repartition(17), n_iter=6)
+    ra = {r.node: (r.authority, r.hub) for r in a.collect()}
+    rb = {r.node: (r.authority, r.hub) for r in b.collect()}
+    for v in ra:
+        assert ra[v][0] == pytest.approx(rb[v][0], abs=1e-12)
+        assert ra[v][1] == pytest.approx(rb[v][1], abs=1e-12)
