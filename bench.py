@@ -154,6 +154,18 @@ def main() -> int:
         "text_normalize",
         "cdx_entries",
         "jpeg_pixel_stats",
+        "mp3_duration_stats",
+        "h264_sps_dims",
+        "hll_distinct_tokens",
+        "cms_heavy_hitters",
+        "kmv_source_overlap",
+        "ann_pq_topk",
+        "events_asof_join",
+        "events_interval_join",
+        "pmi_bigrams",
+        "phrase_search",
+        "corpus_shuffle",
+        "link_hits",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

@@ -175,3 +175,30 @@ def test_global_shuffle_index_no_single_task_sort(spark):
     # the row-bearing side must partition by _bucket
     assert "Exchange hashpartitioning(_bucket" in plan
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_interval_join_is_equi_join(tiny_events):
+    _, _, l_df, r_df = tiny_events
+    iv = r_df.select(
+        F.col("event_id").alias("iv_id"), "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 7 MINUTES")).alias("end"),
+    )
+    plan = interval_join(
+        l_df, iv, key="user_id", ts="ts", bucket_seconds=300
+    )._jdf.queryExecution().executedPlan().toString()
+    # bucketization must turn the range predicate into a hash-joinable key:
+    # no nested-loop / cartesian fallback anywhere in the plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pmi_small_sides_broadcast(spark):
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(100)], "doc_id long, text string"
+    )
+    plan = pmi_bigrams(docs, min_count=1)._jdf.queryExecution().executedPlan().toString()
+    # unigram counts (x2) and the totals scalar ride broadcast exchanges;
+    # the only hash shuffles are the two groupBys
+    assert plan.count("BroadcastExchange") >= 3
+    assert "SortMergeJoin" not in plan
