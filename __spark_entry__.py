@@ -538,6 +538,20 @@ def _q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order file layout over (doc-id bucket × length bucket): the file
+    manifest + per-file bounding boxes a Morton-clustered write produces.
+    The Morton code and the oracle's SQL come from ONE generator
+    (layout.zorder_sql), so the interleave is mirrored bit-for-bit."""
+    from readability_spark.operators.layout import zorder_layout
+
+    dims = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 256).alias("xb"),
+        (F.col("n_chars") % 256).alias("yb"),
+    )
+    return zorder_layout(dims, ["xb", "yb"], bits=8, file_bits=6)
+
+
 def _q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8 rounds of HITS on the same doc-derived 97-node graph as pagerank;
     the oracle unrolls the identical half-steps (L2-normalized) as CTEs."""
@@ -1186,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": _q_events_interval,
         "pmi_bigrams": _q_pmi_bigrams,
         "link_hits": _q_link_hits,
+        "zorder_layout": _q_zorder_layout,
         "phrase_search": _q_phrase_search,
         "corpus_shuffle": _q_corpus_shuffle,
         "bpe_vocab": _q_bpe_vocab,
@@ -2609,6 +2624,24 @@ SELECT node, floor(rank * 10000.0 + 0.5) / 10000.0 AS rank FROM r{n_iter}
 """
 
 
+def _zorder_oracle(bits: int = 8, file_bits: int = 6) -> str:
+    """Mirror of layout.zorder_layout over (doc_id % 256, n_chars % 256):
+    the Morton-interleave SQL is emitted by the SAME generator the Spark
+    expression uses (layout.zorder_sql)."""
+    from readability_spark.operators.layout import zorder_sql
+
+    z = zorder_sql(["xb", "yb"], bits=bits)
+    shift = bits * 2 - file_bits
+    return f"""
+WITH d AS (SELECT doc_id % 256 AS xb, n_chars % 256 AS yb FROM documents),
+k AS (SELECT xb, yb, ({z}) >> {shift} AS file_id FROM d)
+SELECT file_id, count(*) AS n,
+       min(xb) AS min_xb, max(xb) AS max_xb,
+       min(yb) AS min_yb, max(yb) AS max_yb
+FROM k GROUP BY file_id
+"""
+
+
 def _hits_oracle(n_iter: int = 8) -> str:
     """Mirror of graph.hits on the doc-derived 97-node graph: the same
     mutual-reinforcement half-steps unrolled as CTEs, L2-normalized per
@@ -3800,6 +3833,7 @@ FROM documents
 """,
         "link_pagerank": _pagerank_oracle(),
         "link_hits": _hits_oracle(),
+        "zorder_layout": _zorder_oracle(),
         "anchor_profile": _anchor_profile_oracle(),
         "bm25_topk": _bm25_oracle(),
         "tfidf_topk": _tfidf_oracle(),
