@@ -552,6 +552,17 @@ def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_layout(dims, ["xb", "yb"], bits=8, file_bits=6)
 
 
+def _q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed prefix-doubling suffix array (token-level, suffixes end
+    at doc boundaries — the ExactSubstr building block). The oracle ranks
+    the materialized suffix strings directly; space < every token char, so
+    joined-string order == token-sequence order."""
+    from readability_spark.operators.suffix import suffix_ranks
+
+    out = suffix_ranks(_docs(spark, sf_dir))
+    return out.select("doc_id", F.col("p").cast("long").alias("p"), "rank")
+
+
 def _q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8 rounds of HITS on the same doc-derived 97-node graph as pagerank;
     the oracle unrolls the identical half-steps (L2-normalized) as CTEs."""
@@ -1201,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams": _q_pmi_bigrams,
         "link_hits": _q_link_hits,
         "zorder_layout": _q_zorder_layout,
+        "suffix_array_ranks": _q_suffix_array,
         "phrase_search": _q_phrase_search,
         "corpus_shuffle": _q_corpus_shuffle,
         "bpe_vocab": _q_bpe_vocab,
@@ -3834,6 +3846,12 @@ FROM documents
         "link_pagerank": _pagerank_oracle(),
         "link_hits": _hits_oracle(),
         "zorder_layout": _zorder_oracle(),
+        "suffix_array_ranks": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, generate_subscripts(t, 1) AS p1, t FROM toks),
+sfx AS (SELECT doc_id, p1 - 1 AS p, array_to_string(t[p1:], ' ') AS s FROM pos)
+SELECT doc_id, p, dense_rank() OVER (ORDER BY s) AS rank FROM sfx
+""",
         "anchor_profile": _anchor_profile_oracle(),
         "bm25_topk": _bm25_oracle(),
         "tfidf_topk": _tfidf_oracle(),

@@ -166,6 +166,8 @@ def main() -> int:
         "phrase_search",
         "corpus_shuffle",
         "link_hits",
+        "zorder_layout",
+        "suffix_array_ranks",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

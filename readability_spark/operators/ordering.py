@@ -28,6 +28,52 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def dense_rank_global(
+    df: DataFrame,
+    keys: list,
+    out: str = "_rank",
+    n_parts: int = 64,
+) -> DataFrame:
+    """Global ``dense_rank() OVER (ORDER BY keys)`` without the single-task
+    window: range-partition on the keys (equal keys never straddle a range
+    boundary), dense-rank inside each partition in parallel, then shift by
+    the broadcast running sum of per-partition distinct-key counts.
+
+    Bit-identical to the naive global window at any partitioning; the only
+    SinglePartition exchange is over the ``n_parts``-row counts table.
+    """
+    # the ranked branch AND the counts branch both read this subtree; the
+    # range exchange samples boundaries and _pid reads the physical
+    # partition id, so re-evaluating it per branch could disagree —
+    # checkpoint so both branches see ONE materialization
+    ranged = (
+        df.repartitionByRange(n_parts, *[F.col(k) for k in keys])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local = F.dense_rank().over(
+        Window.partitionBy("_pid").orderBy(*[F.col(k) for k in keys])
+    )
+    counts = ranged.groupBy("_pid").agg(
+        F.countDistinct(*[F.col(k) for k in keys]).alias("_n")
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    return (
+        ranged.withColumn("_lrk", local)
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out, (F.col("_off") + F.col("_lrk")).cast("long"))
+        .drop("_pid", "_lrk", "_off")
+    )
+
+
 def global_shuffle_index(
     docs: DataFrame,
     id_col: str = "doc_id",
