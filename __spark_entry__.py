@@ -552,6 +552,21 @@ def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_layout(dims, ["xb", "yb"], bits=8, file_bits=6)
 
 
+def _q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL Rademacher projection 64→16 dims: one codegen projection, zero
+    shuffles; the md5-seeded sign matrix and left-deep addition chain are
+    regenerated identically in the oracle, so values match bit-for-bit
+    before the shared round(6)."""
+    from readability_spark.operators.projection import jl_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = jl_project(emb, "embedding", in_dim=64, out_dim=16)
+    return out.select(
+        "vec_id",
+        *[F.round(F.col(f"p{j:02d}"), 6).alias(f"p{j:02d}") for j in range(16)],
+    )
+
+
 def _q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed prefix-doubling suffix array (token-level, suffixes end
     at doc boundaries — the ExactSubstr building block). The oracle ranks
@@ -1213,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": _q_link_hits,
         "zorder_layout": _q_zorder_layout,
         "suffix_array_ranks": _q_suffix_array,
+        "jl_projection": _q_jl_projection,
         "phrase_search": _q_phrase_search,
         "corpus_shuffle": _q_corpus_shuffle,
         "bpe_vocab": _q_bpe_vocab,
@@ -2636,6 +2652,18 @@ SELECT node, floor(rank * 10000.0 + 0.5) / 10000.0 AS rank FROM r{n_iter}
 """
 
 
+def _jl_projection_oracle() -> str:
+    """Mirror of projection.jl_project over embeddings: the sign matrix and
+    addition chain come from the SAME generator (projection.jl_project_sql)."""
+    from readability_spark.operators.projection import jl_project_sql
+
+    sel = ",\n  ".join(
+        f"round({expr}, 6) AS {name}"
+        for name, expr in jl_project_sql("embedding", in_dim=64, out_dim=16)
+    )
+    return f"SELECT vec_id,\n  {sel}\nFROM embeddings"
+
+
 def _zorder_oracle(bits: int = 8, file_bits: int = 6) -> str:
     """Mirror of layout.zorder_layout over (doc_id % 256, n_chars % 256):
     the Morton-interleave SQL is emitted by the SAME generator the Spark
@@ -3852,6 +3880,7 @@ pos AS (SELECT doc_id, generate_subscripts(t, 1) AS p1, t FROM toks),
 sfx AS (SELECT doc_id, p1 - 1 AS p, array_to_string(t[p1:], ' ') AS s FROM pos)
 SELECT doc_id, p, dense_rank() OVER (ORDER BY s) AS rank FROM sfx
 """,
+        "jl_projection": _jl_projection_oracle(),
         "anchor_profile": _anchor_profile_oracle(),
         "bm25_topk": _bm25_oracle(),
         "tfidf_topk": _tfidf_oracle(),
