@@ -552,6 +552,15 @@ def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_layout(dims, ["xb", "yb"], bits=8, file_bits=6)
 
 
+def _q_exact_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr spans with rank-certified (hash-free) window identity:
+    6-token windows, k=4 doubling ranks at p and p+2 overlap-cover the
+    window. Oracle groups the materialized window strings directly."""
+    from readability_spark.operators.suffix import exact_duplicate_spans
+
+    return exact_duplicate_spans(_docs(spark, sf_dir), length=6)
+
+
 def _q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL Rademacher projection 64→16 dims: one codegen projection, zero
     shuffles; the md5-seeded sign matrix and left-deep addition chain are
@@ -1229,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "suffix_array_ranks": _q_suffix_array,
         "jl_projection": _q_jl_projection,
+        "exact_duplicate_spans": _q_exact_duplicate_spans,
         "phrase_search": _q_phrase_search,
         "corpus_shuffle": _q_corpus_shuffle,
         "bpe_vocab": _q_bpe_vocab,
@@ -3881,6 +3891,19 @@ sfx AS (SELECT doc_id, p1 - 1 AS p, array_to_string(t[p1:], ' ') AS s FROM pos)
 SELECT doc_id, p, dense_rank() OVER (ORDER BY s) AS rank FROM sfx
 """,
         "jl_projection": _jl_projection_oracle(),
+        "exact_duplicate_spans": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+win AS (SELECT doc_id, p1 - 1 AS p, array_to_string(t[p1:p1+5], ' ') AS w
+        FROM (SELECT doc_id, generate_subscripts(t, 1) AS p1, t FROM toks)
+        WHERE p1 + 5 <= len(t)),
+dup AS (SELECT w FROM win GROUP BY w HAVING count(*) >= 2),
+m AS (SELECT doc_id, p FROM win JOIN dup USING (w)),
+isl AS (SELECT doc_id, p,
+        p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g FROM m)
+SELECT doc_id, min(p)::bigint AS span_start, (max(p) + 5)::bigint AS span_end,
+       count(*) AS n_dup_windows
+FROM isl GROUP BY doc_id, g
+""",
         "anchor_profile": _anchor_profile_oracle(),
         "bm25_topk": _bm25_oracle(),
         "tfidf_topk": _tfidf_oracle(),

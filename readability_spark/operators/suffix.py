@@ -1,11 +1,18 @@
 """Distributed suffix-array construction by prefix doubling — the exact
 building block behind ExactSubstr dedup (Lee et al. 2022 build a suffix
-array to find all duplicated spans; `operators/spans.py` is the windowed
-approximation, this is the exact structure).
+array to find all duplicated spans; `operators/spans.py` is the
+60-bit-hash windowed approximation, this is the exact structure).
 
 :func:`suffix_ranks` assigns every (doc, position) suffix its global
 lexicographic *dense* rank over the whole corpus (identical suffixes share
 a rank; suffixes end at document boundaries, the corpus-dedup convention).
+
+:func:`exact_duplicate_spans` is the application: maximal runs of
+duplicated fixed-length token windows, keyed by TRUE content equality via
+doubling ranks (rank(prefix 2^j) at p and at p + L - 2^j together certify
+the whole L-window, the classic suffix-array substring-comparison trick) —
+no hash, so no birthday collisions at any corpus size, unlike the
+windowed formulation it mirrors.
 
 Algorithm (Manber–Myers prefix doubling, distributed):
 
@@ -35,6 +42,38 @@ from pyspark.sql import functions as F
 from readability_spark.operators.ordering import dense_rank_global
 
 
+def _position_token_ranks(
+    docs: DataFrame, id_col: str, text_col: str, n_parts: int
+) -> DataFrame:
+    """(_d, p, rank): every token position, ranked by its single token."""
+    pos = docs.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("p", "_w"),
+    )
+    return (
+        dense_rank_global(pos, ["_w"], out="rank", n_parts=n_parts)
+        .select("_d", "p", "rank")
+        .localCheckpoint(eager=False)
+    )
+
+
+def _double_ranks(r: DataFrame, rounds: int, n_parts: int) -> DataFrame:
+    """Prefix-double ``rounds`` times: rank of prefix length 2^rounds."""
+    k = 1
+    for _ in range(rounds):
+        w = Window.partitionBy("_d").orderBy("p")
+        paired = r.select(
+            "_d", "p", "rank", F.lead("rank", k, 0).over(w).alias("_r2")
+        )
+        r = (
+            dense_rank_global(paired, ["rank", "_r2"], out="_nr", n_parts=n_parts)
+            .select("_d", "p", F.col("_nr").alias("rank"))
+            .localCheckpoint(eager=False)
+        )
+        k *= 2
+    return r
+
+
 def suffix_ranks(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -43,10 +82,7 @@ def suffix_ranks(
 ) -> DataFrame:
     """(id, p, rank): the global dense lexicographic rank of every
     token-level suffix ``tokens[p:]`` (0-based p), ties shared."""
-    pos = docs.select(
-        F.col(id_col).alias("_d"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("p", "_w"),
-    )
+    pos = _position_token_ranks(docs, id_col, text_col, n_parts)
 
     maxlen = pos.agg(F.max("p")).first()[0]
     if maxlen is None:
@@ -54,23 +90,64 @@ def suffix_ranks(
             [], f"{id_col} long, p int, rank long"
         )
     rounds = max(0, math.ceil(math.log2(maxlen + 1)))
+    r = _double_ranks(pos, rounds, n_parts)
+    return r.select(F.col("_d").alias(id_col), "p", "rank")
 
-    r = dense_rank_global(pos, ["_w"], out="rank", n_parts=n_parts).select(
-        "_d", "p", "rank"
+
+def exact_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 8,
+    min_count: int = 2,
+    n_parts: int = 64,
+) -> DataFrame:
+    """Maximal runs of ``length``-token windows whose content appears >=
+    ``min_count`` times corpus-wide — exact (rank-certified, hash-free).
+
+    Window identity: with k the largest power of two <= length,
+    tokens[p : p+length] == tokens[q : q+length]  ⟺
+    rank_k[p] == rank_k[q] AND rank_k[p+length-k] == rank_k[q+length-k]
+    (the two k-prefixes overlap-cover the window since 2k >= length).
+
+    Returns ``(doc_id, span_start, span_end, n_dup_windows)``, 0-based,
+    span_end inclusive — same contract as spans.duplicate_ngram_spans.
+    """
+    rounds = max(0, int(math.floor(math.log2(length))))
+    k = 1 << rounds
+    pos = _position_token_ranks(docs, id_col, text_col, n_parts)
+    r = _double_ranks(pos, rounds, n_parts)
+
+    w = Window.partitionBy("_d").orderBy("p")
+    r2 = (
+        F.col("rank")
+        if length == k
+        else F.lead("rank", length - k, 0).over(w)
+    )
+    keyed = (
+        r.withColumn("_r2", r2)
+        .withColumn("_len", F.count("*").over(Window.partitionBy("_d")))
+        .where(F.col("p") + length <= F.col("_len"))
+        .select("_d", "p", "rank", "_r2")
     ).localCheckpoint(eager=False)
 
-    k = 1
-    for _ in range(rounds):
-        w = Window.partitionBy("_d").orderBy("p")
-        paired = r.select(
-            "_d",
-            "p",
-            "rank",
-            F.lead("rank", k, 0).over(w).alias("_r2"),
+    dup = (
+        keyed.groupBy("rank", "_r2")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("rank", "_r2")
+    )
+    marked = keyed.join(dup, ["rank", "_r2"], "left_semi")
+    isl = marked.withColumn(
+        "isl",
+        F.col("p") - F.row_number().over(Window.partitionBy("_d").orderBy("p")),
+    )
+    return (
+        isl.groupBy("_d", "isl")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            (F.max("p") + F.lit(length - 1)).cast("long").alias("span_end"),
+            F.count("*").alias("n_dup_windows"),
         )
-        r = dense_rank_global(paired, ["rank", "_r2"], out="_nr", n_parts=n_parts).select(
-            "_d", "p", F.col("_nr").alias("rank")
-        ).localCheckpoint(eager=False)
-        k *= 2
-
-    return r.select(F.col("_d").alias(id_col), "p", "rank")
+        .select(F.col("_d").alias(id_col), "span_start", "span_end", "n_dup_windows")
+    )

@@ -83,3 +83,65 @@ def test_dense_rank_global_no_big_single_partition_exchange(spark):
     # scan — materialized once so both branches see identical partitions)
     assert plan.count("Exchange SinglePartition") <= 1
     assert "Scan ExistingRDD" in plan
+
+
+def _brute_spans(docs, length, min_count=2):
+    from collections import Counter
+    wins = []
+    for d, text in docs:
+        toks = text.split(" ")
+        for p in range(len(toks) - length + 1):
+            wins.append((d, p, tuple(toks[p:p + length])))
+    counts = Counter(w for _, _, w in wins)
+    marked = sorted((d, p) for d, p, w in wins if counts[w] >= min_count)
+    spans = []
+    by_doc = {}
+    for d, p in marked:
+        by_doc.setdefault(d, []).append(p)
+    for d, ps in by_doc.items():
+        start = prev = ps[0]
+        n = 1
+        for p in ps[1:]:
+            if p == prev + 1:
+                prev = p
+                n += 1
+            else:
+                spans.append((d, start, prev + length - 1, n))
+                start = prev = p
+                n = 1
+        spans.append((d, start, prev + length - 1, n))
+    return sorted(spans)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    random.seed(23)
+    vocab = ["a", "b", "c", "d"]
+    base = [" ".join(random.choice(vocab) for _ in range(random.randrange(8, 30)))
+            for _ in range(25)]
+    # inject verbatim repeats: doc i+25 shares doc i's middle
+    docs = [(i, t) for i, t in enumerate(base)]
+    docs += [(i + 25, base[i] + " d c b a " + base[(i + 3) % 25]) for i in range(10)]
+    return docs, spark.createDataFrame(docs, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("length", [3, 4, 6])
+def test_exact_duplicate_spans_match_brute_force(dup_docs, length):
+    from readability_spark.operators.suffix import exact_duplicate_spans
+
+    docs, df = dup_docs
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_windows"])
+        for r in exact_duplicate_spans(df, length=length, n_parts=7).collect()
+    )
+    assert got == _brute_spans(docs, length)
+
+
+def test_exact_spans_agree_with_windowed_hash_variant(dup_docs):
+    from readability_spark.operators.spans import duplicate_ngram_spans
+    from readability_spark.operators.suffix import exact_duplicate_spans
+
+    _, df = dup_docs
+    exact = sorted(map(tuple, exact_duplicate_spans(df, length=8).collect()))
+    hashed = sorted(map(tuple, duplicate_ngram_spans(df, k=8).collect()))
+    assert exact == hashed  # no 60-bit collisions at this size
