@@ -552,6 +552,25 @@ def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_layout(dims, ["xb", "yb"], bits=8, file_bits=6)
 
 
+def _q_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour distinct-user HLL (register-level-verifiable) + exact count;
+    the register table is the streaming-state form (see
+    streaming.stream_window_distinct, parity-tested in
+    tests/test_spark_pipeline.py)."""
+    from readability_spark.streaming.stream import windowed_distinct_users_batch
+
+    out = windowed_distinct_users_batch(spark, sf_dir)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_registers",
+        "max_register",
+        "sum_registers",
+        "raw_est",
+        "hll_est",
+        "n_exact",
+    )
+
+
 def _q_exact_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr spans with rank-certified (hash-free) window identity:
     6-token windows, k=4 doubling ranks at p and p+2 overlap-cover the
@@ -1239,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_array_ranks": _q_suffix_array,
         "jl_projection": _q_jl_projection,
         "exact_duplicate_spans": _q_exact_duplicate_spans,
+        "windowed_distinct_users": _q_windowed_distinct_users,
         "phrase_search": _q_phrase_search,
         "corpus_shuffle": _q_corpus_shuffle,
         "bpe_vocab": _q_bpe_vocab,
@@ -2662,6 +2682,68 @@ SELECT node, floor(rank * 10000.0 + 0.5) / 10000.0 AS rank FROM r{n_iter}
 """
 
 
+def _hll_window_users_oracle() -> str:
+    """Mirror of streaming.windowed_distinct_users_batch: the same register
+    math as _hll_distinct_tokens_oracle, grouped by the hourly window
+    (Spark's aligned 1-hour window start == date_trunc('hour'))."""
+    from readability_spark.operators.sketches import HLL_M, HLL_NUM, HLL_SMALL
+
+    n13 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {4 + i}, 1)) - 1) "
+        f"* cast(pow(16, {12 - i}) as bigint)"
+        for i in range(13)
+    )
+    n3 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {1 + i}, 1)) - 1) "
+        f"* cast(pow(16, {2 - i}) as bigint)"
+        for i in range(3)
+    )
+    return f"""
+WITH ev AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, user_id
+  FROM events
+),
+hxs AS (
+  SELECT w, substr(md5(user_id::varchar), 1, 16) AS hx FROM ev
+),
+bv AS (
+  SELECT w, ({n3})::int AS bucket, ({n13})::bigint AS v FROM hxs
+),
+regs AS (
+  SELECT w, bucket,
+    max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS register
+  FROM bv GROUP BY w, bucket
+),
+g AS (
+  SELECT w,
+    count(*)::bigint AS n_registers,
+    max(register)::int AS max_register,
+    sum(register)::bigint AS sum_registers,
+    sum(1::hugeint << (53 - register)) AS sum_shift
+  FROM regs GROUP BY w
+),
+r AS (
+  SELECT w, n_registers, max_register, sum_registers,
+    {HLL_NUM!r}
+      / (sum_shift + ({HLL_M} - n_registers)::hugeint * (1::hugeint << 53))::double
+      AS raw
+  FROM g
+),
+e AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w,
+         count(DISTINCT user_id)::bigint AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT r.w AS window_start, n_registers, max_register, sum_registers,
+  round(raw, 4) AS raw_est,
+  round(CASE WHEN raw <= {HLL_SMALL!r} AND n_registers < {HLL_M}
+        THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - n_registers)::double)
+        ELSE raw END, 4) AS hll_est,
+  n_exact
+FROM r JOIN e USING (w)
+"""
+
+
 def _jl_projection_oracle() -> str:
     """Mirror of projection.jl_project over embeddings: the sign matrix and
     addition chain come from the SAME generator (projection.jl_project_sql)."""
@@ -3891,6 +3973,7 @@ sfx AS (SELECT doc_id, p1 - 1 AS p, array_to_string(t[p1:], ' ') AS s FROM pos)
 SELECT doc_id, p, dense_rank() OVER (ORDER BY s) AS rank FROM sfx
 """,
         "jl_projection": _jl_projection_oracle(),
+        "windowed_distinct_users": _hll_window_users_oracle(),
         "exact_duplicate_spans": """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 win AS (SELECT doc_id, p1 - 1 AS p, array_to_string(t[p1:p1+5], ' ') AS w

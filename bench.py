@@ -168,6 +168,8 @@ def main() -> int:
         "link_hits",
         "zorder_layout",
         "suffix_array_ranks",
+        "jl_projection",
+        "exact_duplicate_spans",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

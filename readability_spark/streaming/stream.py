@@ -67,6 +67,62 @@ def stream_events(
     return spark.table(out_table)
 
 
+def windowed_distinct_users_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour distinct-user HLL estimate (plus the exact count the
+    estimate approximates) — batch form of the mergeable-sketch-as-
+    streaming-state pattern, oracle-checkable down to the registers."""
+    from readability_spark.operators.sketches import hll_distinct
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = events.select(
+        F.window("ts", "1 hour").getField("start").alias("window_start"), "user_id"
+    )
+    sk = hll_distinct(ev, "window_start", "user_id").withColumnRenamed(
+        "grp", "window_start"
+    )
+    exact = ev.groupBy("window_start").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return sk.join(exact, "window_start")
+
+
+def stream_window_distinct(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str, out_table: str = "stream_hll_regs"
+) -> DataFrame:
+    """Streaming form: the HLL REGISTER table (max rho per window/bucket)
+    as the stateful aggregate — registers are mergeable, so state is
+    <= 4096 rows per window however many events arrive; finalization to an
+    estimate is a stateless batch step over the sink."""
+    import os
+
+    src_dir = os.path.join(checkpoint_dir + "_src", "events")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch.write.mode("overwrite").parquet(src_dir)
+    from readability_spark.operators.sketches import hll_registers
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "user_id",
+        )
+    )
+    regs = hll_registers(stream, "window_start", "user_id")
+    query = (
+        regs.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(out_table)
+
+
 def user_sessions_batch(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
     """Gap-based session windows per user (batch form; oracle-checkable —
     a session closes after `gap` of inactivity, Spark's session_window)."""

@@ -446,3 +446,25 @@ def test_stream_dedup_ttl_expiry(spark, tmp_path):
     out = stream_dedup_first_seen(spark, pages_s, ck_s, out_path=sink_s, ttl_minutes=ttl_min)
     # all 35 re-emit: 25-49 expired (eager eviction on restart), 50-59 new
     assert out.count() == 85
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """The streaming windowed distinct-user sketch carries EXACTLY the
+    batch register table as state (mergeable max per (window, bucket))."""
+    from readability_spark.operators.sketches import hll_registers
+    from readability_spark.streaming.stream import stream_window_distinct
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.window("ts", "1 hour").getField("start").alias("window_start"),
+        "user_id",
+    )
+    batch = {
+        (str(r["grp"]), r["bucket"]): r["register"]
+        for r in hll_registers(ev, "window_start", "user_id").collect()
+    }
+    streamed = stream_window_distinct(spark, sf, str(tmp_path / "ckpt"))
+    got = {
+        (str(r["grp"]), r["bucket"]): r["register"] for r in streamed.collect()
+    }
+    assert got == batch
