@@ -1236,6 +1236,40 @@ def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(with_messy_text(_docs(spark, sf_dir)))
 
 
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.dedup import (
+        canonical_survivors,
+        with_injected_duplicates,
+    )
+
+    return canonical_survivors(with_injected_duplicates(_docs(spark, sf_dir)))
+
+
+def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.temporal import funnel_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts(events, FUNNEL_STAGES)
+
+
+FUNNEL_STAGES = ("view", "click", "signup", "purchase")
+
+
+def _q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.textstats import (
+        script_mix,
+        with_injected_scripts,
+    )
+
+    return script_mix(with_injected_scripts(_docs(spark, sf_dir)))
+
+
+def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.textstats import vocab_growth
+
+    return vocab_growth(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = verification priority, not narrative order.
 
@@ -1250,6 +1284,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- new in r4 (no driver row yet) -----------------------------------
+        "dedup_keep_best": _q_dedup_keep_best,
+        "event_funnel": _q_event_funnel,
+        "script_mix": _q_script_mix,
+        "vocab_growth": _q_vocab_growth,
         "events_asof_join": _q_events_asof,
         "events_interval_join": _q_events_interval,
         "pmi_bigrams": _q_pmi_bigrams,
@@ -3734,10 +3772,155 @@ FROM est
 """
 
 
+def _keep_best_oracle() -> str:
+    """Mirror of dedup.canonical_survivors: the cluster labeling of
+    _clusters_oracle joined with text_quality's composite score; the keeper
+    is the min doc_id among members attaining the cluster-max quality (the
+    Spark side's max(struct(quality, -doc_id)) picks the same member because
+    both engines compute the identical round4 quality doubles)."""
+    toks = "string_split(text, ' ')"
+    q = _r4(
+        f"0.4::double * least(1.0::double, len({toks}) / 64.0) "
+        f"+ 0.3::double * least(1.0::double, ({_EN_HITS} / len({toks})::double) * 4) "
+        f"+ 0.3::double * (len(list_distinct({toks})) / len({toks})::double)"
+    )
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(v, n) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT w.v, e.dst FROM walk w JOIN edges e ON e.src = w.n
+),
+lbl AS (SELECT v AS doc_id, min(n) AS cluster_id FROM walk GROUP BY v),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1),
+q AS (SELECT doc_id, {q} AS quality FROM dup),
+m AS (
+  SELECT l.doc_id, l.cluster_id, sz.cluster_size::int AS cluster_size, q.quality
+  FROM lbl l JOIN sz USING (cluster_id) JOIN q USING (doc_id)
+),
+mq AS (SELECT cluster_id, max(quality) AS mxq FROM m GROUP BY 1),
+best AS (
+  SELECT m.cluster_id, min(m.doc_id) AS keep_id
+  FROM m JOIN mq ON m.cluster_id = mq.cluster_id AND m.quality = mq.mxq
+  GROUP BY 1
+)
+SELECT m.doc_id, m.cluster_id, m.cluster_size, m.quality, b.keep_id,
+       (m.doc_id = b.keep_id) AS keep
+FROM m JOIN best b USING (cluster_id)
+"""
+
+
+def _funnel_oracle() -> str:
+    """Mirror of temporal.funnel_counts over FUNNEL_STAGES: chained
+    per-user conditional mins (stage i's min ts strictly after stage i-1's),
+    then stage populations + round4 step conversion."""
+    stages = FUNNEL_STAGES
+    ctes = ["e AS (SELECT user_id AS u, ts, event_type AS et FROM events)"]
+    ctes.append(
+        f"s0 AS (SELECT u, min(ts) AS t0 FROM e WHERE et = '{stages[0]}' GROUP BY u)"
+    )
+    for i in range(1, len(stages)):
+        ctes.append(
+            f"s{i} AS (SELECT e.u, min(e.ts) AS t{i} FROM e JOIN s{i - 1} USING (u) "
+            f"WHERE e.et = '{stages[i]}' AND e.ts > t{i - 1} GROUP BY e.u)"
+        )
+    counts = ", ".join(
+        f"(SELECT count(*) FROM s{i}) AS c{i}" for i in range(len(stages))
+    )
+    rows = []
+    for i, s in enumerate(stages):
+        conv = (
+            "cast(NULL AS double)"
+            if i == 0
+            else f"CASE WHEN c{i - 1} = 0 THEN cast(NULL AS double) "
+            f"ELSE floor(c{i} / c{i - 1}::double * 10000.0 + 0.5) / 10000.0 END"
+        )
+        rows.append(
+            f"SELECT {i} AS stage_idx, '{s}' AS stage, c{i}::bigint AS n_users, "
+            f"{conv} AS conversion FROM c"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f",\nc AS (SELECT {counts})\n"
+        + "\nUNION ALL ".join(rows)
+    )
+
+
+def _script_mix_oracle() -> str:
+    """Mirror of textstats.script_mix ∘ with_injected_scripts: the regex
+    classes, injected alphabets, and argmax CASE chain all come from the
+    SAME generators (script_class / injected_alphabet / SCRIPT_RANGES)."""
+    from readability_spark.operators.textstats import (
+        _LATIN26,
+        SCRIPT_RANGES,
+        injected_alphabet,
+        script_class,
+    )
+
+    bases = {n: b for n, _, b in SCRIPT_RANGES}
+    cyr = injected_alphabet(bases["cyrillic"])
+    cjk = injected_alphabet(bases["cjk"])
+    counts = ", ".join(
+        f"(length(text) - length(regexp_replace(text, '{script_class(r)}', '', 'g')))::int AS n_{n}"
+        for n, r, _ in SCRIPT_RANGES
+    )
+    names = [r[0] for r in SCRIPT_RANGES]
+    maxc = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    dom = "'none'"
+    for n in reversed(names):
+        dom = f"CASE WHEN n_{n} = {maxc} AND {maxc} > 0 THEN '{n}' ELSE {dom} END"
+    cols = ", ".join(f"n_{n}" for n in names)
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 3 THEN translate(text, '{_LATIN26}', '{cyr}')
+         WHEN doc_id % 7 = 5 THEN translate(text, '{_LATIN26}', '{cjk}')
+         ELSE text END AS text
+  FROM documents
+),
+cts AS (SELECT doc_id, {counts} FROM inj)
+SELECT doc_id, {cols}, {dom} AS dominant_script FROM cts
+"""
+
+
+def _vocab_growth_oracle() -> str:
+    """Mirror of textstats.vocab_growth: first-occurrence doc per token,
+    then per-checkpoint prefix counts (a token is in prefix c's vocabulary
+    iff its min doc_id < c)."""
+    from readability_spark.operators.textstats import VOCAB_CHECKPOINTS
+
+    toks = "string_split(text, ' ')"
+    rows = []
+    for c in VOCAB_CHECKPOINTS:
+        rows.append(
+            f"SELECT {c} AS checkpoint, "
+            f"(SELECT count(*) FROM documents WHERE doc_id < {c})::bigint AS n_docs, "
+            f"(SELECT coalesce(sum(len({toks})), 0) FROM documents WHERE doc_id < {c})::bigint AS n_token_occurrences, "
+            f"(SELECT count(*) FROM f WHERE first_doc < {c})::bigint AS vocab_size"
+        )
+    return (
+        f"WITH t AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),\n"
+        "f AS (SELECT tok, min(doc_id) AS first_doc FROM t GROUP BY tok)\n"
+        "SELECT * FROM (\n"
+        + "\nUNION ALL ".join(rows)
+        + "\n) WHERE n_docs > 0"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     toks = "string_split(text, ' ')"
     url = "'http://synth.fakehost/doc/' || doc_id || '.html'"
     return {
+        "dedup_keep_best": _keep_best_oracle(),
+        "event_funnel": _funnel_oracle(),
+        "script_mix": _script_mix_oracle(),
+        "vocab_growth": _vocab_growth_oracle(),
         "events_asof_join": """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
      v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')

@@ -596,6 +596,41 @@ def near_dup_clusters(docs: DataFrame) -> DataFrame:
     )
 
 
+def canonical_survivors(docs: DataFrame) -> DataFrame:
+    """Keep/drop election per near-dup cluster — the decision a production
+    dedup stage actually emits: within each MinHash-LSH component keep the
+    member with the highest composite quality score (ties to the smallest
+    doc_id), drop the rest.
+
+    Scale shape: cluster labels come from :func:`near_dup_clusters`
+    (log-round pointer jumping); the quality join is doc_id-to-doc_id (both
+    sides hash-partitioned on doc_id); the per-cluster argmax is ONE
+    map-side-combined struct-max ``groupBy`` — ``max(struct(quality,
+    -doc_id))`` orders by quality first and breaks ties toward the smallest
+    id, so there is no window and no single-task sort anywhere. The elected
+    table is cluster-count sized (far smaller than the corpus) and rejoins
+    membership on cluster_id.
+    """
+    from readability_spark.operators.textstats import quality_score
+
+    member = near_dup_clusters(docs).join(
+        quality_score(docs).select("doc_id", "quality"), "doc_id"
+    )
+    best = (
+        member.groupBy("cluster_id")
+        .agg(F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))).alias("b"))
+        .select("cluster_id", (-F.col("b.neg_id")).alias("keep_id"))
+    )
+    return member.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "quality",
+        "keep_id",
+        (F.col("doc_id") == F.col("keep_id")).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 4. N-gram Jaccard (DF-capped shingle candidate join + exact set verify)
 # ---------------------------------------------------------------------------

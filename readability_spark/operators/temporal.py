@@ -164,3 +164,64 @@ def interval_join(
         *[F.col(a) for _, a in iv_named],
         *[F.col(c) for c in left.columns],
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strict-order funnel over an event stream: a user reaches stage ``i``
+    when they have a stage-``i`` event STRICTLY AFTER their earliest
+    qualifying stage-``i-1`` event (the product-analytics semantic — later
+    stages can't borrow events that happened before the funnel entered the
+    previous step).
+
+    Scale shape: stage times are chained conditional ``min(...) over
+    (partition by user)`` windows — every window shares the one
+    hash-partition on user, so the whole cascade is ONE Exchange however
+    many stages there are; per-key state never exceeds the user's own rows
+    (no self-join per stage, which is the naive k-pass formulation). The
+    user table then collapses with a map-side-combined groupBy and a single
+    global conditional aggregate; the k-row unpivot is driver-trivial.
+
+    Output: one row per stage — ``(stage_idx, stage, n_users, conversion)``
+    where conversion is n_users / previous stage's n_users (null for stage
+    0), round-half-up to 4 decimals.
+    """
+    k = len(stages)
+    df = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        F.col(type_col).alias("_et"),
+    )
+    w = Window.partitionBy("_u")
+    for i, s in enumerate(stages):
+        cond = F.col("_et") == s
+        if i:
+            prev = F.col(f"_t{i - 1}")
+            cond = cond & prev.isNotNull() & (F.col("_ts") > prev)
+        df = df.withColumn(f"_t{i}", F.min(F.when(cond, F.col("_ts"))).over(w))
+    per_user = df.groupBy("_u").agg(
+        *[F.min(f"_t{i}").alias(f"_t{i}") for i in range(k)]
+    )
+    row = per_user.agg(
+        *[
+            F.sum(F.col(f"_t{i}").isNotNull().cast("long")).alias(f"s{i}")
+            for i in range(k)
+        ]
+    )
+    conv = lambda i: (  # noqa: E731
+        f"cast(null as double)"
+        if i == 0
+        else f"if(s{i - 1} = 0, cast(null as double), "
+        f"floor(s{i} / cast(s{i - 1} as double) * 10000.0 + 0.5) / 10000.0)"
+    )
+    stack = ", ".join(
+        f"{i}, '{s}', coalesce(s{i}, 0L), {conv(i)}" for i, s in enumerate(stages)
+    )
+    return row.selectExpr(
+        f"stack({k}, {stack}) as (stage_idx, stage, n_users, conversion)"
+    )

@@ -253,3 +253,135 @@ def fingerprint(docs: DataFrame, shingle: int = 3) -> DataFrame:
         F.md5("text").alias("exact_fp"),
         F.array_min(shingles).alias("shingle_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode script detection (shared Spark/SQL generator, pure codegen)
+# ---------------------------------------------------------------------------
+
+# (name, ((lo, hi), ...) code-point ranges, lowercase translate base) — the
+# translate base is where with_injected_scripts maps a-z so injected docs are
+# guaranteed inside the block. BMP only, no surrogates.
+SCRIPT_RANGES: tuple = (
+    ("latin", ((0x0041, 0x005A), (0x0061, 0x007A)), ord("a")),
+    ("cyrillic", ((0x0400, 0x04FF),), 0x0430),
+    ("greek", ((0x0370, 0x03FF),), 0x03B1),
+    ("cjk", ((0x4E00, 0x9FFF),), 0x4E00),
+    ("arabic", ((0x0600, 0x06FF),), 0x0620),
+)
+
+_LATIN26 = "abcdefghijklmnopqrstuvwxyz"
+
+
+def script_class(ranges: tuple) -> str:
+    """Regex character class for code-point ranges — literal unicode chars,
+    valid in BOTH Java regex (Spark) and RE2 (DuckDB). One generator feeds
+    the operator and the oracle so the two can't drift."""
+    return "[" + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in ranges) + "]"
+
+
+def injected_alphabet(base: int) -> str:
+    """26 consecutive code points starting at the block's letter base — the
+    target of translate(a-z -> block) for deterministic script injection."""
+    return "".join(chr(base + i) for i in range(26))
+
+
+def with_injected_scripts(docs: DataFrame) -> DataFrame:
+    """Deterministically re-script a slice of the corpus so script detection
+    has non-Latin text to find: every doc_id % 7 == 3 is transliterated to
+    Cyrillic, % 7 == 5 to CJK (translate a-z onto the block's first 26 code
+    points — SQL-expressible, the oracle applies the same translate)."""
+    bases = {name: base for name, _, base in SCRIPT_RANGES}
+    cyr = injected_alphabet(bases["cyrillic"])
+    cjk = injected_alphabet(bases["cjk"])
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 3, F.translate(F.col("text"), _LATIN26, cyr))
+        .when(F.col("doc_id") % 7 == 5, F.translate(F.col("text"), _LATIN26, cjk))
+        .otherwise(F.col("text")),
+    )
+
+
+def script_mix(docs: DataFrame) -> DataFrame:
+    """Per-document unicode-script histogram + dominant script: count of
+    characters in each major script block (regexp strip-and-diff — whole-
+    stage codegen, no Python) and the argmax with deterministic
+    first-listed-wins tie-breaking. The per-row cost is O(len * n_scripts)
+    with zero shuffles — the shape that survives any corpus size."""
+    counts = {
+        name: (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), script_class(ranges), ""))
+        ).cast("int")
+        for name, ranges, _ in SCRIPT_RANGES
+    }
+    sel = docs.select(
+        "doc_id",
+        *[counts[name].alias(f"n_{name}") for name, _, _ in SCRIPT_RANGES],
+    )
+    # argmax, ties to the first-listed script: fold the CASE chain from the
+    # last name outward so earlier names overwrite later ones at equal count.
+    names = [r[0] for r in SCRIPT_RANGES]
+    maxc = F.greatest(*[F.col(f"n_{n}") for n in names])
+    dom = F.lit("none")
+    for n in reversed(names):
+        dom = F.when((F.col(f"n_{n}") == maxc) & (maxc > 0), F.lit(n)).otherwise(dom)
+    return sel.withColumn("dominant_script", dom)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps-law curve) over doc-id-ordered corpus prefixes
+# ---------------------------------------------------------------------------
+
+VOCAB_CHECKPOINTS = (50, 100, 200, 400, 800, 1600)
+
+
+def vocab_growth(docs: DataFrame, checkpoints: tuple = VOCAB_CHECKPOINTS) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: for each corpus prefix (docs with
+    ``doc_id < c``), the number of token occurrences and the distinct
+    vocabulary size — the saturation diagnostic a corpus report publishes
+    per crawl (V ~ k·N^beta; a flattening curve means new data stops adding
+    new vocabulary).
+
+    Scale shape: ONE map-side-combined groupBy(token) computing
+    min(doc_id) — the only shuffle, carrying one row per distinct token —
+    then a single conditional global aggregate per checkpoint (no per-prefix
+    rescans: a token is in prefix c's vocabulary iff its FIRST occurrence is
+    before c, so all checkpoints read the same first-occurrence table).
+    Occurrence totals come straight off the docs scan without exploding.
+    """
+    toks = F.split(F.col("text"), " ")
+    first = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    vrow = first.agg(
+        *[
+            F.sum((F.col("first_doc") < c).cast("long")).alias(f"v{i}")
+            for i, c in enumerate(checkpoints)
+        ]
+    )
+    drow = docs.agg(
+        *[
+            F.sum(F.when(F.col("doc_id") < c, F.size(toks)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"o{i}")
+            for i, c in enumerate(checkpoints)
+        ],
+        *[
+            F.sum((F.col("doc_id") < c).cast("long")).alias(f"d{i}")
+            for i, c in enumerate(checkpoints)
+        ],
+    )
+    stack = ", ".join(
+        f"{c}, d{i}, o{i}, v{i}" for i, c in enumerate(checkpoints)
+    )
+    return (
+        vrow.crossJoin(drow)  # two 1-row aggregates
+        .selectExpr(
+            f"stack({len(checkpoints)}, {stack}) "
+            "as (checkpoint, n_docs, n_token_occurrences, vocab_size)"
+        )
+        .where(F.col("n_docs") > 0)
+    )

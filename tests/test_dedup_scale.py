@@ -264,3 +264,28 @@ def test_simhash64_refinement_splits_band_equal_far_pairs(spark):
     n = len(far)
     uncapped = n * (n - 1) // 2
     assert st["candidate_pairs"].count() < uncapped // 2
+
+
+def test_canonical_survivors_one_keeper_max_quality(spark):
+    from readability_spark.operators.dedup import (
+        canonical_survivors,
+        with_injected_duplicates,
+    )
+    from readability_spark.operators.textstats import load_documents
+
+    docs = with_injected_duplicates(load_documents(spark, "/root/testdata/sf0.001"))
+    rows = canonical_survivors(docs).collect()
+    assert rows
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1, cid
+        k = keepers[0]
+        mx = max(m["quality"] for m in members)
+        assert k["quality"] == mx
+        # ties at max quality break toward the smallest doc_id
+        assert k["doc_id"] == min(m["doc_id"] for m in members if m["quality"] == mx)
+        assert all(m["keep_id"] == k["doc_id"] for m in members)
+        assert all(m["cluster_size"] == len(members) for m in members)

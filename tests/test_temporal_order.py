@@ -202,3 +202,41 @@ def test_pmi_small_sides_broadcast(spark):
     # the only hash shuffles are the two groupBys
     assert plan.count("BroadcastExchange") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_funnel_strict_order_semantics(spark):
+    from readability_spark.operators.temporal import funnel_counts
+
+    # u1 completes view->click->purchase in order; u2 purchases BEFORE
+    # clicking (purchase must not count); u3 only views; u4 clicks with no
+    # prior view (never enters the funnel).
+    rows = [
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "purchase"),
+        (2, "2024-01-01 09:00:00", "view"),
+        (2, "2024-01-01 09:10:00", "purchase"),
+        (2, "2024-01-01 09:20:00", "click"),
+        (3, "2024-01-01 08:00:00", "view"),
+        (4, "2024-01-01 07:00:00", "click"),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts string, event_type string")
+    got = {
+        r["stage"]: (r["n_users"], r["conversion"])
+        for r in funnel_counts(events, ("view", "click", "purchase")).collect()
+    }
+    assert got["view"] == (3, None)
+    assert got["click"][0] == 2 and abs(got["click"][1] - 0.6667) < 1e-9
+    assert got["purchase"][0] == 1 and abs(got["purchase"][1] - 0.5) < 1e-9
+
+
+def test_funnel_equal_timestamp_not_counted(spark):
+    from readability_spark.operators.temporal import funnel_counts
+
+    # click at EXACTLY the view's timestamp is not strictly after it
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "view"), (1, "2024-01-01 10:00:00", "click")],
+        "user_id long, ts string, event_type string",
+    )
+    got = {r["stage"]: r["n_users"] for r in funnel_counts(events, ("view", "click")).collect()}
+    assert got == {"view": 1, "click": 0}

@@ -72,3 +72,69 @@ def test_repetition_flags_boilerplate_over_prose(spark):
     )
     out = {r["doc_id"]: r for r in textstats.repetition_stats(docs, n=3).collect()}
     assert out[1]["dup_gram_frac"] > 0.9 > out[2]["dup_gram_frac"]
+
+
+def test_script_mix_counts_and_dominance(spark):
+    from readability_spark.operators.textstats import script_mix
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello world"),            # pure latin
+            (1, "привет мир"),             # pure cyrillic
+            (2, "ab привет"),              # cyrillic 6 > latin 2
+            (3, "abc где"),                # tie 3-3 -> first listed (latin) wins
+            (4, "12345 !!!"),              # no script at all
+            (5, "中文 text here 中"),       # latin 8 > cjk 3
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in script_mix(docs).collect()}
+    assert got[0]["n_latin"] == 10 and got[0]["dominant_script"] == "latin"
+    assert got[1]["n_cyrillic"] == 9 and got[1]["dominant_script"] == "cyrillic"
+    assert got[2]["dominant_script"] == "cyrillic"
+    assert got[3]["n_latin"] == 3 and got[3]["n_cyrillic"] == 3
+    assert got[3]["dominant_script"] == "latin"  # declaration-order tie-break
+    assert got[4]["dominant_script"] == "none"
+    assert got[5]["n_cjk"] == 3 and got[5]["dominant_script"] == "latin"
+
+
+def test_injected_scripts_flip_dominance(spark):
+    from readability_spark.operators.textstats import (
+        script_mix,
+        with_injected_scripts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "plain english words here", "en", "web", 24) for i in range(14)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: r["dominant_script"]
+        for r in script_mix(with_injected_scripts(docs)).collect()
+    }
+    for i in range(14):
+        want = "cyrillic" if i % 7 == 3 else ("cjk" if i % 7 == 5 else "latin")
+        assert got[i] == want, (i, got[i])
+
+
+def test_vocab_growth_exact_small(spark):
+    from readability_spark.operators.textstats import vocab_growth
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),
+            (1, "a b d"),
+            (2, "e"),
+            (3, "a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["checkpoint"]: r.asDict()
+        for r in vocab_growth(docs, checkpoints=(1, 2, 4, 100)).collect()
+    }
+    assert rows[1] == {"checkpoint": 1, "n_docs": 1, "n_token_occurrences": 3, "vocab_size": 3}
+    assert rows[2] == {"checkpoint": 2, "n_docs": 2, "n_token_occurrences": 6, "vocab_size": 4}
+    assert rows[4] == {"checkpoint": 4, "n_docs": 4, "n_token_occurrences": 10, "vocab_size": 5}
+    # past-the-end checkpoint reports the full corpus, not an error
+    assert rows[100]["vocab_size"] == 5 and rows[100]["n_docs"] == 4
