@@ -1270,6 +1270,21 @@ def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth(_docs(spark, sf_dir))
 
 
+def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.dedup import (
+        ngram_containment_pairs,
+        with_injected_fragments,
+    )
+
+    return ngram_containment_pairs(with_injected_fragments(_docs(spark, sf_dir)))
+
+
+def _q_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.sketches import quantile_histogram_estimates
+
+    return quantile_histogram_estimates(_docs(spark, sf_dir), "lang", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = verification priority, not narrative order.
 
@@ -1288,6 +1303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": _q_event_funnel,
         "script_mix": _q_script_mix,
         "vocab_growth": _q_vocab_growth,
+        "dedup_ngram_containment": _q_ngram_containment,
+        "quantile_histogram": _q_quantile_histogram,
         "events_asof_join": _q_events_asof,
         "events_interval_join": _q_events_interval,
         "pmi_bigrams": _q_pmi_bigrams,
@@ -3889,6 +3906,97 @@ SELECT doc_id, {cols}, {dom} AS dominant_script FROM cts
 """
 
 
+def _containment_oracle() -> str:
+    """Mirror of dedup.ngram_containment_pairs ∘ with_injected_fragments:
+    the SAME DF-capped candidate CTEs as _ngram_oracle (shared machinery on
+    the Spark side too), finished with the asymmetric |A∩B|/|A| and
+    |A∩B|/|B| projections over the fragment-injected corpus."""
+    frag = (
+        "SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 2000000 AS doc_id, "
+        "array_to_string(string_split(text, ' ')[1:(len(string_split(text, ' ')) // 2)], ' ') AS text "
+        "FROM documents WHERE doc_id % 9 = 4 AND len(string_split(text, ' ')) >= 8"
+    )
+    c_a = (
+        "floor(((common_rare + coalesce(common_hot, 0))::double / na.n) "
+        "* 10000.0 + 0.5) / 10000.0"
+    )
+    c_b = (
+        "floor(((common_rare + coalesce(common_hot, 0))::double / nb.n) "
+        "* 10000.0 + 0.5) / 10000.0"
+    )
+    return f"""
+WITH frag AS ({frag}),
+sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM frag),
+exploded AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+dfreq AS (SELECT g, count(*) AS df FROM exploded GROUP BY g),
+rare AS (SELECT e.doc_id, e.g FROM exploded e JOIN dfreq USING (g) WHERE df BETWEEN 2 AND 100),
+hot AS (SELECT e.doc_id, e.g FROM exploded e JOIN dfreq USING (g) WHERE df > 100),
+cands AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common_rare
+  FROM rare a JOIN rare b ON a.g = b.g
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+hc AS (
+  SELECT c.id_a, c.id_b, count(*) AS common_hot
+  FROM cands c JOIN hot ha ON ha.doc_id = c.id_a
+  JOIN hot hb ON hb.doc_id = c.id_b AND hb.g = ha.g
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
+SELECT id_a, id_b, {c_a} AS containment_a, {c_b} AS containment_b
+FROM cands LEFT JOIN hc USING (id_a, id_b)
+JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+WHERE greatest({c_a}, {c_b}) >= 0.8
+"""
+
+
+def _quantile_hist_oracle() -> str:
+    """Mirror of sketches.quantile_histogram_estimates over (lang, n_chars):
+    the identical integer bin registers (leading bit + 2 sub-bits), rank
+    rule r = ceil(q·n), in-bin linear interpolation, and exact
+    quantile_cont comparators, all round4."""
+    from readability_spark.operators.sketches import QH_QUANTILES
+
+    lo = "CASE WHEN oct < 2 THEN v ELSE (4 + ((v >> (oct - 2)) & 3)) << (oct - 2) END"
+    hi = (
+        "CASE WHEN oct < 2 THEN v "
+        "ELSE ((4 + ((v >> (oct - 2)) & 3)) << (oct - 2)) + ((1::bigint << (oct - 2)) - 1) END"
+    )
+    ests = []
+    exacts = []
+    for q in QH_QUANTILES:
+        p = int(q * 100)
+        r = f"greatest(1::bigint, ceil({q!r} * n_values::double)::bigint)"
+        est = (
+            f"bin_lo + (bin_hi - bin_lo) * (({r}::double - cum_before - 0.5) / n)"
+        )
+        ests.append(
+            f"min(CASE WHEN cum >= {r} AND cum_before < {r} "
+            f"THEN floor(({est}) * 10000.0 + 0.5) / 10000.0 END) AS p{p}_est"
+        )
+        exacts.append(
+            f"floor(quantile_cont(v, {q!r}) * 10000.0 + 0.5) / 10000.0 AS p{p}_exact"
+        )
+    return f"""
+WITH base AS (SELECT lang AS grp, n_chars::bigint AS v FROM documents WHERE n_chars >= 1),
+b AS (SELECT grp, v, length(bin(v)) - 1 AS oct FROM base),
+bb AS (SELECT grp, v, {lo} AS bin_lo, {hi} AS bin_hi FROM b),
+bins AS (SELECT grp, bin_lo, bin_hi, count(*) AS n FROM bb GROUP BY 1, 2, 3),
+cum AS (
+  SELECT grp, bin_lo, bin_hi, n,
+         sum(n) OVER (PARTITION BY grp ORDER BY bin_lo) AS cum
+  FROM bins
+),
+tot AS (SELECT grp, sum(n)::bigint AS n_values FROM bins GROUP BY 1),
+j AS (SELECT c.*, (cum - n)::bigint AS cum_before, t.n_values
+      FROM cum c JOIN tot t USING (grp)),
+est AS (SELECT grp, max(n_values)::bigint AS n_values, {", ".join(ests)} FROM j GROUP BY grp),
+ex AS (SELECT grp, {", ".join(exacts)} FROM base GROUP BY grp)
+SELECT * FROM est JOIN ex USING (grp)
+"""
+
+
 def _vocab_growth_oracle() -> str:
     """Mirror of textstats.vocab_growth: first-occurrence doc per token,
     then per-checkpoint prefix counts (a token is in prefix c's vocabulary
@@ -3921,6 +4029,8 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _funnel_oracle(),
         "script_mix": _script_mix_oracle(),
         "vocab_growth": _vocab_growth_oracle(),
+        "dedup_ngram_containment": _containment_oracle(),
+        "quantile_histogram": _quantile_hist_oracle(),
         "events_asof_join": """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
      v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')

@@ -170,6 +170,11 @@ def main() -> int:
         "suffix_array_ranks",
         "jl_projection",
         "exact_duplicate_spans",
+        "windowed_distinct_users",
+        "dedup_keep_best",
+        "event_funnel",
+        "script_mix",
+        "vocab_growth",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

@@ -635,13 +635,16 @@ def canonical_survivors(docs: DataFrame) -> DataFrame:
 # 4. N-gram Jaccard (DF-capped shingle candidate join + exact set verify)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(
+def _ngram_pair_common(
     docs: DataFrame,
-    threshold: float = 0.5,
     max_df: int = 100,
     _stages: "dict | None" = None,
 ) -> DataFrame:
-    """Exact-Jaccard near-dup pairs with a document-frequency shingle cap.
+    """Shared candidate machinery for the exact n-gram set-overlap family
+    (:func:`ngram_jaccard_pairs`, :func:`ngram_containment_pairs`): DF-capped
+    candidate generation + exact intersection completion. Returns
+    ``(id_a, id_b, n_a, n_b, _common)`` where ``_common`` is the exact
+    shingle-set intersection size and ``n_*`` the exact set sizes.
 
     Candidate generation joins docs on *shared shingles*, which goes
     quadratic on any shingle common to many documents (one 3-gram shared by
@@ -650,7 +653,7 @@ def ngram_jaccard_pairs(
     discriminative shingles (2 <= df <= max_df); df=1 shingles can't form a
     pair, df>max_df shingles are boilerplate. Only pairs whose *every*
     shared shingle is hot can be missed — LSH-style documented discovery
-    approximation; the reported Jaccard values themselves are exact.
+    approximation; the reported overlap values themselves are exact.
 
     Every shuffle here carries longs/short strings, never shingle arrays:
     the candidate groupBy counts shared discriminative shingles directly,
@@ -714,7 +717,75 @@ def ngram_jaccard_pairs(
         cands.join(common_hot, ["id_a", "id_b"], "left")
         .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
-        .withColumn("jaccard", round4(common / (F.col("n_a") + F.col("n_b") - common)))
+        .select("id_a", "id_b", "n_a", "n_b", common.alias("_common"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_df: int = 100,
+    _stages: "dict | None" = None,
+) -> DataFrame:
+    """Exact-Jaccard near-dup pairs over the DF-capped candidate machinery
+    (see :func:`_ngram_pair_common` for the scale analysis)."""
+    scored = _ngram_pair_common(docs, max_df=max_df, _stages=_stages)
+    return (
+        scored.withColumn(
+            "jaccard",
+            round4(F.col("_common") / (F.col("n_a") + F.col("n_b") - F.col("_common"))),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+FRAG_OFFSET = 2_000_000
+
+
+def with_injected_fragments(docs: DataFrame, every: int = 9) -> DataFrame:
+    """documents ∪ half-length fragments of every ``every``-th doc (first
+    half of its tokens, doc_id += FRAG_OFFSET) — asymmetric-overlap cases
+    for containment detection: the fragment is (nearly) contained in its
+    parent while plain Jaccard between them stays moderate. Deterministic
+    and SQL-expressible, like :func:`with_injected_duplicates`."""
+    toks = F.split(F.col("text"), " ")
+    frags = (
+        docs.filter((F.col("doc_id") % every) == 4)
+        .filter(F.size(toks) >= 8)
+        .select(
+            (F.col("doc_id") + FRAG_OFFSET).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, 1, (F.size(toks) / 2).cast("int"))).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    return docs.unionByName(frags)
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    max_df: int = 100,
+    _stages: "dict | None" = None,
+) -> DataFrame:
+    """Asymmetric set-containment pairs — quote/fragment/superset detection,
+    the signal Jaccard misses (a 100-token excerpt inside a 10k-token page
+    has Jaccard ≈ 0.01 but containment ≈ 1.0). For every DF-capped candidate
+    pair, ``containment_a`` = |A∩B|/|A| and ``containment_b`` = |A∩B|/|B|
+    (both exact); pairs survive when either side is ≥ ``threshold``.
+
+    Same plan as :func:`ngram_jaccard_pairs` — only the final projection
+    differs, so every scale property of the shared machinery carries over.
+    """
+    scored = _ngram_pair_common(docs, max_df=max_df, _stages=_stages)
+    c_a = round4(F.col("_common") / F.col("n_a"))
+    c_b = round4(F.col("_common") / F.col("n_b"))
+    return (
+        scored.withColumn("containment_a", c_a)
+        .withColumn("containment_b", c_b)
+        .filter(F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold)
+        .select("id_a", "id_b", "containment_a", "containment_b")
     )

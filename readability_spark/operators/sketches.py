@@ -144,3 +144,95 @@ def cms_estimate(table: DataFrame, queries: DataFrame, item_col: str) -> DataFra
     ).select("q_item", F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
     joined = hashed.join(F.broadcast(table), ["j", "bucket"])
     return joined.groupBy("q_item").agg(F.min("n").alias("cms_est"))
+
+
+# ---------------------------------------------------------------------------
+# Log2 quantile histogram — mergeable percentiles with a bounded register set
+# ---------------------------------------------------------------------------
+
+QH_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def quantile_bins(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """(grp, bin_lo, bin_hi, n) — a log2 histogram with 4 sub-buckets per
+    octave (leading bit + next two bits), the integer-exact cousin of
+    DDSketch/HdrHistogram buckets. Every bin's width is ≤ 25% of its lower
+    bound, so any rank estimate read off the histogram has ≤ 25% relative
+    error BY CONSTRUCTION. Registers are mergeable counts: per group the
+    state is ≤ 4·64 + 4 rows no matter how many values stream in, and the
+    (grp, bin) shuffle is map-side combined — values never cross the wire.
+
+    Spark's own ``approx_percentile`` (t-digest) is the tighter built-in,
+    but its centroid layout is engine-private; these registers are plain
+    integers an external oracle can recompute bit-for-bit.
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).cast("long").alias("_v")
+    ).filter(F.col("_v") >= 1)
+    binned = (
+        base.withColumn("oct", F.length(F.expr("bin(_v)")) - F.lit(1))
+        .withColumn(
+            "bin_lo",
+            F.when(F.col("oct") < 2, F.col("_v")).otherwise(
+                F.expr("shiftleft(4 + (shiftright(_v, oct - 2) & 3), oct - 2)")
+            ),
+        )
+        .withColumn(
+            "bin_hi",
+            F.when(F.col("oct") < 2, F.col("_v")).otherwise(
+                F.col("bin_lo") + F.expr("shiftleft(cast(1 as bigint), oct - 2)") - 1
+            ),
+        )
+    )
+    return binned.groupBy("grp", "bin_lo", "bin_hi").agg(F.count("*").alias("n"))
+
+
+def quantile_histogram_estimates(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple = QH_QUANTILES,
+) -> DataFrame:
+    """Per-group quantile estimates off the log2 histogram, next to the
+    exact percentiles they approximate (the register-verifiable output
+    contract, like hll_distinct). Rank rule: target rank r = ceil(q·n);
+    the estimate linearly interpolates inside the first bin whose
+    cumulative count reaches r. The cumulative window partitions by group
+    over ≤ ~260 register rows — never a data-sized sort.
+
+    Output: (grp, n_values, then per q: p{q}_est and p{q}_exact, round4).
+    """
+    from pyspark.sql import Window
+
+    bins = quantile_bins(df, group_col, value_col)
+    w = Window.partitionBy("grp").orderBy("bin_lo")
+    cum = bins.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "cum_before", F.col("cum") - F.col("n")
+    )
+    totals = bins.groupBy("grp").agg(F.sum("n").alias("n_values"))
+    joined = cum.join(totals, "grp")
+    aggs = [F.first("n_values").alias("n_values")]
+    for q in quantiles:
+        r = F.ceil(F.lit(float(q)) * F.col("n_values")).cast("long")
+        r = F.greatest(F.lit(1).cast("long"), r)
+        in_bin = (F.col("cum") >= r) & (F.col("cum_before") < r)
+        est = F.col("bin_lo") + (F.col("bin_hi") - F.col("bin_lo")) * (
+            (r.cast("double") - F.col("cum_before") - F.lit(0.5)) / F.col("n")
+        )
+        est = F.floor(est * 10000.0 + 0.5) / 10000.0
+        aggs.append(F.min(F.when(in_bin, est)).alias(f"p{int(q * 100)}_est"))
+    sketch = joined.groupBy("grp").agg(*aggs)
+    base = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).cast("long").alias("_v")
+    ).filter(F.col("_v") >= 1)
+    exact = base.groupBy("grp").agg(
+        *[
+            (
+                F.floor(
+                    F.percentile("_v", F.lit(float(q))) * 10000.0 + 0.5
+                ) / 10000.0
+            ).alias(f"p{int(q * 100)}_exact")
+            for q in quantiles
+        ]
+    )
+    return sketch.join(exact, "grp")

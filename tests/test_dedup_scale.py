@@ -289,3 +289,44 @@ def test_canonical_survivors_one_keeper_max_quality(spark):
         assert k["doc_id"] == min(m["doc_id"] for m in members if m["quality"] == mx)
         assert all(m["keep_id"] == k["doc_id"] for m in members)
         assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_containment_finds_fragments_jaccard_misses(spark):
+    from readability_spark.operators.dedup import (
+        FRAG_OFFSET,
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+        with_injected_fragments,
+    )
+    from readability_spark.operators.textstats import load_documents
+
+    docs = with_injected_fragments(load_documents(spark, "/root/testdata/sf0.001"))
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+        for r in ngram_containment_pairs(docs).collect()
+    }
+    frag_parents = [
+        (r["doc_id"], r["doc_id"] - FRAG_OFFSET)
+        for r in docs.filter(F.col("doc_id") >= FRAG_OFFSET).select("doc_id").collect()
+    ]
+    assert frag_parents
+    found = 0
+    for frag_id, parent in frag_parents:
+        key = (parent, frag_id) if parent < frag_id else (frag_id, parent)
+        if key in pairs:
+            found += 1
+            ca, cb = pairs[key]
+            # the fragment's shingle set is a subset of its parent's:
+            # the fragment-side containment is exactly 1.0
+            assert max(ca, cb) == 1.0, (key, ca, cb)
+    assert found >= len(frag_parents) * 0.9  # DF-capped discovery may miss a few
+    # plain jaccard at the containment threshold misses these asymmetric
+    # pairs (fragment is half the parent: J <= ~0.5 < 0.8)
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    frag_keys = {
+        (min(a, b), max(a, b)) for a, b in frag_parents
+    }
+    assert not (jac & frag_keys)

@@ -328,3 +328,35 @@ def test_anchor_profile_plan_preaggregates_modal_side(spark):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan  # partial+final on both sides
     assert "Window" in plan, plan
+
+
+def test_funnel_plan_one_user_exchange_any_stage_count(spark):
+    """The whole stage cascade shares ONE hash exchange on the user key:
+    every chained conditional-min window has the same partitioning, the
+    per-user collapse reuses it, and only the final 4-row aggregate goes
+    through a SinglePartition exchange. A per-stage self-join (the naive
+    k-pass funnel) would show k hash exchanges and k joins."""
+    from readability_spark.operators.temporal import funnel_counts
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = plan_of(funnel_counts(ev, ("view", "click", "signup", "purchase")))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_keep_best_election_no_window(spark):
+    """The per-cluster keeper election is a map-side-combined struct-max
+    groupBy (partial_max must appear), NOT a window rank — a window would
+    sort every cluster's members inside one task per cluster key and, with
+    a degenerate giant cluster, concentrate the corpus in one task."""
+    from readability_spark.operators.dedup import (
+        canonical_survivors,
+        with_injected_duplicates,
+    )
+
+    docs = with_injected_duplicates(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    )
+    plan = plan_of(canonical_survivors(docs))
+    assert "Window" not in plan, plan
+    assert "partial_max" in plan, plan

@@ -117,3 +117,33 @@ def test_hll_shuffle_has_partial_agg(spark, pairs):
     )
     before_exchange = plan.split("Exchange")[-1]  # deepest = upstream side
     assert "partial_max" in before_exchange or "partial_max" in plan, plan
+
+
+def test_quantile_bins_bounded_width_and_state(spark):
+    from readability_spark.operators.sketches import quantile_bins
+
+    df = spark.range(1, 200000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v")
+    )
+    rows = quantile_bins(df, "grp", "v").collect()
+    # every value of 1..199999 lands in a bin; register count stays tiny
+    assert sum(r["n"] for r in rows) == 199999
+    assert len(rows) < 80
+    for r in rows:
+        assert r["bin_lo"] <= r["bin_hi"]
+        # <= 25% relative width by construction
+        assert (r["bin_hi"] - r["bin_lo"]) <= max(r["bin_lo"] * 0.25, 0)
+
+
+def test_quantile_histogram_error_bound(spark):
+    from readability_spark.operators.sketches import quantile_histogram_estimates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = quantile_histogram_estimates(docs, "lang", "n_chars").collect()
+    assert rows
+    for r in rows:
+        for p in (50, 90, 99):
+            est, exact = r[f"p{p}_est"], r[f"p{p}_exact"]
+            assert est is not None and exact is not None
+            # estimate read off <=25%-wide bins stays within ~30% of exact
+            assert abs(est - exact) <= 0.30 * exact + 1.0, (r["grp"], p, est, exact)
