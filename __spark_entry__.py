@@ -1285,6 +1285,15 @@ def _q_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_histogram_estimates(_docs(spark, sf_dir), "lang", "n_chars")
 
 
+def _q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.dedup import (
+        dedup_eval_recall,
+        with_injected_duplicates,
+    )
+
+    return dedup_eval_recall(with_injected_duplicates(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = verification priority, not narrative order.
 
@@ -1305,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": _q_vocab_growth,
         "dedup_ngram_containment": _q_ngram_containment,
         "quantile_histogram": _q_quantile_histogram,
+        "dedup_eval_recall": _q_dedup_eval,
         "events_asof_join": _q_events_asof,
         "events_interval_join": _q_events_interval,
         "pmi_bigrams": _q_pmi_bigrams,
@@ -3951,6 +3961,30 @@ WHERE greatest({c_a}, {c_b}) >= 0.8
 """
 
 
+def _dedup_eval_oracle() -> str:
+    """Mirror of dedup.dedup_eval_recall: the verified minhash pair CTEs,
+    truth = the injected (x, x + 1e6) copies, counts + round4 recall."""
+    return f"""
+WITH {_minhash_pairs_ctes()},
+truth AS (
+  SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+  FROM documents WHERE doc_id % 10 = 0
+),
+t AS (
+  SELECT count(*) AS n_truth,
+         sum(CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_found
+  FROM truth LEFT JOIN pairs p USING (id_a, id_b)
+),
+c AS (SELECT count(*) AS n_discovered FROM pairs)
+SELECT n_truth::bigint AS n_truth,
+       n_found::bigint AS n_truth_found,
+       floor((n_found::double / n_truth) * 10000.0 + 0.5) / 10000.0 AS recall,
+       n_discovered::bigint AS n_discovered,
+       (n_discovered - n_found)::bigint AS n_extra
+FROM t, c
+"""
+
+
 def _quantile_hist_oracle() -> str:
     """Mirror of sketches.quantile_histogram_estimates over (lang, n_chars):
     the identical integer bin registers (leading bit + 2 sub-bits), rank
@@ -4031,6 +4065,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": _vocab_growth_oracle(),
         "dedup_ngram_containment": _containment_oracle(),
         "quantile_histogram": _quantile_hist_oracle(),
+        "dedup_eval_recall": _dedup_eval_oracle(),
         "events_asof_join": """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
      v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')

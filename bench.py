@@ -175,6 +175,9 @@ def main() -> int:
         "event_funnel",
         "script_mix",
         "vocab_growth",
+        "dedup_ngram_containment",
+        "quantile_histogram",
+        "dedup_eval_recall",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

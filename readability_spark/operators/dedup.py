@@ -789,3 +789,39 @@ def ngram_containment_pairs(
         .filter(F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold)
         .select("id_a", "id_b", "containment_a", "containment_b")
     )
+
+
+def dedup_eval_recall(docs_with_dups: DataFrame, dup_offset: int = DUP_OFFSET) -> DataFrame:
+    """Measured recall of the MinHash-LSH pair discovery against the
+    injected ground truth — the evaluation row a production dedup stage
+    publishes per corpus build (banding is probabilistic; the measured
+    number, not the analytic one, is what operators watch).
+
+    Ground truth: every injected copy forms the pair (x, x + dup_offset).
+    One DataFrame plan, no driver collects: truth LEFT JOINs discovered
+    pairs, two one-row aggregates cross-join into the report row. The
+    truth table is corpus/10 rows of longs; everything heavy is inside
+    :func:`minhash_lsh_pairs` itself.
+
+    Output: (n_truth, n_truth_found, recall, n_discovered, n_extra) —
+    n_extra counts discovered pairs outside the injected truth (organic
+    near-dups, not false positives; every pair is Jaccard-verified).
+    """
+    pairs = minhash_lsh_pairs(docs_with_dups).select("id_a", "id_b")
+    truth = docs_with_dups.filter(F.col("doc_id") >= dup_offset).select(
+        (F.col("doc_id") - dup_offset).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+    )
+    hits = truth.join(pairs.withColumn("_found", F.lit(1)), ["id_a", "id_b"], "left")
+    t = hits.agg(
+        F.count("*").alias("n_truth"),
+        F.sum(F.coalesce(F.col("_found"), F.lit(0))).cast("long").alias("n_truth_found"),
+    )
+    c = pairs.agg(F.count("*").alias("n_discovered"))
+    return t.crossJoin(c).select(
+        "n_truth",
+        "n_truth_found",
+        round4(F.col("n_truth_found") / F.col("n_truth")).alias("recall"),
+        "n_discovered",
+        (F.col("n_discovered") - F.col("n_truth_found")).alias("n_extra"),
+    )

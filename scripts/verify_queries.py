@@ -8,6 +8,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -59,9 +60,11 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    timings: list = []
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
@@ -70,9 +73,11 @@ def main():
             print(f"✗ {name}: SPARK ERROR {type(e).__name__}: {e}")
             failures += 1
             continue
+        t_spark = time.monotonic() - t0
         if name not in oracles:
             print(f"~ {name}: rows-only ({len(srows)} rows, no oracle)")
             continue
+        t1 = time.monotonic()
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
@@ -81,6 +86,8 @@ def main():
             print(f"✗ {name}: ORACLE ERROR {type(e).__name__}: {e}")
             failures += 1
             continue
+        t_oracle = time.monotonic() - t1
+        timings.append((t_spark + t_oracle, t_spark, t_oracle, name))
         ok = True
         msgs = []
         if len(srows) != len(orows):
@@ -106,6 +113,11 @@ def main():
             failures += 1
             print(f"✗ {name}: " + "; ".join(msgs))
     spark.stop()
+    if timings:
+        print("-- slowest query/oracle pairs (total, spark, duckdb) --")
+        for tot, ts, to, name in sorted(timings, reverse=True)[:12]:
+            print(f"  {tot:7.2f}s  {ts:7.2f}s  {to:7.2f}s  {name}")
+        print(f"-- sweep total: {sum(t[0] for t in timings):.1f}s over {len(timings)} pairs --")
     print("FAILURES:", failures)
     return 1 if failures else 0
 

@@ -330,3 +330,21 @@ def test_containment_finds_fragments_jaccard_misses(spark):
         (min(a, b), max(a, b)) for a, b in frag_parents
     }
     assert not (jac & frag_keys)
+
+
+def test_dedup_eval_recall_report(spark):
+    from readability_spark.operators.dedup import (
+        dedup_eval_recall,
+        with_injected_duplicates,
+    )
+    from readability_spark.operators.textstats import load_documents
+
+    docs = with_injected_duplicates(load_documents(spark, "/root/testdata/sf0.001"))
+    row = dedup_eval_recall(docs).collect()[0]
+    # exact copies share every shingle: all 16 minhashes collide, so every
+    # injected pair is discovered — recall 1.0 on identical-copy truth
+    assert row["n_truth"] > 0
+    assert row["n_truth_found"] == row["n_truth"]
+    assert row["recall"] == 1.0
+    assert row["n_discovered"] >= row["n_truth"]
+    assert row["n_extra"] == row["n_discovered"] - row["n_truth_found"]
