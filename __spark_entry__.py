@@ -1285,6 +1285,18 @@ def _q_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_histogram_estimates(_docs(spark, sf_dir), "lang", "n_chars")
 
 
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.spans import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def _q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.sampling import chunk_sliding
+
+    return chunk_sliding(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
 def _q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.dedup import (
         dedup_eval_recall,
@@ -1315,6 +1327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_containment": _q_ngram_containment,
         "quantile_histogram": _q_quantile_histogram,
         "dedup_eval_recall": _q_dedup_eval,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "chunk_sliding": _q_chunk_sliding,
         "events_asof_join": _q_events_asof,
         "events_interval_join": _q_events_interval,
         "pmi_bigrams": _q_pmi_bigrams,
@@ -3961,6 +3975,65 @@ WHERE greatest({c_a}, {c_b}) >= 0.8
 """
 
 
+def _winnow_oracle() -> str:
+    """Mirror of spans.winnow_fingerprints (k=3, w=4): identical 40-bit
+    md5-prefix hashes (hex nibbles → bigint, the HLL oracle's technique),
+    the same h·2^20 + (2^20−1−pos) packing so list_min is 'min hash,
+    rightmost on ties', same distinct + decode."""
+    from readability_spark.operators.spans import WINNOW_K, WINNOW_W
+
+    k, w = WINNOW_K, WINNOW_W
+    h10 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(grams[i]), {1 + j}, 1)) - 1) "
+        f"* cast(pow(16, {9 - j}) as bigint)"
+        for j in range(10)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(t) - {k - 1}),
+                        i -> array_to_string(t[i:i + {k - 1}], ' ')) AS grams
+  FROM toks WHERE len(t) - {k - 1} >= {w}
+),
+keyed AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(grams)),
+                        i -> ({h10}) * 1048576 + (1048575 - (i - 1))) AS keys
+  FROM g
+),
+mins AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(0, len(keys) - {w}),
+                                      s -> list_min(keys[s + 1:s + {w}]))) AS fps
+  FROM keyed
+)
+SELECT doc_id,
+       (1048575 - (fp % 1048576))::int AS pos,
+       (fp // 1048576)::bigint AS fp
+FROM (SELECT doc_id, unnest(fps) AS fp FROM mins)
+"""
+
+
+def _chunk_oracle(chunk_tokens: int = 32, overlap: int = 8) -> str:
+    """Mirror of sampling.chunk_sliding: starts 0, step, 2·step … < n,
+    inclusive-slice chunk fingerprints."""
+    step = chunk_tokens - overlap
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+c AS (
+  SELECT doc_id, t, unnest(generate_series(0, (len(t) - 1) // {step})) AS ci
+  FROM toks WHERE len(t) >= 1
+)
+SELECT doc_id,
+       ci::int AS chunk_idx,
+       (ci * {step})::int AS start_tok,
+       least({chunk_tokens}, len(t) - ci * {step})::int AS n_chunk_tokens,
+       md5(array_to_string(t[ci * {step} + 1:ci * {step} + {chunk_tokens}], ' ')) AS chunk_fp
+FROM c
+"""
+
+
 def _dedup_eval_oracle() -> str:
     """Mirror of dedup.dedup_eval_recall: the verified minhash pair CTEs,
     truth = the injected (x, x + 1e6) copies, counts + round4 recall."""
@@ -4066,6 +4139,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_containment": _containment_oracle(),
         "quantile_histogram": _quantile_hist_oracle(),
         "dedup_eval_recall": _dedup_eval_oracle(),
+        "winnow_fingerprints": _winnow_oracle(),
+        "chunk_sliding": _chunk_oracle(),
         "events_asof_join": """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
      v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')

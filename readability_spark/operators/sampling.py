@@ -120,3 +120,44 @@ def mix_corpus(
         F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("epoch"),
         "n_copies",
     )
+
+
+def chunk_sliding(
+    docs: DataFrame, chunk_tokens: int = 128, overlap: int = 32
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG/pretraining segmenter:
+    fixed-size token windows at stride ``chunk_tokens - overlap`` so
+    consecutive chunks share ``overlap`` tokens and no content is lost at
+    chunk boundaries. Start positions are 0, step, 2·step, … for every
+    start < n_tokens (the final chunk may be short).
+
+    Pure per-row array expressions (sequence/transform/slice) + one
+    explode — zero Python, zero shuffles; at 10^12 docs this is a map-only
+    stage whose output rows ≈ corpus_tokens / step.
+
+    Output: (doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_fp) —
+    the chunk text rides as its md5 fingerprint so downstream exact-dedup
+    of chunks (chunk_dedup) and the oracle compare 32-byte strings, not
+    re-shipped text.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / step).cast("int")),
+        lambda ci: F.struct(
+            ci.cast("int").alias("chunk_idx"),
+            (ci * step).cast("int").alias("start_tok"),
+            F.least(F.lit(chunk_tokens), n - ci * step).cast("int").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", F.slice(toks, ci * step + 1, chunk_tokens))).alias(
+                "chunk_fp"
+            ),
+        ),
+    )
+    return (
+        docs.filter(n >= 1)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.start_tok", "c.n_chunk_tokens", "c.chunk_fp")
+    )

@@ -80,3 +80,76 @@ def duplicate_ngram_spans(
         )
         .select("doc_id", "span_start", "span_end", "n_dup_windows")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# local document fingerprinting algorithm)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3   # token k-gram size
+WINNOW_W = 4   # window of consecutive k-gram hashes
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowing document fingerprints: from each window of ``w``
+    consecutive k-gram hashes select the minimum (rightmost position on
+    ties — the paper's rule), dedup the selections. Guarantees at least
+    one shared fingerprint for any match of length >= w + k - 1, with
+    density 2/(w+1) — the local fingerprinting property MOSS uses for
+    plagiarism/overlap detection at corpus scale.
+
+    Engine-portable encoding: the k-gram hash is the first 10 hex digits
+    of md5 (40 bits); the window key packs (hash, position-complement)
+    into ONE bigint ``h·2^20 + (2^20−1−pos)`` so a plain ``array_min``
+    implements "min hash, rightmost on ties" exactly — no struct
+    comparisons, same arithmetic in the DuckDB oracle (positions are
+    bounded by the doc's own token count; 40+20 bits < 63).
+
+    Plan shape: everything happens inside per-row array expressions
+    (sequence/transform/slice/array_min — whole-stage codegen, zero
+    Python, zero shuffles before the final explode). Cost is O(n·w) per
+    doc with w a small constant.
+
+    Output: (doc_id, pos, fp) — one row per selected fingerprint.
+    """
+    toks = F.split(F.col("text"), " ")
+    n_grams = F.size(toks) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    base = docs.filter(n_grams >= w).select(
+        "doc_id",
+        grams.alias("_grams"),
+    )
+    keyed = base.select(
+        "doc_id",
+        F.expr(
+            "transform(_grams, (g, i) -> "
+            "cast(conv(substr(md5(g), 1, 10), 16, 10) as bigint) * 1048576 "
+            "+ (1048575 - i))"
+        ).alias("_keys"),
+    )
+    # A lambda's outer reference to a COMPUTED column is re-evaluated per
+    # element (higher-order functions don't subexpression-eliminate across
+    # the lambda boundary): without a barrier the whole md5 key array is
+    # rebuilt for every window — O(n²) hashes per doc (measured 11.8s vs
+    # 0.55s at sf0.01). The lazy local checkpoint materializes the keys
+    # once so the window lambda reads an attribute, not an expression.
+    keyed = keyed.localCheckpoint(eager=False)
+    mins = keyed.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(0, size(_keys) - {w}), "
+            f"s -> array_min(slice(_keys, s + 1, {w}))))"
+        ).alias("_fps"),
+    )
+    out = mins.select("doc_id", F.explode("_fps").alias("_key"))
+    return out.select(
+        "doc_id",
+        (F.lit(1048575) - (F.col("_key") % 1048576)).cast("int").alias("pos"),
+        F.expr("shiftright(_key, 20)").alias("fp"),
+    )

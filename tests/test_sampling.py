@@ -212,3 +212,32 @@ def test_sequence_pack_windows_are_bucket_partitioned(spark):
     wins = re.findall(r"Window \[[^\n]*", plan)
     doc_wins = [w for w in wins if "n_tokens" in w and "doc_id" in w]
     assert doc_wins and all("pbucket" in w for w in doc_wins), plan
+
+
+def test_chunk_sliding_coverage_and_overlap(spark):
+    from readability_spark.operators.sampling import chunk_sliding
+
+    text = " ".join(f"t{i}" for i in range(300))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_sliding(docs, chunk_tokens=128, overlap=32).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    step = 96
+    assert [r["start_tok"] for r in rows] == [0, 96, 192, 288]
+    # every token is covered and consecutive chunks overlap by exactly 32
+    assert rows[0]["n_chunk_tokens"] == 128
+    assert rows[-1]["n_chunk_tokens"] == 300 - 288
+    for a, b in zip(rows, rows[1:]):
+        covered_until = a["start_tok"] + a["n_chunk_tokens"]
+        assert b["start_tok"] < covered_until  # overlap, no gap
+        assert covered_until - b["start_tok"] in (32, rows[-1]["n_chunk_tokens"])
+
+
+def test_chunk_sliding_short_doc_single_chunk(spark):
+    from readability_spark.operators.sampling import chunk_sliding
+
+    docs = spark.createDataFrame([(1, "only five tokens right here")], "doc_id long, text string")
+    rows = chunk_sliding(docs, chunk_tokens=128, overlap=32).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_chunk_tokens"] == 5 and rows[0]["start_tok"] == 0

@@ -88,3 +88,40 @@ def test_spans_min_count_threshold(spark):
     assert len(_collect(duplicate_ngram_spans(df, k=4, min_count=3))) == 3
     # ...but nothing appears 4 times
     assert _collect(duplicate_ngram_spans(df, k=4, min_count=4)) == []
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    from readability_spark.operators.spans import winnow_fingerprints, WINNOW_K, WINNOW_W
+
+    # two docs sharing a run of w+k-1 = 6 tokens must share >= 1 fingerprint
+    shared = "q w e r t y"
+    docs = spark.createDataFrame(
+        [
+            (1, f"a b c d {shared} zz xx cc vv"),
+            (2, f"mm nn oo {shared} pp qq rr ss tt"),
+            (3, "totally different tokens only here nothing alike at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "winnowing guarantee violated"
+    assert not (by_doc[1] & by_doc[3])
+    # density: the paper's expectation is 2/(w+1) fingerprints per hash
+    n_sel = len([r for r in rows if r["doc_id"] == 1])
+    assert 1 <= n_sel <= 14  # 14 tokens -> 12 grams, far fewer selections
+
+
+def test_winnow_rightmost_min_tie_break(spark):
+    from readability_spark.operators.spans import winnow_fingerprints
+
+    # identical repeated grams: every window's min hash ties across all
+    # positions; the paper picks the RIGHTMOST, so selected positions are
+    # the LAST index of each window (pos = w-1, then one per slide)
+    docs = spark.createDataFrame([(1, " ".join(["x"] * 12))], "doc_id long, text string")
+    rows = winnow_fingerprints(docs).collect()
+    poss = sorted(r["pos"] for r in rows)
+    # windows of grams 0..9, w=4: window s selects pos s+3 (rightmost)
+    assert poss == [3, 4, 5, 6, 7, 8, 9]
