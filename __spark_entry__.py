@@ -1297,6 +1297,13 @@ def _q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_sliding(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
 
 
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.dedup import with_injected_fragments
+    from readability_spark.operators.spans import winnow_pairs
+
+    return winnow_pairs(with_injected_fragments(_docs(spark, sf_dir)))
+
+
 def _q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.dedup import (
         dedup_eval_recall,
@@ -1329,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_eval_recall": _q_dedup_eval,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "chunk_sliding": _q_chunk_sliding,
+        "winnow_pairs": _q_winnow_pairs,
         "events_asof_join": _q_events_asof,
         "events_interval_join": _q_events_interval,
         "pmi_bigrams": _q_pmi_bigrams,
@@ -3975,11 +3983,12 @@ WHERE greatest({c_a}, {c_b}) >= 0.8
 """
 
 
-def _winnow_oracle() -> str:
-    """Mirror of spans.winnow_fingerprints (k=3, w=4): identical 40-bit
-    md5-prefix hashes (hex nibbles → bigint, the HLL oracle's technique),
-    the same h·2^20 + (2^20−1−pos) packing so list_min is 'min hash,
-    rightmost on ties', same distinct + decode."""
+def _winnow_ctes(source: str = "documents") -> str:
+    """Shared WITH-body for the winnowing oracles, ending in
+    ``wfp(doc_id, pos, fp)``: identical 40-bit md5-prefix hashes (hex
+    nibbles → bigint, the HLL oracle's technique), the same
+    h·2^20 + (2^20−1−pos) packing so list_min is 'min hash, rightmost on
+    ties', same distinct + decode as spans.winnow_fingerprints."""
     from readability_spark.operators.spans import WINNOW_K, WINNOW_W
 
     k, w = WINNOW_K, WINNOW_W
@@ -3988,8 +3997,7 @@ def _winnow_oracle() -> str:
         f"* cast(pow(16, {9 - j}) as bigint)"
         for j in range(10)
     )
-    return f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    return f"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {source}),
 g AS (
   SELECT doc_id,
          list_transform(generate_series(1, len(t) - {k - 1}),
@@ -4007,11 +4015,51 @@ mins AS (
          list_distinct(list_transform(generate_series(0, len(keys) - {w}),
                                       s -> list_min(keys[s + 1:s + {w}]))) AS fps
   FROM keyed
+),
+wfp AS (
+  SELECT doc_id,
+         (1048575 - (fp % 1048576))::int AS pos,
+         (fp // 1048576)::bigint AS fp
+  FROM (SELECT doc_id, unnest(fps) AS fp FROM mins)
+)"""
+
+
+def _winnow_oracle() -> str:
+    return f"""
+WITH {_winnow_ctes()}
+SELECT doc_id, pos, fp FROM wfp
+"""
+
+
+def _winnow_pairs_oracle(min_shared: int = 2, max_fp_df: int = 100) -> str:
+    """Mirror of spans.winnow_pairs over the fragment-injected corpus:
+    distinct (doc, fp), DF window [2, max_fp_df], shared counts,
+    containment-style overlap."""
+    frag = (
+        "SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 2000000 AS doc_id, "
+        "array_to_string(string_split(text, ' ')[1:(len(string_split(text, ' ')) // 2)], ' ') AS text "
+        "FROM documents WHERE doc_id % 9 = 4 AND len(string_split(text, ' ')) >= 8"
+    )
+    return f"""
+WITH frag AS ({frag}),
+{_winnow_ctes("frag")},
+fps AS (SELECT DISTINCT doc_id, fp FROM wfp),
+sizes AS (SELECT doc_id, count(*) AS n_fps FROM fps GROUP BY 1),
+dfreq AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1),
+pruned AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfreq USING (fp)
+           WHERE df BETWEEN 2 AND {max_fp_df}),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM pruned a JOIN pruned b ON a.fp = b.fp
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {min_shared}
 )
-SELECT doc_id,
-       (1048575 - (fp % 1048576))::int AS pos,
-       (fp // 1048576)::bigint AS fp
-FROM (SELECT doc_id, unnest(fps) AS fp FROM mins)
+SELECT id_a, id_b, n_shared::int AS n_shared,
+       floor((n_shared::double / least(na.n_fps, nb.n_fps)) * 10000.0 + 0.5) / 10000.0 AS overlap
+FROM shared
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
 """
 
 
@@ -4141,6 +4189,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_eval_recall": _dedup_eval_oracle(),
         "winnow_fingerprints": _winnow_oracle(),
         "chunk_sliding": _chunk_oracle(),
+        "winnow_pairs": _winnow_pairs_oracle(),
         "events_asof_join": """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
      v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')

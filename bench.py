@@ -178,6 +178,9 @@ def main() -> int:
         "dedup_ngram_containment",
         "quantile_histogram",
         "dedup_eval_recall",
+        "winnow_fingerprints",
+        "winnow_pairs",
+        "chunk_sliding",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

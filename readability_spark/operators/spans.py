@@ -153,3 +153,52 @@ def winnow_fingerprints(
         (F.lit(1048575) - (F.col("_key") % 1048576)).cast("int").alias("pos"),
         F.expr("shiftright(_key, 20)").alias("fp"),
     )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    max_fp_df: int = 100,
+) -> DataFrame:
+    """Cross-document overlap candidates from shared winnowing fingerprints
+    — the MOSS pipeline's second half. Two docs sharing any substring of
+    >= w + k - 1 tokens share a fingerprint BY the winnowing guarantee, so
+    pairs with ``n_shared >= min_shared`` fingerprints are overlap
+    candidates with a quantified score.
+
+    Skew discipline (same as the n-gram DF cap): a fingerprint held by
+    thousands of docs is boilerplate and would go quadratic in the
+    self-join — fingerprints with document frequency outside
+    [2, max_fp_df] are dropped before the join, so every surviving join
+    key fans out at most max_fp_df ways.
+
+    Output: (id_a, id_b, n_shared, overlap) with
+    overlap = n_shared / min(|fps_a|, |fps_b|) — containment-style, so a
+    short doc fully covered by a long one scores ~1.0.
+    """
+    fps = winnow_fingerprints(docs).select("doc_id", "fp").distinct()
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fps"))
+    dfreq = fps.groupBy("fp").agg(F.count("*").alias("df"))
+    keep = dfreq.filter((F.col("df") >= 2) & (F.col("df") <= max_fp_df)).select("fp")
+    pruned = fps.join(keep, "fp")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    from readability_spark.operators.dedup import round4
+
+    return (
+        shared.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fps").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fps").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_shared").cast("int").alias("n_shared"),
+            round4(F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b"))).alias("overlap"),
+        )
+    )

@@ -125,3 +125,31 @@ def test_winnow_rightmost_min_tie_break(spark):
     poss = sorted(r["pos"] for r in rows)
     # windows of grams 0..9, w=4: window s selects pos s+3 (rightmost)
     assert poss == [3, 4, 5, 6, 7, 8, 9]
+
+
+def test_winnow_pairs_finds_fragment_overlap(spark):
+    from readability_spark.operators.dedup import FRAG_OFFSET, with_injected_fragments
+    from readability_spark.operators.spans import winnow_pairs
+    from readability_spark.operators.textstats import load_documents
+
+    from pyspark.sql import functions as F
+
+    docs = with_injected_fragments(load_documents(spark, "/root/testdata/sf0.001"))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["overlap"] for r in winnow_pairs(docs).collect()
+    }
+    frag_ids = [
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") >= FRAG_OFFSET).select("doc_id").collect()
+    ]
+    assert frag_ids
+    found = sum(1 for f in frag_ids if (f - FRAG_OFFSET, f) in pairs)
+    # short fragments can carry < min_shared fingerprints (by design);
+    # the bulk of fragment/parent pairs must still surface
+    assert found >= len(frag_ids) * 0.8
+    for f in frag_ids:
+        key = (f - FRAG_OFFSET, f)
+        if key in pairs:
+            # the fragment's fingerprints are (nearly) a subset of the
+            # parent's: containment-style overlap is high
+            assert pairs[key] >= 0.8, (key, pairs[key])
