@@ -1297,6 +1297,12 @@ def _q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_sliding(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
 
 
+def _q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.operators.textstats import token_drift
+
+    return token_drift(_docs(spark, sf_dir))
+
+
 def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.dedup import with_injected_fragments
     from readability_spark.operators.spans import winnow_pairs
@@ -1337,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "chunk_sliding": _q_chunk_sliding,
         "winnow_pairs": _q_winnow_pairs,
+        "token_drift": _q_token_drift,
         "events_asof_join": _q_events_asof,
         "events_interval_join": _q_events_interval,
         "pmi_bigrams": _q_pmi_bigrams,
@@ -4082,6 +4089,35 @@ FROM c
 """
 
 
+def _token_drift_oracle(k: int = 25) -> str:
+    """Mirror of textstats.token_drift: one conditional-count pass, add-1
+    smoothing, micro-nat KL contributions, abs-desc/token-asc top-k."""
+    return f"""
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS tok,
+         (doc_id % 2 = 0)::int AS in_a
+  FROM documents
+),
+counts AS (
+  SELECT tok, sum(in_a)::bigint AS cnt_a, sum(1 - in_a)::bigint AS cnt_b
+  FROM t GROUP BY tok
+),
+totals AS (SELECT sum(cnt_a)::bigint AS n_a, sum(cnt_b)::bigint AS n_b,
+                  count(*)::bigint AS v FROM counts),
+j AS (
+  SELECT tok, cnt_a, cnt_b,
+    (cnt_a + 1)::double / (n_a + v) AS p,
+    (cnt_b + 1)::double / (n_b + v) AS q
+  FROM counts, totals
+)
+SELECT tok, cnt_a, cnt_b,
+       floor(1000000.0 * p * ln(p / q) * 10000.0 + 0.5) / 10000.0 AS drift_micro
+FROM j
+ORDER BY abs(floor(1000000.0 * p * ln(p / q) * 10000.0 + 0.5) / 10000.0) DESC, tok ASC
+LIMIT {k}
+"""
+
+
 def _dedup_eval_oracle() -> str:
     """Mirror of dedup.dedup_eval_recall: the verified minhash pair CTEs,
     truth = the injected (x, x + 1e6) copies, counts + round4 recall."""
@@ -4190,6 +4226,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_oracle(),
         "chunk_sliding": _chunk_oracle(),
         "winnow_pairs": _winnow_pairs_oracle(),
+        "token_drift": _token_drift_oracle(),
         "events_asof_join": """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
      v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')

@@ -181,6 +181,7 @@ def main() -> int:
         "winnow_fingerprints",
         "winnow_pairs",
         "chunk_sliding",
+        "token_drift",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

@@ -385,3 +385,57 @@ def vocab_growth(docs: DataFrame, checkpoints: tuple = VOCAB_CHECKPOINTS) -> Dat
         )
         .where(F.col("n_docs") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift: per-token KL contributions between two corpus slices
+# ---------------------------------------------------------------------------
+
+def token_drift(docs: DataFrame, k: int = 25) -> DataFrame:
+    """Distribution drift between two corpus slices (A = even doc_id,
+    B = odd — stand-ins for 'this crawl' vs 'last crawl'): the top-k tokens
+    by absolute add-1-smoothed KL contribution
+    ``p·ln(p/q)·10^6`` (micro-nats, round4) where
+    p = (cnt_a+1)/(n_a+V), q = (cnt_b+1)/(n_b+V). The report a pipeline
+    publishes when a new snapshot's token mix shifts (spam bursts,
+    template changes, language drift).
+
+    Scale shape: ONE map-side-combined groupBy(token) computes both
+    slices' counts as conditional sums (no per-slice scans, no join of
+    two count tables); the totals are a broadcast one-row integer
+    aggregate, so every float is derived per-row from integers —
+    deterministic and oracle-exact. Top-k is orderBy+limit — Spark plans
+    TakeOrderedAndProject (per-partition partial top-k, no global sort
+    materialization). Ties break on the token string.
+    """
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok"),
+        (F.col("doc_id") % 2 == 0).cast("long").alias("in_a"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum("in_a").alias("cnt_a"),
+        F.sum(1 - F.col("in_a")).alias("cnt_b"),
+    )
+    # counts feeds two consumers (the totals aggregate and the per-token
+    # projection); without a barrier the token explode + groupBy runs twice
+    # (self-reference defeats ReuseExchange — same issue as minhash buckets)
+    counts = counts.localCheckpoint(eager=False)
+    totals = counts.agg(
+        F.sum("cnt_a").alias("n_a"),
+        F.sum("cnt_b").alias("n_b"),
+        F.count("*").alias("v"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    p = (F.col("cnt_a") + 1) / (F.col("n_a") + F.col("v"))
+    q = (F.col("cnt_b") + 1) / (F.col("n_b") + F.col("v"))
+    drift = round4(F.lit(1000000.0) * p * F.log(p / q))
+    return (
+        j.select(
+            "tok",
+            F.col("cnt_a").cast("long").alias("cnt_a"),
+            F.col("cnt_b").cast("long").alias("cnt_b"),
+            drift.alias("drift_micro"),
+        )
+        .orderBy(F.abs(F.col("drift_micro")).desc(), F.col("tok").asc())
+        .limit(k)
+    )

@@ -360,3 +360,21 @@ def test_keep_best_election_no_window(spark):
     plan = plan_of(canonical_survivors(docs))
     assert "Window" not in plan, plan
     assert "partial_max" in plan, plan
+
+
+def test_token_drift_one_shuffle_topk_no_global_sort(spark):
+    """Both slices' counts ride ONE token groupBy (conditional sums, no
+    two-scan join); totals broadcast; top-k plans as TakeOrderedAndProject
+    (per-partition partial top-k), never a full global Sort+Exchange."""
+    from readability_spark.operators.textstats import token_drift
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(token_drift(docs))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the single token groupBy sits behind the counts checkpoint (Scan
+    # ExistingRDD) so the visible plan must carry NO further hash exchange
+    # (a second one would mean the explode+groupBy runs twice) and no
+    # global Sort (TakeOrdered replaces it)
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "ExistingRDD" in plan, plan
+    assert "\nSort" not in plan, plan

@@ -138,3 +138,22 @@ def test_vocab_growth_exact_small(spark):
     assert rows[4] == {"checkpoint": 4, "n_docs": 4, "n_token_occurrences": 10, "vocab_size": 5}
     # past-the-end checkpoint reports the full corpus, not an error
     assert rows[100]["vocab_size"] == 5 and rows[100]["n_docs"] == 4
+
+
+def test_token_drift_flags_slice_exclusive_tokens(spark):
+    from readability_spark.operators.textstats import token_drift
+
+    # token "aaa" only in even docs (slice A), "bbb" only in odd (slice B);
+    # "ccc" balanced -> near-zero drift
+    rows = []
+    for i in range(40):
+        filler = "ccc " * 5
+        rows.append((i, (filler + ("aaa" if i % 2 == 0 else "bbb")).strip()))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = token_drift(docs, k=3).collect()
+    toks = [r["tok"] for r in out]
+    assert set(toks[:2]) == {"aaa", "bbb"}
+    drift = {r["tok"]: r["drift_micro"] for r in out}
+    assert drift["aaa"] > 0  # over-represented in A
+    assert drift["bbb"] < 0 or abs(drift["bbb"]) > 0  # under-represented in A
+    assert abs(drift.get("ccc", 0.0)) < abs(drift["aaa"])
