@@ -1297,6 +1297,13 @@ def _q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_sliding(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
 
 
+def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readability_spark.plans.pipeline import key_skew_report
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return key_skew_report(events, "user_id")
+
+
 def _q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.textstats import token_drift
 
@@ -1344,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_sliding": _q_chunk_sliding,
         "winnow_pairs": _q_winnow_pairs,
         "token_drift": _q_token_drift,
+        "key_skew_report": _q_key_skew,
         "events_asof_join": _q_events_asof,
         "events_interval_join": _q_events_interval,
         "pmi_bigrams": _q_pmi_bigrams,
@@ -4227,6 +4235,18 @@ def oracle_sql() -> dict[str, str]:
         "chunk_sliding": _chunk_oracle(),
         "winnow_pairs": _winnow_pairs_oracle(),
         "token_drift": _token_drift_oracle(),
+        "key_skew_report": """
+WITH counts AS (
+  SELECT user_id::varchar AS key, count(*) AS n_rows FROM events GROUP BY 1
+),
+totals AS (SELECT count(*)::bigint AS n_keys_total, sum(n_rows)::bigint AS rows_total FROM counts)
+SELECT key, n_rows::bigint AS n_rows,
+       floor((n_rows::double / rows_total) * 10000.0 + 0.5) / 10000.0 AS row_share,
+       n_keys_total, rows_total
+FROM counts, totals
+ORDER BY n_rows DESC, key ASC
+LIMIT 10
+""",
         "events_asof_join": """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
      v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')

@@ -182,6 +182,7 @@ def main() -> int:
         "winnow_pairs",
         "chunk_sliding",
         "token_drift",
+        "key_skew_report",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

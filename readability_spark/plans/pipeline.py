@@ -412,3 +412,44 @@ def pack_into_sequences(
         F.col("seq_last").cast("bigint").alias("seq_last"),
         (F.col("seq_last") - F.col("seq_first") + 1).cast("int").alias("n_seqs"),
     )
+
+
+def key_skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
+    """Join-key skew diagnosis — the report to run BEFORE shuffling 100 TB
+    on a key: the ``top_k`` hottest keys with their share of all rows,
+    alongside the global key count and row count (the share of the single
+    hottest key is the straggler predictor: one task receives that
+    fraction of the table in a plain hash join).
+
+    Scale shape: one map-side-combined groupBy(key) — the only shuffle —
+    then a broadcast one-row totals aggregate and a TakeOrderedAndProject
+    top-k (per-partition partial top-k; the hot-key table never exists in
+    full anywhere). The counts table is lazily checkpointed: totals and
+    top-k are two consumers and self-reference defeats ReuseExchange.
+
+    Output: (key, n_rows, row_share, n_keys_total, rows_total), ordered by
+    n_rows desc with key-string ties.
+    """
+    from readability_spark.operators.dedup import round4
+
+    counts = (
+        df.select(F.col(key).cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("n_rows"))
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.agg(
+        F.count("*").alias("n_keys_total"), F.sum("n_rows").alias("rows_total")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n_rows",
+            round4(F.col("n_rows") / F.col("rows_total")).alias("row_share"),
+            "n_keys_total",
+            F.col("rows_total").cast("long").alias("rows_total"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top_k)
+    )

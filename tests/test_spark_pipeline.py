@@ -468,3 +468,17 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
         (str(r["grp"]), r["bucket"]): r["register"] for r in streamed.collect()
     }
     assert got == batch
+
+
+def test_key_skew_report_shares_and_order(spark):
+    from readability_spark.plans.pipeline import key_skew_report
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 6 + ["b"] * 3 + ["c"] * 1], "k string"
+    )
+    rows = key_skew_report(df, "k").collect()
+    assert [r["key"] for r in rows] == ["a", "b", "c"]
+    assert rows[0]["row_share"] == 0.6
+    assert rows[0]["n_keys_total"] == 3 and rows[0]["rows_total"] == 10
+    plan = key_skew_report(df, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
