@@ -123,6 +123,38 @@ def stream_window_distinct(
     return spark.table(out_table)
 
 
+def stream_cms_counts(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str, out_table: str = "stream_cms"
+) -> DataFrame:
+    """Streaming Count-Min sketch: the d×w COUNT TABLE is the stateful
+    aggregate (sums are mergeable; state is bounded at d·w = 16,384 rows
+    however many events stream in — the CMS property carried into
+    Structured Streaming state). Point estimates remain a stateless
+    broadcast lookup over the sink, exactly as in the batch operator, so
+    the streamed sketch is verifiable cell-for-cell against cms_table."""
+    import os
+
+    src_dir = os.path.join(checkpoint_dir + "_src", "events")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch.write.mode("overwrite").parquet(src_dir)
+    from readability_spark.operators.sketches import _cms_cells
+
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    cells = stream.select(F.explode(_cms_cells("event_type")).alias("c")).groupBy(
+        F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    query = (
+        cells.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(out_table)
+
+
 def user_sessions_batch(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
     """Gap-based session windows per user (batch form; oracle-checkable —
     a session closes after `gap` of inactivity, Spark's session_window)."""

@@ -482,3 +482,21 @@ def test_key_skew_report_shares_and_order(spark):
     assert rows[0]["n_keys_total"] == 3 and rows[0]["rows_total"] == 10
     plan = key_skew_report(df, "k")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_streaming_cms_table_matches_batch(spark, tmp_path):
+    """The streamed CMS count table is EXACTLY the batch cms_table —
+    mergeable sums as streaming state, bounded at d*w rows."""
+    from readability_spark.operators.sketches import cms_table
+    from readability_spark.streaming.stream import stream_cms_counts
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    batch = {
+        (r["j"], r["bucket"]): r["n"]
+        for r in cms_table(ev, "event_type").collect()
+    }
+    streamed = stream_cms_counts(spark, sf, str(tmp_path / "ckpt"))
+    got = {(r["j"], r["bucket"]): r["n"] for r in streamed.collect()}
+    assert got == batch
+    assert len(got) <= 4 * 4096
