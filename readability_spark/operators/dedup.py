@@ -613,9 +613,12 @@ def canonical_survivors(docs: DataFrame) -> DataFrame:
     """
     from readability_spark.operators.textstats import quality_score
 
+    # member feeds two consumers (the election aggregate and the final
+    # rejoin); without a barrier the whole cluster pipeline (LSH pairs +
+    # pointer-jumping components) re-executes per consumer.
     member = near_dup_clusters(docs).join(
         quality_score(docs).select("doc_id", "quality"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     best = (
         member.groupBy("cluster_id")
         .agg(F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))).alias("b"))
