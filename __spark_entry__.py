@@ -1127,6 +1127,17 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity(_docs(spark, sf_dir), head_max=29.0, middle_max=30.5)
 
 
+def _q_lm_ppl_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet adaptive banding: per-language percentile cut points computed
+    on the 60% deterministic hash sample of the scored corpus, broadcast
+    back, every doc banded against its own language's cutoffs. The oracle
+    recomputes the model, the md5 unit-hash sample, the quantile_cont cut
+    points, and the banding join end to end."""
+    from readability_spark.operators.lm import lm_perplexity_adaptive
+
+    return lm_perplexity_adaptive(_docs(spark, sf_dir), cut_sample_rate=0.6)
+
+
 def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.bpe import bpe_vocab
 
@@ -1340,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- new in r4 (no driver row yet) -----------------------------------
+        "lm_ppl_adaptive": _q_lm_ppl_adaptive,
         "dedup_keep_best": _q_dedup_keep_best,
         "event_funnel": _q_event_funnel,
         "script_mix": _q_script_mix,
@@ -2745,6 +2757,61 @@ SELECT doc_id, n_bigrams, n_oov,
             WHEN floor(exp(-avg_logp) * 10000.0 + 0.5) / 10000.0 <= {middle_max} THEN 'middle'
             ELSE 'tail' END AS band
 FROM per
+"""
+
+
+def _lm_adaptive_oracle(
+    k: float = 0.5,
+    train_mod: int = 10,
+    train_keep: int = 8,
+    head_q: float = 1.0 / 3.0,
+    middle_q: float = 2.0 / 3.0,
+    cut_sample_rate: float = 0.6,
+) -> str:
+    """Mirror of operators/lm.lm_perplexity_adaptive: same model and
+    scoring as _lm_perplexity_oracle, then per-language cut points from
+    quantile_cont (== Spark exact percentile, linear interpolation) over
+    the md5 unit-hash sample, round4-floored before the band comparison."""
+    u = f"({_h32_sql(tok='doc_id::varchar')}) / 4294967296.0"
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pairs AS MATERIALIZED (
+  SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS b
+        FROM toks WHERE len(t) >= 2)),
+c2 AS MATERIALIZED (
+  SELECT w1, w2, count(*) AS c2 FROM pairs
+  WHERE doc_id % {train_mod} < {train_keep} GROUP BY w1, w2),
+c1 AS MATERIALIZED (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+v AS (SELECT count(DISTINCT w)::double AS v
+      FROM (SELECT unnest(t) AS w FROM toks
+            WHERE doc_id % {train_mod} < {train_keep})),
+scored AS MATERIALIZED (
+  SELECT p.doc_id,
+         count(*) AS n_bigrams,
+         sum(CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END)::bigint AS n_oov,
+         {_r4('exp(-avg(ln((coalesce(c2.c2, 0)::double + ' + repr(k)
+              + ') / (coalesce(c1.c1, 0)::double + ' + repr(k)
+              + ' * (SELECT v FROM v)))))')} AS ppl
+  FROM pairs p
+  LEFT JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+  LEFT JOIN c1 ON p.w1 = c1.w1
+  GROUP BY p.doc_id),
+sl AS MATERIALIZED (
+  SELECT s.*, d.lang FROM scored s JOIN documents d USING (doc_id)),
+cuts AS (
+  SELECT lang,
+         {_r4(f'quantile_cont(ppl, {head_q!r})')} AS head_cut,
+         {_r4(f'quantile_cont(ppl, {middle_q!r})')} AS middle_cut
+  FROM sl WHERE {u} < {cut_sample_rate!r} GROUP BY lang)
+SELECT s.lang, s.doc_id, s.n_bigrams, s.n_oov, s.ppl, c.head_cut, c.middle_cut,
+       CASE WHEN s.ppl <= c.head_cut THEN 'head'
+            WHEN s.ppl <= c.middle_cut THEN 'middle'
+            ELSE 'tail' END AS band
+FROM sl s JOIN cuts c USING (lang)
 """
 
 
@@ -4224,6 +4291,7 @@ def oracle_sql() -> dict[str, str]:
     toks = "string_split(text, ' ')"
     url = "'http://synth.fakehost/doc/' || doc_id || '.html'"
     return {
+        "lm_ppl_adaptive": _lm_adaptive_oracle(),
         "dedup_keep_best": _keep_best_oracle(),
         "event_funnel": _funnel_oracle(),
         "script_mix": _script_mix_oracle(),

@@ -151,3 +151,68 @@ def lm_perplexity(
         "ppl",
         ppl_band(F.col("ppl"), head_max, middle_max).alias("band"),
     )
+
+
+def lm_perplexity_adaptive(
+    docs: DataFrame,
+    k: float = 0.5,
+    train_mod: int = 10,
+    train_keep: int = 8,
+    head_q: float = 1.0 / 3.0,
+    middle_q: float = 2.0 / 3.0,
+    cut_sample_rate: float = 1.0,
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """CCNet's *adaptive* banding: instead of config-shipped thresholds,
+    compute the head/middle cut points as per-language perplexity
+    percentiles over a deterministic hash sample of the scored corpus —
+    the step CCNet itself runs once per language to produce the cutoffs
+    it then ships (Wenzek et al. 2020, §4.3).
+
+    Plan shape: the scored table feeds two consumers (the cutoff
+    aggregation and the final banding join), so it is barriered with
+    ``localCheckpoint(eager=False)`` — otherwise the whole three-shuffle
+    LM pipeline re-executes per consumer. Cutoffs are computed on the
+    md5 unit-hash sample (partition-independent, oracle-exact — see
+    sampling.unit_hash), aggregated per stratum with Spark's exact
+    ``percentile`` (linear interpolation == DuckDB ``quantile_cont``),
+    and the resulting |langs|-row table is broadcast back. At 10^12
+    rows pick ``cut_sample_rate`` so each language's sample fits one
+    aggregation buffer (CCNet uses a sample for exactly this reason);
+    the banding join side stays a broadcast at any corpus scale.
+
+    Strata with an empty sample get no cutoffs and their docs are
+    dropped by the inner join on both engines — at production rates a
+    language that small has no business getting its own LM cutoffs.
+
+    Output: (lang, doc_id, n_bigrams, n_oov, ppl, head_cut, middle_cut,
+    band); cut points round4-floored on both engines before the band
+    comparison so the boundary predicate sees identical 4-decimal values.
+    """
+    from readability_spark.operators.sampling import unit_hash
+
+    c2, c1, vocab = train_bigram_lm(docs, train_mod, train_keep)
+    scored = (
+        score_perplexity(docs, c2, c1, vocab, k=k)
+        .join(docs.select("doc_id", stratum_col), "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    sample = scored.filter(unit_hash("doc_id") < F.lit(float(cut_sample_rate)))
+    cuts = sample.groupBy(stratum_col).agg(
+        round4(F.expr(f"percentile(ppl, {head_q!r})")).alias("head_cut"),
+        round4(F.expr(f"percentile(ppl, {middle_q!r})")).alias("middle_cut"),
+    )
+    banded = scored.join(F.broadcast(cuts), stratum_col)
+    return banded.select(
+        stratum_col,
+        "doc_id",
+        "n_bigrams",
+        "n_oov",
+        "ppl",
+        "head_cut",
+        "middle_cut",
+        F.when(F.col("ppl") <= F.col("head_cut"), "head")
+        .when(F.col("ppl") <= F.col("middle_cut"), "middle")
+        .otherwise("tail")
+        .alias("band"),
+    )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from readability_spark.operators.lm import (
     lm_perplexity,
+    lm_perplexity_adaptive,
     score_perplexity,
     train_bigram_lm,
 )
@@ -82,6 +83,59 @@ def test_train_slice_scores_below_shuffled_text(spark):
     real = score_perplexity(docs, c2, c1, vocab).agg(F.avg("ppl")).first()[0]
     scr = score_perplexity(shuffled, c2, c1, vocab).agg(F.avg("ppl")).first()[0]
     assert real < scr, (real, scr)
+
+
+def test_adaptive_cuts_are_per_language_percentiles(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = lm_perplexity_adaptive(docs, cut_sample_rate=1.0).collect()
+    assert out
+    # independent per-language linear-interpolation percentiles over the
+    # full scored set (rate=1.0 -> the sample is everything)
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+
+    def pct(vals, q):
+        vals = sorted(vals)
+        pos = (len(vals) - 1) * q
+        lo = math.floor(pos)
+        hi = min(lo + 1, len(vals) - 1)
+        raw = vals[lo] + (pos - lo) * (vals[hi] - vals[lo])
+        return math.floor(raw * 10000.0 + 0.5) / 10000.0
+
+    for lang, rows in by_lang.items():
+        ppls = [r.ppl for r in rows]
+        head = pct(ppls, 1.0 / 3.0)
+        mid = pct(ppls, 2.0 / 3.0)
+        for r in rows:
+            assert r.head_cut == pytest.approx(head, abs=1e-9), (lang, r)
+            assert r.middle_cut == pytest.approx(mid, abs=1e-9), (lang, r)
+            want = (
+                "head"
+                if r.ppl <= r.head_cut
+                else ("middle" if r.ppl <= r.middle_cut else "tail")
+            )
+            assert r.band == want, (r.doc_id, r.ppl, r.band)
+    # all three bands populated for the biggest language
+    biggest = max(by_lang.values(), key=len)
+    assert {r.band for r in biggest} == {"head", "middle", "tail"}
+
+
+def test_adaptive_sampled_cuts_subset(spark):
+    # rate<1: cutoffs come from the hash sample only, but every scored doc
+    # in a sampled language is still banded
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    full = lm_perplexity_adaptive(docs, cut_sample_rate=1.0)
+    sampled = lm_perplexity_adaptive(docs, cut_sample_rate=0.5)
+    n_full = full.count()
+    n_sampled = sampled.count()
+    # languages whose sample is empty drop out; everything else is banded
+    assert 0 < n_sampled <= n_full
+    langs = {r.lang for r in sampled.select("lang").distinct().collect()}
+    per_lang_full = {r["lang"]: r["count"] for r in full.groupBy("lang").count().collect()}
+    per_lang_s = {r["lang"]: r["count"] for r in sampled.groupBy("lang").count().collect()}
+    for lang in langs:
+        assert per_lang_s[lang] == per_lang_full[lang]
 
 
 def test_band_thresholds(spark):
