@@ -694,6 +694,19 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(with_injected_duplicates(_docs(spark, sf_dir)))
 
 
+def _q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup-style reweighting over the injected-duplicate corpus:
+    every doc keeps weight cluster_size^-0.5 (unique docs 1.0). Oracle
+    recomputes the minhash pair graph, the recursive-CTE components, and
+    the power weights."""
+    from readability_spark.operators.dedup import (
+        soft_dedup_weights,
+        with_injected_duplicates,
+    )
+
+    return soft_dedup_weights(with_injected_duplicates(_docs(spark, sf_dir)), alpha=0.5)
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.dedup import simhash
 
@@ -1352,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in r4 (no driver row yet) -----------------------------------
         "lm_ppl_adaptive": _q_lm_ppl_adaptive,
+        "dedup_soft_weights": _q_dedup_soft_weights,
         "dedup_keep_best": _q_dedup_keep_best,
         "event_funnel": _q_event_funnel,
         "script_mix": _q_script_mix,
@@ -1712,6 +1726,33 @@ lbl AS (SELECT v AS doc_id, min(n) AS cluster_id FROM walk GROUP BY v),
 sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1)
 SELECT l.doc_id, l.cluster_id, sz.cluster_size::int AS cluster_size
 FROM lbl l JOIN sz USING (cluster_id)
+"""
+
+
+def _soft_weights_oracle(alpha: float = 0.5) -> str:
+    """Mirror of dedup.soft_dedup_weights over the injected-dup corpus:
+    the _clusters_oracle component sizes, pow(size, -alpha) for members,
+    1.0 for docs with no verified near-duplicate."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(v, n) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT w.v, e.dst FROM walk w JOIN edges e ON e.src = w.n
+),
+lbl AS (SELECT v AS doc_id, min(n) AS cluster_id FROM walk GROUP BY v),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1),
+mem AS (SELECT l.doc_id, sz.cluster_size FROM lbl l JOIN sz USING (cluster_id))
+SELECT d.doc_id,
+       coalesce(m.cluster_size, 1)::int AS cluster_size,
+       {_r4(f'CASE WHEN m.cluster_size IS NULL THEN 1.0 '
+            f'ELSE pow(m.cluster_size::double, -{alpha!r}) END')} AS weight
+FROM dup d LEFT JOIN mem m USING (doc_id)
 """
 
 
@@ -4292,6 +4333,7 @@ def oracle_sql() -> dict[str, str]:
     url = "'http://synth.fakehost/doc/' || doc_id || '.html'"
     return {
         "lm_ppl_adaptive": _lm_adaptive_oracle(),
+        "dedup_soft_weights": _soft_weights_oracle(),
         "dedup_keep_best": _keep_best_oracle(),
         "event_funnel": _funnel_oracle(),
         "script_mix": _script_mix_oracle(),

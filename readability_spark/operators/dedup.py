@@ -634,6 +634,36 @@ def canonical_survivors(docs: DataFrame) -> DataFrame:
     )
 
 
+def soft_dedup_weights(docs: DataFrame, alpha: float = 1.0) -> DataFrame:
+    """Duplicate-aware *soft* dedup (SlimPajama/SoftDeDup-style): instead of
+    dropping near-duplicates, keep every document and down-weight each
+    near-dup cluster member to ``cluster_size ** -alpha`` so the cluster
+    contributes ~one document's worth of gradient mass to training
+    (``alpha=1``: exactly one; ``alpha<1``: mild duplication bonus —
+    common-crawl duplication correlates with quality, so some recipes keep
+    a sublinear remnant). Unique documents keep weight 1.0.
+
+    Scale shape: cluster labels come from :func:`near_dup_clusters`
+    (banded LSH + log-round pointer jumping); the weight join is
+    doc_id-to-doc_id, both sides hash-partitioned on doc_id, and the label
+    side carries only docs that HAVE a near-duplicate — on a real crawl a
+    minority, but not assumed broadcast-small. The corpus's text/html
+    payload never enters the join (ids and one int only).
+
+    Output: (doc_id, cluster_size, weight) for EVERY input doc.
+    """
+    labels = near_dup_clusters(docs).select("doc_id", "cluster_size")
+    joined = docs.select("doc_id").join(labels, "doc_id", "left")
+    weight = F.when(F.col("cluster_size").isNull(), F.lit(1.0)).otherwise(
+        F.pow(F.col("cluster_size").cast("double"), F.lit(-float(alpha)))
+    )
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("cluster_size"), F.lit(1)).cast("int").alias("cluster_size"),
+        round4(weight).alias("weight"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 4. N-gram Jaccard (DF-capped shingle candidate join + exact set verify)
 # ---------------------------------------------------------------------------

@@ -5,6 +5,8 @@ the banded/DF-capped candidate joins must stay near-linear in the number of
 true duplicate pairs, never quadratic in corpus size.
 """
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -289,6 +291,36 @@ def test_canonical_survivors_one_keeper_max_quality(spark):
         assert k["doc_id"] == min(m["doc_id"] for m in members if m["quality"] == mx)
         assert all(m["keep_id"] == k["doc_id"] for m in members)
         assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_soft_dedup_weights_cover_corpus(spark):
+    """Soft reweighting: every input doc appears exactly once; cluster
+    members carry size^-alpha, uniques carry 1.0, and each cluster's total
+    weight mass is size^(1-alpha) (== 1.0 at alpha=1)."""
+    from readability_spark.operators.dedup import (
+        near_dup_clusters,
+        soft_dedup_weights,
+        with_injected_duplicates,
+    )
+
+    docs = with_injected_duplicates(spark.read.parquet(f"{SF}/documents.parquet"))
+    n_docs = docs.count()
+    rows = soft_dedup_weights(docs, alpha=1.0).collect()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    clustered = {r.doc_id: r.cluster_size for r in near_dup_clusters(docs).collect()}
+    assert clustered
+    mass: dict = {}
+    for r in rows:
+        if r.doc_id in clustered:
+            assert r.cluster_size == clustered[r.doc_id]
+            assert r.weight == pytest.approx(
+                math.floor(10000.0 / r.cluster_size + 0.5) / 10000.0, abs=1e-9
+            )
+            mass[r.cluster_size] = mass.get(r.cluster_size, 0.0) + r.weight
+        else:
+            assert r.cluster_size == 1
+            assert r.weight == 1.0
 
 
 def test_containment_finds_fragments_jaccard_misses(spark):
