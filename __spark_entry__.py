@@ -694,6 +694,25 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(with_injected_duplicates(_docs(spark, sf_dir)))
 
 
+def _q_domain_mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style Group-DRO domain reweighting: train the logistic proxy
+    with per-domain multiplicative weights (exponentiated gradient on
+    clipped excess loss vs the ln-2 trivial baseline) over the `source`
+    column as the domain, 8 rounds. The oracle unrolls the identical
+    rounds — per-domain loss/gradient aggregation, alpha update with
+    window-function normalization + uniform smoothing, weighted theta
+    step — as 3 CTEs per round, so the whole Group-DRO recurrence is
+    value-checked."""
+    from readability_spark.operators.classifier import (
+        domain_mix_report,
+        quality_features,
+    )
+
+    docs = _docs(spark, sf_dir).withColumnRenamed("source", "domain")
+    feats = quality_features(docs, keep_cols=("domain",)).cache()
+    return domain_mix_report(feats, lr=0.5, eta=4.0, smoothing=0.05, n_iter=8)
+
+
 def _q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SoftDeDup-style reweighting over the injected-duplicate corpus:
     every doc keeps weight cluster_size^-0.5 (unique docs 1.0). Oracle
@@ -1365,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in r4 (no driver row yet) -----------------------------------
         "lm_ppl_adaptive": _q_lm_ppl_adaptive,
+        "domain_mix_doremi": _q_domain_mix_doremi,
         "dedup_soft_weights": _q_dedup_soft_weights,
         "dedup_keep_best": _q_dedup_keep_best,
         "event_funnel": _q_event_funnel,
@@ -2751,6 +2771,75 @@ SELECT doc_id, y,
        (CASE WHEN 1.0 / (1.0 + exp(-(b + w1 * x1 + w2 * x2))) > 0.5
              THEN 1.0 ELSE 0.0 END) = y AS correct
 FROM f, w{n_iter}
+"""
+
+
+def _doremi_oracle(
+    n_iter: int = 8,
+    lr: float = 0.5,
+    eta: float = 4.0,
+    smoothing: float = 0.05,
+    threshold: float = 1.4,
+) -> str:
+    """Mirror of classifier.train_group_dro / domain_mix_report: the
+    identical Group-DRO rounds unrolled as CTE triples (g{i}: per-domain
+    loss + gradient aggregation carrying the constant state via
+    any_value; a{i}: exponentiated-gradient alpha update normalized with
+    a window sum + uniform smoothing via count(*) OVER (); s{i}: the
+    alpha-weighted theta step). Loss uses the same numerically-stable
+    closed form max(z,0) - y*z + ln(1+exp(-|z|)) as the Spark side, so
+    neither engine ever forms log(0)."""
+    z = "(s.b + s.w1 * f.x1 + s.w2 * f.x2)"
+    sig = f"(1.0 / (1.0 + exp(-{z})))"
+    loss = f"(greatest({z}, 0.0) - f.y * {z} + ln(1.0 + exp(-abs({z}))))"
+    exc = f"greatest(0.0, l - ln(2.0))"
+    rounds = []
+    for i in range(1, n_iter + 1):
+        rounds.append(f"""
+g{i} AS (
+  SELECT f.domain,
+         any_value(s.alpha) AS alpha,
+         any_value(s.w1) AS w1, any_value(s.w2) AS w2, any_value(s.b) AS b,
+         avg({loss}) AS l,
+         avg(({sig} - f.y) * f.x1) AS g1,
+         avg(({sig} - f.y) * f.x2) AS g2,
+         avg({sig} - f.y) AS gb
+  FROM f JOIN s{i - 1} s USING (domain)
+  GROUP BY f.domain),
+a{i} AS (
+  SELECT domain, w1, w2, b, g1, g2, gb,
+         {exc} AS excess,
+         (1.0 - {smoothing}) * (alpha * exp({eta} * {exc}))
+           / sum(alpha * exp({eta} * {exc})) OVER ()
+           + {smoothing} / count(*) OVER () AS alpha
+  FROM g{i}),
+s{i} AS (
+  SELECT domain, alpha, excess,
+         w1 - {lr} * sum(alpha * g1) OVER () AS w1,
+         w2 - {lr} * sum(alpha * g2) OVER () AS w2,
+         b - {lr} * sum(alpha * gb) OVER () AS b
+  FROM a{i})""")
+    return f"""
+WITH f AS MATERIALIZED (
+  SELECT doc_id, source AS domain,
+         len(string_split(text, ' '))::double / 100.0 AS x1,
+         (doc_id % 10)::double / 10.0 AS x2,
+         CASE WHEN len(string_split(text, ' '))::double / 100.0
+                   + 2.0 * ((doc_id % 10)::double / 10.0) > {threshold}
+              THEN 1.0 ELSE 0.0 END::double AS y
+  FROM documents),
+s0 AS (
+  SELECT domain,
+         1.0 / count(*) OVER () AS alpha,
+         0.0::double AS w1, 0.0::double AS w2, 0.0::double AS b,
+         0.0::double AS excess
+  FROM (SELECT DISTINCT domain FROM f)),{','.join(rounds)}
+SELECT s.domain, c.n_docs,
+       {_r4('s.alpha')} AS weight,
+       {_r4('s.excess')} AS excess_loss
+FROM s{n_iter} s
+JOIN (SELECT domain, count(*)::bigint AS n_docs FROM f GROUP BY 1) c
+  USING (domain)
 """
 
 
@@ -4333,6 +4422,7 @@ def oracle_sql() -> dict[str, str]:
     url = "'http://synth.fakehost/doc/' || doc_id || '.html'"
     return {
         "lm_ppl_adaptive": _lm_adaptive_oracle(),
+        "domain_mix_doremi": _doremi_oracle(),
         "dedup_soft_weights": _soft_weights_oracle(),
         "dedup_keep_best": _keep_best_oracle(),
         "event_funnel": _funnel_oracle(),

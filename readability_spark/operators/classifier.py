@@ -32,6 +32,8 @@ the same accepted tolerance as PageRank's.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -42,17 +44,21 @@ def _sigmoid(z: Column) -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
-def quality_features(docs: DataFrame, threshold: float = 1.4) -> DataFrame:
+def quality_features(
+    docs: DataFrame, threshold: float = 1.4, keep_cols: tuple = ()
+) -> DataFrame:
     """Deterministic (doc_id, x1, x2, y) training frame from the documents
     table: x1 = whitespace-token count / 100, x2 = (doc_id % 10) / 10 (a
     deterministic pseudo-feature, exact in any engine), and the label is
     the linear rule x1 + 2*x2 > threshold — linearly separable by
-    construction, so gradient descent demonstrably learns it."""
+    construction, so gradient descent demonstrably learns it.
+    ``keep_cols`` carries extra columns (e.g. the domain) through."""
     n_tok = F.size(F.split("text", " ")).cast("double")
     x1 = n_tok / F.lit(100.0)
     x2 = (F.col("doc_id") % 10).cast("double") / F.lit(10.0)
     return docs.select(
         "doc_id",
+        *keep_cols,
         x1.alias("x1"),
         x2.alias("x2"),
         F.when(x1 + F.lit(2.0) * x2 > F.lit(float(threshold)), 1.0)
@@ -88,6 +94,113 @@ def train_logreg(
             w[j] -= lr * row[f"g{j}"]
         w[-1] -= lr * row["gb"]
     return w
+
+
+def _stable_logloss(z: Column, y: Column) -> Column:
+    """Numerically stable binary cross-entropy
+    ``max(z,0) - y*z + ln(1 + exp(-|z|))``: never forms log(0) or 0*inf
+    even when sigmoid(z) rounds to exactly 0.0/1.0 in doubles, and the
+    same closed form is expressible verbatim in the DuckDB oracle."""
+    return (
+        F.greatest(z, F.lit(0.0)) - y * z + F.log(F.lit(1.0) + F.exp(-F.abs(z)))
+    )
+
+
+def train_group_dro(
+    feats: DataFrame,
+    domain_col: str = "domain",
+    lr: float = 2.0,
+    eta: float = 0.5,
+    smoothing: float = 0.1,
+    n_iter: int = 8,
+    feature_cols: tuple = ("x1", "x2"),
+    label_col: str = "y",
+    baseline: float = math.log(2.0),
+) -> tuple:
+    """DoReMi-style domain reweighting (Xie et al. 2023, arXiv:2305.10429):
+    train the proxy classifier with Group DRO, maintaining a weight alpha_k
+    per data domain updated by exponentiated gradient on that domain's
+    clipped excess loss, while the model follows the alpha-weighted
+    gradient. Domains the proxy finds hard (high excess loss vs the
+    trivial-model baseline ln 2) are up-weighted — the mixture a training
+    run should oversample.
+
+    Per iteration: ONE map-side-combined ``groupBy(domain)`` aggregation
+    computes every domain's avg loss and avg gradient components — K x
+    (d+2) doubles collected driver-side (K = #domains, small by contract;
+    this is the same legitimate driver reduce as :func:`train_logreg`).
+    The driver then updates alpha (multiplicative weights, normalized,
+    uniform-smoothed) and the parameters (theta -= lr * sum_k alpha_k *
+    grad_k), embedding both as literals in the next round's plan.
+
+    Scale shape: each round is one scan of the cached numeric feature
+    frame + one K-group aggregation — no shuffle wider than K rows of
+    partial aggregates, no per-domain data movement, nothing driver-side
+    but K+d scalars. At 10^12 docs with ~30 domains this is exactly the
+    DoReMi recipe's cost profile.
+
+    Returns ``(weights, alpha, excess)``: the final parameter list
+    [w_1..w_d, bias], the {domain: mixture weight} dict, and the
+    {domain: clipped excess loss} used for the final alpha update.
+    """
+    domains = sorted(
+        r[0] for r in feats.select(domain_col).distinct().collect()
+    )
+    k = len(domains)
+    alpha = {d: 1.0 / k for d in domains}
+    w = [0.0] * (len(feature_cols) + 1)
+    excess = {d: 0.0 for d in domains}
+    for _ in range(n_iter):
+        z = F.lit(w[-1])
+        for j, c in enumerate(feature_cols):
+            z = z + F.lit(w[j]) * F.col(c)
+        err = _sigmoid(z) - F.col(label_col)
+        aggs = [F.avg(_stable_logloss(z, F.col(label_col))).alias("l")]
+        aggs += [
+            F.avg(err * F.col(c)).alias(f"g{j}")
+            for j, c in enumerate(feature_cols)
+        ]
+        aggs.append(F.avg(err).alias("gb"))
+        by = {
+            r[domain_col]: r
+            for r in feats.groupBy(domain_col).agg(*aggs).collect()
+        }
+        excess = {d: max(0.0, by[d]["l"] - baseline) for d in domains}
+        unnorm = {d: alpha[d] * math.exp(eta * excess[d]) for d in domains}
+        tot = sum(unnorm[d] for d in domains)
+        alpha = {
+            d: (1.0 - smoothing) * unnorm[d] / tot + smoothing / k
+            for d in domains
+        }
+        for j in range(len(feature_cols)):
+            w[j] -= lr * sum(alpha[d] * by[d][f"g{j}"] for d in domains)
+        w[-1] -= lr * sum(alpha[d] * by[d]["gb"] for d in domains)
+    return w, alpha, excess
+
+
+def domain_mix_report(
+    feats: DataFrame, domain_col: str = "domain", **kwargs
+) -> DataFrame:
+    """Run :func:`train_group_dro` and emit one row per domain:
+    (domain, n_docs, weight, excess_loss) — the resampling mixture a
+    downstream training job consumes. The weight/excess columns are a
+    literal when-chain over the K driver-held values (pure projection;
+    no extra join)."""
+    _, alpha, excess = train_group_dro(feats, domain_col=domain_col, **kwargs)
+    wcol, ecol = F.lit(None).cast("double"), F.lit(None).cast("double")
+    for d in alpha:
+        wcol = F.when(F.col(domain_col) == d, F.lit(alpha[d])).otherwise(wcol)
+        ecol = F.when(F.col(domain_col) == d, F.lit(excess[d])).otherwise(ecol)
+    return (
+        feats.groupBy(domain_col)
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .select(
+            domain_col,
+            "n_docs",
+            round4(wcol).alias("weight"),
+            round4(ecol).alias("excess_loss"),
+        )
+    )
 
 
 def score_logreg(
