@@ -726,6 +726,19 @@ def _q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return soft_dedup_weights(with_injected_duplicates(_docs(spark, sf_dir)), alpha=0.5)
 
 
+def _q_split_dedup_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split audit over the injected-duplicate corpus: assign
+    whole near-dup clusters to train/val/test by cluster-key unit hash,
+    report per-split sizes, clustered mass, and the straddling-pair
+    invariant (must be 0). Oracle recomputes the pair graph, the
+    recursive-CTE components, the md5 unit-hash assignment, and the
+    straddle join."""
+    from readability_spark.operators.dedup import with_injected_duplicates
+    from readability_spark.operators.sampling import split_leakage_audit
+
+    return split_leakage_audit(with_injected_duplicates(_docs(spark, sf_dir)))
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.dedup import simhash
 
@@ -1385,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r4 (no driver row yet) -----------------------------------
         "lm_ppl_adaptive": _q_lm_ppl_adaptive,
         "domain_mix_doremi": _q_domain_mix_doremi,
+        "split_dedup_safe": _q_split_dedup_safe,
         "dedup_soft_weights": _q_dedup_soft_weights,
         "dedup_keep_best": _q_dedup_keep_best,
         "event_funnel": _q_event_funnel,
@@ -1773,6 +1787,57 @@ SELECT d.doc_id,
        {_r4(f'CASE WHEN m.cluster_size IS NULL THEN 1.0 '
             f'ELSE pow(m.cluster_size::double, -{alpha!r}) END')} AS weight
 FROM dup d LEFT JOIN mem m USING (doc_id)
+"""
+
+
+def _split_oracle(splits=None) -> str:
+    """Mirror of sampling.split_leakage_audit: minhash pair graph +
+    recursive-CTE components, md5 unit-hash of coalesce(cluster_id,
+    doc_id) cut at the same Python-accumulated float bounds (bit-exact
+    literals via repr), per-split aggregates + straddle join."""
+    from readability_spark.operators.sampling import DEFAULT_SPLITS, _split_bounds
+
+    splits = splits or DEFAULT_SPLITS
+    u = f"({_h32_sql(tok='coalesce(l.cluster_id, d.doc_id)::varchar')}) / 4294967296.0"
+    case = "CASE " + " ".join(
+        f"WHEN u < {bound!r} THEN '{name}'" for name, bound in _split_bounds(splits)
+    ) + f" ELSE '{splits[-1][0]}' END"
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(v, n) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT w.v, e.dst FROM walk w JOIN edges e ON e.src = w.n
+),
+lbl AS (SELECT v AS doc_id, min(n) AS cluster_id FROM walk GROUP BY v),
+asg AS (
+  SELECT d.doc_id, l.cluster_id, {u} AS u
+  FROM dup d LEFT JOIN lbl l USING (doc_id)),
+a2 AS (SELECT doc_id, cluster_id, {case} AS split FROM asg),
+per AS (
+  SELECT split, count(*)::bigint AS n_docs,
+         sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END)::bigint
+           AS n_clustered_docs,
+         count(DISTINCT cluster_id)::bigint AS n_clusters
+  FROM a2 GROUP BY 1),
+st AS (
+  SELECT split, count(*)::bigint AS sp FROM (
+    SELECT a.split FROM pairs p
+    JOIN a2 a ON a.doc_id = p.id_a JOIN a2 b ON b.doc_id = p.id_b
+    WHERE a.split <> b.split
+    UNION ALL
+    SELECT b.split FROM pairs p
+    JOIN a2 a ON a.doc_id = p.id_a JOIN a2 b ON b.doc_id = p.id_b
+    WHERE a.split <> b.split
+  ) GROUP BY 1)
+SELECT per.split, n_docs, n_clustered_docs, n_clusters,
+       coalesce(st.sp, 0)::bigint AS straddling_pairs
+FROM per LEFT JOIN st USING (split)
 """
 
 
@@ -4423,6 +4488,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "lm_ppl_adaptive": _lm_adaptive_oracle(),
         "domain_mix_doremi": _doremi_oracle(),
+        "split_dedup_safe": _split_oracle(),
         "dedup_soft_weights": _soft_weights_oracle(),
         "dedup_keep_best": _keep_best_oracle(),
         "event_funnel": _funnel_oracle(),

@@ -122,6 +122,123 @@ def mix_corpus(
     )
 
 
+DEFAULT_SPLITS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
+
+
+def _split_bounds(splits) -> list:
+    """Cumulative upper bounds for all but the last split, normalized.
+    The identical Python accumulation order is used to generate the oracle
+    literals, so the float boundaries match bit-exactly across engines."""
+    total = float(sum(f for _, f in splits))
+    bounds, acc = [], 0.0
+    for name, frac in splits[:-1]:
+        acc += frac / total
+        bounds.append((name, acc))
+    return bounds
+
+
+def _split_col(splits) -> Column:
+    expr: Column = F.lit(splits[-1][0])
+    u = unit_hash("coalesce(cluster_id, doc_id)")
+    for name, bound in reversed(_split_bounds(splits)):
+        expr = F.when(u < bound, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def _split_assignment(docs: DataFrame, labels: DataFrame, splits) -> DataFrame:
+    base = docs.select("doc_id").join(
+        labels.select("doc_id", "cluster_id"), "doc_id", "left"
+    )
+    return base.select(
+        "doc_id",
+        "cluster_id",
+        _split_col(splits).alias("split"),
+        F.col("cluster_id").isNotNull().alias("is_clustered"),
+    )
+
+
+def leakage_safe_split(docs: DataFrame, splits=DEFAULT_SPLITS) -> DataFrame:
+    """Dedup-aware train/val/test split: the unit of assignment is the
+    near-dup CLUSTER, not the document, so two near-duplicate pages can
+    never land one in train and one in eval — the standard leakage bug a
+    doc-keyed split has on web corpora. Every doc's split key is its
+    MinHash-LSH component id (uniques: their own doc_id); the key's md5
+    unit hash is cut at the cumulative split fractions.
+
+    Deterministic on any cluster size/partitioning (hash-keyed like every
+    sampling op — no seeded RNG). Scale shape: cluster labels come from
+    the banded-LSH + log-round pointer-jumping pipeline and only docs WITH
+    a near-dup appear in the label table; the assignment join is
+    doc_id-to-doc_id, and the split projection is pure codegen.
+
+    Output: (doc_id, split, is_clustered) for every input doc.
+    """
+    from readability_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    labels = connected_components(minhash_lsh_pairs(docs))
+    return _split_assignment(docs, labels, splits).select(
+        "doc_id", "split", "is_clustered"
+    )
+
+
+def split_leakage_audit(docs: DataFrame, splits=DEFAULT_SPLITS) -> DataFrame:
+    """Per-split audit of :func:`leakage_safe_split` — the report a
+    pipeline gate reads before training: split sizes, how much of each
+    split is near-dup-clustered, cluster counts, and the leakage
+    invariant itself (straddling_pairs: verified near-dup pairs with
+    exactly one endpoint in the split — 0 by construction, and computing
+    it IS the gate; a nonzero value means the split keying broke).
+
+    Scale shape: the pair table is re-used for components and the
+    straddle join (checkpointed once); the straddle join keys on doc_id
+    against the slim (doc_id, split) projection; the final aggregate is
+    K-splits-row tiny.
+    """
+    from readability_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    # pairs feeds two consumers (components + the straddle join); the
+    # assignment feeds three (per-split agg + both straddle endpoints).
+    pairs = minhash_lsh_pairs(docs).localCheckpoint(eager=False)
+    labels = connected_components(pairs)
+    assignment = _split_assignment(docs, labels, splits).localCheckpoint(
+        eager=False
+    )
+    per = assignment.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("is_clustered").cast("int")).cast("bigint").alias(
+            "n_clustered_docs"
+        ),
+        F.count_distinct("cluster_id").cast("bigint").alias("n_clusters"),
+    )
+    ends = pairs.join(
+        assignment.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+        "id_a",
+    ).join(
+        assignment.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+        "id_b",
+    )
+    crossed = ends.filter(F.col("sa") != F.col("sb"))
+    straddle = (
+        crossed.select(F.col("sa").alias("split"))
+        .unionByName(crossed.select(F.col("sb").alias("split")))
+        .groupBy("split")
+        .agg(F.count("*").cast("bigint").alias("sp"))
+    )
+    return per.join(straddle, "split", "left").select(
+        "split",
+        "n_docs",
+        "n_clustered_docs",
+        "n_clusters",
+        F.coalesce(F.col("sp"), F.lit(0)).cast("bigint").alias("straddling_pairs"),
+    )
+
+
 def chunk_sliding(
     docs: DataFrame, chunk_tokens: int = 128, overlap: int = 32
 ) -> DataFrame:

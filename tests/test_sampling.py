@@ -241,3 +241,42 @@ def test_chunk_sliding_short_doc_single_chunk(spark):
     rows = chunk_sliding(docs, chunk_tokens=128, overlap=32).collect()
     assert len(rows) == 1
     assert rows[0]["n_chunk_tokens"] == 5 and rows[0]["start_tok"] == 0
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from readability_spark.operators.dedup import (
+        near_dup_clusters,
+        with_injected_duplicates,
+    )
+    from readability_spark.operators.sampling import leakage_safe_split
+
+    docs = with_injected_duplicates(spark.read.parquet(f"{SF}/documents.parquet"))
+    n_docs = docs.count()
+    rows = leakage_safe_split(docs).collect()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    split_of = {r.doc_id: r.split for r in rows}
+    by_cluster: dict = {}
+    labels = near_dup_clusters(docs).collect()
+    assert labels
+    for r in labels:
+        by_cluster.setdefault(r.cluster_id, set()).add(split_of[r.doc_id])
+        assert next(x for x in rows if x.doc_id == r.doc_id).is_clustered
+    # the leakage invariant: every cluster lands wholly in ONE split
+    assert all(len(s) == 1 for s in by_cluster.values()), by_cluster
+
+
+def test_split_leakage_audit_fractions_and_invariant(spark):
+    from readability_spark.operators.dedup import with_injected_duplicates
+    from readability_spark.operators.sampling import split_leakage_audit
+
+    docs = with_injected_duplicates(spark.read.parquet(f"{SF}/documents.parquet"))
+    n_docs = docs.count()
+    rows = {r.split: r for r in split_leakage_audit(docs).collect()}
+    assert set(rows) <= {"train", "val", "test"} and "train" in rows
+    assert sum(r.n_docs for r in rows.values()) == n_docs
+    assert all(r.straddling_pairs == 0 for r in rows.values())
+    # hash-cut sizes track the weights (550 docs: generous tolerance)
+    assert abs(rows["train"].n_docs / n_docs - 0.9) < 0.08
+    for r in rows.values():
+        assert r.n_clustered_docs >= r.n_clusters
