@@ -726,6 +726,17 @@ def _q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return soft_dedup_weights(with_injected_duplicates(_docs(spark, sf_dir)), alpha=0.5)
 
 
+def _q_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation across sources: waterfilling a 52k-token
+    budget at epoch cap 2.0 — at sf0.01 this lands in the mixed regime
+    (small sources capped at 2 epochs, large ones share the remainder at
+    the water level). The oracle mirrors the closed-form window
+    arithmetic (prefix sums, capped-prefix index t, water level) exactly."""
+    from readability_spark.operators.sampling import unimax_allocation
+
+    return unimax_allocation(_docs(spark, sf_dir), budget_tokens=52000.0, epoch_cap=2.0)
+
+
 def _q_split_dedup_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe split audit over the injected-duplicate corpus: assign
     whole near-dup clusters to train/val/test by cluster-key unit hash,
@@ -1398,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r4 (no driver row yet) -----------------------------------
         "lm_ppl_adaptive": _q_lm_ppl_adaptive,
         "domain_mix_doremi": _q_domain_mix_doremi,
+        "unimax_alloc": _q_unimax_alloc,
         "split_dedup_safe": _q_split_dedup_safe,
         "dedup_soft_weights": _q_dedup_soft_weights,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -1787,6 +1799,44 @@ SELECT d.doc_id,
        {_r4(f'CASE WHEN m.cluster_size IS NULL THEN 1.0 '
             f'ELSE pow(m.cluster_size::double, -{alpha!r}) END')} AS weight
 FROM dup d LEFT JOIN mem m USING (doc_id)
+"""
+
+
+def _unimax_oracle(budget: float = 52000.0, epoch_cap: float = 2.0) -> str:
+    """Mirror of sampling.unimax_allocation: identical waterfilling
+    windows — ascending (cap, domain) prefix sums, capped-prefix index
+    t = max{j : cap_j*(K-j+1) <= B - S_{j-1}}, water level
+    (B - S_t)/(K - t), all-capped guard."""
+    alloc = (
+        "least(cap_tokens, CASE WHEN k > t THEN "
+        f"({budget!r} - s_t) / (k - t) ELSE cap_tokens END)"
+    )
+    return f"""
+WITH c AS (
+  SELECT source AS domain,
+         sum(len(string_split(text, ' ')))::double AS n_tokens
+  FROM documents GROUP BY 1),
+s1 AS (
+  SELECT domain, n_tokens, n_tokens * {epoch_cap!r} AS cap_tokens,
+         row_number() OVER (ORDER BY n_tokens * {epoch_cap!r}, domain) AS j,
+         sum(n_tokens * {epoch_cap!r}) OVER (
+           ORDER BY n_tokens * {epoch_cap!r}, domain
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+         count(*) OVER () AS k
+  FROM c),
+s2 AS (
+  SELECT *, max(CASE WHEN cap_tokens * (k - j + 1) <= {budget!r} - (s - cap_tokens)
+                     THEN j ELSE 0 END) OVER () AS t
+  FROM s1),
+s3 AS (
+  SELECT *, coalesce(max(CASE WHEN j = t THEN s END) OVER (), 0.0) AS s_t
+  FROM s2)
+SELECT domain, n_tokens::bigint AS n_tokens,
+       {_r4('cap_tokens')} AS cap_tokens,
+       {_r4(alloc)} AS alloc_tokens,
+       {_r4(f'({alloc}) / n_tokens')} AS epochs,
+       j <= t AS capped
+FROM s3
 """
 
 
@@ -4488,6 +4538,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "lm_ppl_adaptive": _lm_adaptive_oracle(),
         "domain_mix_doremi": _doremi_oracle(),
+        "unimax_alloc": _unimax_oracle(),
         "split_dedup_safe": _split_oracle(),
         "dedup_soft_weights": _soft_weights_oracle(),
         "dedup_keep_best": _keep_best_oracle(),

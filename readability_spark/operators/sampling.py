@@ -122,6 +122,78 @@ def mix_corpus(
     )
 
 
+def unimax_allocation(
+    docs: DataFrame,
+    budget_tokens: float,
+    epoch_cap: float = 4.0,
+    source_col: str = "source",
+) -> DataFrame:
+    """UniMax language/domain sampling (Chung et al. 2023,
+    arXiv:2304.09151): split a total training-token budget as UNIFORMLY as
+    possible across domains, subject to no domain being repeated more than
+    ``epoch_cap`` epochs — the fairness-first alternative to
+    temperature sampling. The optimum is waterfilling: alloc_k =
+    min(cap_k, lambda) with the water level lambda chosen so allocations
+    sum to the budget; small domains hit their epoch cap, large ones share
+    the remainder evenly.
+
+    Closed form, fully declarative: sort domains by cap ascending; with
+    prefix sums S_j over K rows, the capped set is the prefix up to
+    t = max{ j : cap_j * (K - j + 1) <= budget - S_{j-1} } and
+    lambda = (budget - S_t) / (K - t) (all-capped when the total corpus at
+    epoch_cap fits the budget). Everything after the per-domain token
+    count is window arithmetic over the K-row DOMAIN table — a
+    driver-sized frame (the single-partition window is over K domains,
+    never the corpus), so the 100-TB cost is one map-side-combined
+    groupBy of the token counts.
+
+    Output: (domain, n_tokens, cap_tokens, alloc_tokens, epochs, capped)
+    — epochs = alloc/n_tokens is the replication factor a sampler (e.g.
+    :func:`mix_corpus`) consumes.
+    """
+    from pyspark.sql import Window
+
+    from readability_spark.operators.dedup import round4
+
+    b = float(budget_tokens)
+    counts = docs.groupBy(source_col).agg(
+        F.sum(F.size(F.split("text", " "))).cast("double").alias("n_tokens")
+    )
+    wo = Window.orderBy("cap_tokens", source_col)
+    wall = Window.partitionBy()
+    step1 = (
+        counts.withColumn("cap_tokens", F.col("n_tokens") * F.lit(float(epoch_cap)))
+        .withColumn("j", F.row_number().over(wo))
+        .withColumn("s", F.sum("cap_tokens").over(wo))
+        .withColumn("k", F.count("*").over(wall))
+    )
+    flag = (F.col("cap_tokens") * (F.col("k") - F.col("j") + 1)) <= (
+        F.lit(b) - (F.col("s") - F.col("cap_tokens"))
+    )
+    step2 = step1.withColumn(
+        "t", F.max(F.when(flag, F.col("j")).otherwise(0)).over(wall)
+    ).withColumn(
+        "s_t",
+        F.coalesce(
+            F.max(F.when(F.col("j") == F.col("t"), F.col("s"))).over(wall),
+            F.lit(0.0),
+        ),
+    )
+    lam = F.when(
+        F.col("k") > F.col("t"),
+        (F.lit(b) - F.col("s_t")) / (F.col("k") - F.col("t")),
+    )
+    alloc = F.least(F.col("cap_tokens"), F.coalesce(lam, F.col("cap_tokens")))
+    return step2.select(
+        F.col(source_col).alias("domain"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        round4(F.col("cap_tokens")).alias("cap_tokens"),
+        round4(alloc).alias("alloc_tokens"),
+        round4(alloc / F.col("n_tokens")).alias("epochs"),
+        (F.col("j") <= F.col("t")).alias("capped"),
+    )
+
+
 DEFAULT_SPLITS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
 
 

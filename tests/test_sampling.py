@@ -280,3 +280,49 @@ def test_split_leakage_audit_fractions_and_invariant(spark):
     assert abs(rows["train"].n_docs / n_docs - 0.9) < 0.08
     for r in rows.values():
         assert r.n_clustered_docs >= r.n_clusters
+
+
+def _waterfill_bruteforce(caps, budget):
+    """Independent reference: bisect the water level lambda so that
+    sum(min(cap, lambda)) == budget (all-capped when budget >= sum)."""
+    if budget >= sum(caps) - 1e-9:
+        return list(caps)
+    lo, hi = 0.0, max(caps)
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if sum(min(c, mid) for c in caps) < budget:
+            lo = mid
+        else:
+            hi = mid
+    return [min(c, hi) for c in caps]
+
+
+def test_unimax_matches_bruteforce_waterfilling(spark):
+    from readability_spark.operators.sampling import unimax_allocation
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for budget, epoch_cap in [(52000.0, 2.0), (10000.0, 2.0), (10**9, 3.0)]:
+        rows = sorted(
+            unimax_allocation(docs, budget, epoch_cap).collect(),
+            key=lambda r: (r.cap_tokens, r.domain),
+        )
+        caps = [r.cap_tokens for r in rows]
+        ref = _waterfill_bruteforce(caps, budget)
+        for r, expect in zip(rows, ref):
+            assert abs(r.alloc_tokens - expect) < 1e-3, (budget, r, expect)
+            assert r.capped == (abs(r.alloc_tokens - r.cap_tokens) < 1e-6)
+            assert abs(r.epochs - r.alloc_tokens / r.n_tokens) < 1e-3
+            assert r.epochs <= epoch_cap + 1e-9
+        # allocations exhaust exactly min(budget, total cap)
+        assert abs(sum(r.alloc_tokens for r in rows) - min(budget, sum(caps))) < 1e-2
+
+
+def test_unimax_uniform_when_uncapped(spark):
+    from readability_spark.operators.sampling import unimax_allocation
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = unimax_allocation(docs, budget_tokens=5000.0, epoch_cap=10.0).collect()
+    # tiny budget, huge cap: perfectly uniform shares, nobody capped
+    assert all(not r.capped for r in rows)
+    share = 5000.0 / len(rows)
+    assert all(abs(r.alloc_tokens - share) < 1e-6 for r in rows)
