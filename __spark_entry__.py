@@ -726,6 +726,16 @@ def _q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return soft_dedup_weights(with_injected_duplicates(_docs(spark, sf_dir)), alpha=0.5)
 
 
+def _q_domain_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes per-domain quality reputation: method-of-moments
+    Beta prior over per-source good-doc rates (good = rounded composite
+    quality >= 0.55), posterior-mean shrinkage per domain. Oracle mirrors
+    the gate, the moment windows, and the degenerate-variance fallback."""
+    from readability_spark.operators.textstats import domain_quality_prior
+
+    return domain_quality_prior(_docs(spark, sf_dir))
+
+
 def _q_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax budget allocation across sources: waterfilling a 52k-token
     budget at epoch cap 2.0 — at sf0.01 this lands in the mixed regime
@@ -1410,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_ppl_adaptive": _q_lm_ppl_adaptive,
         "domain_mix_doremi": _q_domain_mix_doremi,
         "unimax_alloc": _q_unimax_alloc,
+        "domain_quality_prior": _q_domain_quality_prior,
         "split_dedup_safe": _q_split_dedup_safe,
         "dedup_soft_weights": _q_dedup_soft_weights,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2577,6 +2588,42 @@ r AS (
 SELECT doc_id, n_feats::bigint AS n_feats, {_r4("logw")} AS logw,
        {_r4("gkey")} AS gkey, rank::int AS rank
 FROM r WHERE rank <= {k}
+"""
+
+
+def _domain_prior_oracle(threshold: float = 0.55) -> str:
+    """Mirror of textstats.domain_quality_prior: the good-doc gate
+    compares the round4-floored quality composite (bit-exact across
+    engines) to the threshold; moments and Beta shrinkage are the same
+    window arithmetic over the K-row domain table, with the identical
+    1e-12 variance guard and flat-Beta(1,1) fallback."""
+    toks = "string_split(text, ' ')"
+    quality = _r4(
+        f"0.4::double * least(1.0::double, len({toks}) / 64.0) "
+        f"+ 0.3::double * least(1.0::double, ({_EN_HITS} / len({toks})::double) * 4) "
+        f"+ 0.3::double * (len(list_distinct({toks})) / len({toks})::double)"
+    )
+    s_raw = "(m * (1.0 - m) / (v - m * m) - 1.0)"
+    ok = f"((v - m * m) > 1e-12 AND {s_raw} > 0.0)"
+    s = f"CASE WHEN {ok} THEN {s_raw} ELSE 2.0 END"
+    alpha = f"CASE WHEN {ok} THEN m * {s_raw} ELSE 1.0 END"
+    return f"""
+WITH per AS (
+  SELECT source AS domain, count(*)::bigint AS n_docs,
+         sum(CASE WHEN {quality} >= {threshold!r} THEN 1 ELSE 0 END)::bigint AS n_good
+  FROM documents GROUP BY 1),
+mo AS (
+  SELECT domain, n_docs, n_good,
+         n_good / n_docs::double AS p,
+         avg(n_good / n_docs::double) OVER () AS m,
+         avg((n_good / n_docs::double) * (n_good / n_docs::double)) OVER () AS v
+  FROM per)
+SELECT domain, n_docs, n_good,
+       {_r4('p')} AS raw_rate,
+       {_r4(f'(n_good + {alpha}) / (n_docs + {s})')} AS shrunk_rate,
+       {_r4(alpha)} AS prior_alpha,
+       {_r4(f'({s}) - ({alpha})')} AS prior_beta
+FROM mo
 """
 
 
@@ -4539,6 +4586,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_ppl_adaptive": _lm_adaptive_oracle(),
         "domain_mix_doremi": _doremi_oracle(),
         "unimax_alloc": _unimax_oracle(),
+        "domain_quality_prior": _domain_prior_oracle(),
         "split_dedup_safe": _split_oracle(),
         "dedup_soft_weights": _soft_weights_oracle(),
         "dedup_keep_best": _keep_best_oracle(),

@@ -439,3 +439,62 @@ def token_drift(docs: DataFrame, k: int = 25) -> DataFrame:
         .orderBy(F.abs(F.col("drift_micro")).desc(), F.col("tok").asc())
         .limit(k)
     )
+
+
+def domain_quality_prior(docs: DataFrame, threshold: float = 0.55) -> DataFrame:
+    """Empirical-Bayes per-domain quality prior: shrink each domain's
+    observed good-doc rate toward the corpus-level Beta prior fit by
+    method of moments — the calibrated per-site reputation a crawl
+    filter should use instead of raw rates (a domain with 3/4 good pages
+    must not outrank one with 900/1000; shrinkage fixes exactly that).
+
+    A doc is "good" iff its round4-floored composite quality (see
+    :func:`quality_score`) >= ``threshold`` — comparing the rounded
+    value keeps the gate bit-exact across engines. With per-domain
+    (n_k, k_k) and rates p_k, the moment estimates m = avg(p),
+    v = avg(p^2) - m^2 give prior strength s = m(1-m)/v - 1
+    (alpha = m*s, beta = (1-m)*s); degenerate corpora (v ~ 0 or s <= 0)
+    fall back to the flat Beta(1,1). Posterior mean per domain:
+    (k_k + alpha) / (n_k + s).
+
+    Scale shape: one corpus scan -> map-side-combined groupBy(domain)
+    for (n, k); every moment/shrinkage step after that is window
+    arithmetic over the K-row DOMAIN table (driver-sized frame). At
+    10^12 docs the cost is the quality projection + one K-group agg.
+
+    Output: (domain, n_docs, n_good, raw_rate, shrunk_rate,
+    prior_alpha, prior_beta) — prior columns constant across rows.
+    """
+    from pyspark.sql import Window
+
+    q = quality_score(docs).select("doc_id", "quality")
+    d = docs.select("doc_id", F.col("source").alias("domain")).join(q, "doc_id")
+    per = d.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("quality") >= F.lit(float(threshold))).cast("int"))
+        .cast("bigint")
+        .alias("n_good"),
+    )
+    wall = Window.partitionBy()
+    p = F.col("n_good") / F.col("n_docs")
+    step = (
+        per.withColumn("p", p)
+        .withColumn("m", F.avg("p").over(wall))
+        .withColumn("v", F.avg(F.col("p") * F.col("p")).over(wall))
+    )
+    var = F.col("v") - F.col("m") * F.col("m")
+    s_raw = F.col("m") * (F.lit(1.0) - F.col("m")) / var - F.lit(1.0)
+    # flat Beta(1,1) when moments degenerate (near-zero variance or s<=0)
+    ok = (var > F.lit(1e-12)) & (s_raw > F.lit(0.0))
+    s = F.when(ok, s_raw).otherwise(F.lit(2.0))
+    alpha = F.when(ok, F.col("m") * s_raw).otherwise(F.lit(1.0))
+    beta = s - alpha
+    return step.select(
+        "domain",
+        "n_docs",
+        "n_good",
+        round4(F.col("p")).alias("raw_rate"),
+        round4((F.col("n_good") + alpha) / (F.col("n_docs") + s)).alias("shrunk_rate"),
+        round4(alpha).alias("prior_alpha"),
+        round4(beta).alias("prior_beta"),
+    )

@@ -157,3 +157,42 @@ def test_token_drift_flags_slice_exclusive_tokens(spark):
     assert drift["aaa"] > 0  # over-represented in A
     assert drift["bbb"] < 0 or abs(drift["bbb"]) > 0  # under-represented in A
     assert abs(drift.get("ccc", 0.0)) < abs(drift["aaa"])
+
+
+def test_domain_quality_prior_matches_reference(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = {r.domain: r for r in textstats.domain_quality_prior(docs).collect()}
+    # independent reference of the moments + posterior math
+    qs = {r.doc_id: r.quality for r in textstats.quality_score(docs).collect()}
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    per = {}
+    for did, s in src.items():
+        n, k = per.get(s, (0, 0))
+        per[s] = (n + 1, k + (1 if qs[did] >= 0.55 else 0))
+    ps = [k / n for n, k in per.values()]
+    m = sum(ps) / len(ps)
+    v = sum(p * p for p in ps) / len(ps) - m * m
+    s_raw = m * (1.0 - m) / v - 1.0
+    assert v > 1e-12 and s_raw > 0  # this corpus exercises the live path
+    alpha = m * s_raw
+    for dom, (n, k) in per.items():
+        r = rows[dom]
+        assert (r.n_docs, r.n_good) == (n, k)
+        expect = (k + alpha) / (n + s_raw)
+        assert abs(r.shrunk_rate - expect) < 1e-3, (dom, r.shrunk_rate, expect)
+        # shrinkage pulls toward the prior mean without crossing it
+        lo, hi = sorted((k / n, m))
+        assert lo - 1e-9 <= r.shrunk_rate <= hi + 1e-9
+
+
+def test_domain_quality_prior_flat_fallback_on_constant_rates(spark):
+    # every domain has the identical rate -> zero variance -> Beta(1,1)
+    docs = spark.createDataFrame(
+        [(i, "word " * 10, "en", f"s{i % 4}", 50) for i in range(40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = textstats.domain_quality_prior(docs).collect()
+    assert all(r.prior_alpha == 1.0 and r.prior_beta == 1.0 for r in rows)
+    for r in rows:
+        expect = (r.n_good + 1.0) / (r.n_docs + 2.0)
+        assert abs(r.shrunk_rate - expect) < 1e-3
