@@ -726,6 +726,15 @@ def _q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return soft_dedup_weights(with_injected_duplicates(_docs(spark, sf_dir)), alpha=0.5)
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5/XLM-R-style temperature sampling at tau=0.3 over the same 52k
+    budget as unimax_alloc — proportional-to-n^tau shares, flattened
+    toward uniform. Oracle mirrors the power/normalize windows."""
+    from readability_spark.operators.sampling import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir), budget_tokens=52000.0, tau=0.3)
+
+
 def _q_domain_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical-Bayes per-domain quality reputation: method-of-moments
     Beta prior over per-source good-doc rates (good = rounded composite
@@ -1420,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_ppl_adaptive": _q_lm_ppl_adaptive,
         "domain_mix_doremi": _q_domain_mix_doremi,
         "unimax_alloc": _q_unimax_alloc,
+        "temperature_mix": _q_temperature_mix,
         "domain_quality_prior": _q_domain_quality_prior,
         "split_dedup_safe": _q_split_dedup_safe,
         "dedup_soft_weights": _q_dedup_soft_weights,
@@ -1848,6 +1858,27 @@ SELECT domain, n_tokens::bigint AS n_tokens,
        {_r4(f'({alloc}) / n_tokens')} AS epochs,
        j <= t AS capped
 FROM s3
+"""
+
+
+def _temperature_mix_oracle(budget: float = 52000.0, tau: float = 0.3) -> str:
+    """Mirror of sampling.temperature_mix: pow(n, tau) shares normalized
+    by a window sum over the K-row domain table."""
+    return f"""
+WITH c AS (
+  SELECT source AS domain,
+         sum(len(string_split(text, ' ')))::double AS n_tokens
+  FROM documents GROUP BY 1),
+s AS (
+  SELECT domain, n_tokens,
+         pow(n_tokens, {tau!r}) / sum(pow(n_tokens, {tau!r})) OVER () AS share
+  FROM c)
+SELECT domain, n_tokens::bigint AS n_tokens,
+       {_r4('share')} AS share,
+       {_r4(f'share * {budget!r}')} AS alloc_tokens,
+       {_r4(f'share * {budget!r} / n_tokens')} AS epochs,
+       share * {budget!r} > n_tokens AS oversampled
+FROM s
 """
 
 
@@ -4586,6 +4617,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_ppl_adaptive": _lm_adaptive_oracle(),
         "domain_mix_doremi": _doremi_oracle(),
         "unimax_alloc": _unimax_oracle(),
+        "temperature_mix": _temperature_mix_oracle(),
         "domain_quality_prior": _domain_prior_oracle(),
         "split_dedup_safe": _split_oracle(),
         "dedup_soft_weights": _soft_weights_oracle(),

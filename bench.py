@@ -183,6 +183,12 @@ def main() -> int:
         "chunk_sliding",
         "token_drift",
         "key_skew_report",
+        "lm_ppl_adaptive",
+        "dedup_soft_weights",
+        "domain_mix_doremi",
+        "unimax_alloc",
+        "domain_quality_prior",
+        "split_dedup_safe",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

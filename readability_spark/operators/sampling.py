@@ -194,6 +194,51 @@ def unimax_allocation(
     )
 
 
+def temperature_mix(
+    docs: DataFrame,
+    budget_tokens: float,
+    tau: float = 0.3,
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-based domain sampling (the multilingual-pretraining
+    standard before UniMax — mT5/XLM-R style): allocate the token budget
+    proportionally to n_k^tau, flattening the natural distribution
+    (tau=1: proportional; tau=0: uniform). The third published mixing
+    strategy next to :func:`unimax_allocation` (fairness-capped) and the
+    Group-DRO reweighting (loss-driven) — a pipeline should offer all
+    three.
+
+    One map-side-combined token-count groupBy, then pure window
+    arithmetic over the K-row domain table (driver-sized frame).
+
+    Output: (domain, n_tokens, share, alloc_tokens, epochs, oversampled)
+    — ``oversampled`` marks domains whose allocation exceeds one epoch
+    of their data (the replication a sampler must apply).
+    """
+    from pyspark.sql import Window
+
+    from readability_spark.operators.dedup import round4
+
+    b = float(budget_tokens)
+    counts = docs.groupBy(source_col).agg(
+        F.sum(F.size(F.split("text", " "))).cast("double").alias("n_tokens")
+    )
+    wall = Window.partitionBy()
+    powed = F.pow(F.col("n_tokens"), F.lit(float(tau)))
+    step = counts.withColumn("w", powed).withColumn(
+        "share", F.col("w") / F.sum("w").over(wall)
+    )
+    alloc = F.col("share") * F.lit(b)
+    return step.select(
+        F.col(source_col).alias("domain"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        round4(F.col("share")).alias("share"),
+        round4(alloc).alias("alloc_tokens"),
+        round4(alloc / F.col("n_tokens")).alias("epochs"),
+        (alloc > F.col("n_tokens")).alias("oversampled"),
+    )
+
+
 DEFAULT_SPLITS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
 
 

@@ -326,3 +326,33 @@ def test_unimax_uniform_when_uncapped(spark):
     assert all(not r.capped for r in rows)
     share = 5000.0 / len(rows)
     assert all(abs(r.alloc_tokens - share) < 1e-6 for r in rows)
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    from readability_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    by_tau = {}
+    for tau in (0.0, 0.3, 1.0):
+        rows = temperature_mix(docs, budget_tokens=50000.0, tau=tau).collect()
+        assert abs(sum(r.share for r in rows) - 1.0) < len(rows) * 5e-5
+        assert abs(sum(r.alloc_tokens for r in rows) - 50000.0) < 1.0
+        by_tau[tau] = {r.domain: r for r in rows}
+    k = len(by_tau[0.0])
+    # tau=0 is exactly uniform; tau=1 proportional to n_tokens
+    assert all(abs(r.share - 1.0 / k) < 1e-3 for r in by_tau[0.0].values())
+    tot = sum(r.n_tokens for r in by_tau[1.0].values())
+    for d, r in by_tau[1.0].items():
+        assert abs(r.share - r.n_tokens / tot) < 1e-3
+    # intermediate tau sits between: spread(0) <= spread(0.3) <= spread(1)
+    def spread(rows):
+        shares = [r.share for r in rows.values()]
+        return max(shares) - min(shares)
+
+    assert spread(by_tau[0.0]) <= spread(by_tau[0.3]) <= spread(by_tau[1.0])
+    # oversample flag is exactly alloc > n_tokens
+    for rows in by_tau.values():
+        for r in rows.values():
+            assert r.oversampled == (r.alloc_tokens > r.n_tokens) or abs(
+                r.alloc_tokens - r.n_tokens
+            ) < 1.0
