@@ -187,6 +187,7 @@ def main() -> int:
         "dedup_soft_weights",
         "domain_mix_doremi",
         "unimax_alloc",
+        "temperature_mix",
         "domain_quality_prior",
         "split_dedup_safe",
     ):

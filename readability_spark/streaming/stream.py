@@ -155,6 +155,41 @@ def stream_cms_counts(
     return spark.table(out_table)
 
 
+def stream_quantile_bins(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    out_table: str = "stream_qbins",
+) -> DataFrame:
+    """Streaming log2 quantile histogram: the (grp, bin_lo, bin_hi, n)
+    REGISTER TABLE is the stateful aggregate — counts are mergeable, so
+    state stays ≤ ~260 rows per group however many documents stream in
+    (the DDSketch property carried into Structured Streaming, same
+    shape as the streamed HLL registers and CMS cells). Quantile reads
+    (quantile_histogram_estimates) stay a stateless view over the sink,
+    so the streamed sketch is verifiable register-for-register against
+    the batch quantile_bins."""
+    import os
+
+    src_dir = os.path.join(checkpoint_dir + "_src", "documents")
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch.write.mode("overwrite").parquet(src_dir)
+    from readability_spark.operators.sketches import quantile_bins
+
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    bins = quantile_bins(stream, "lang", "n_chars")
+    query = (
+        bins.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(out_table)
+
+
 def user_sessions_batch(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
     """Gap-based session windows per user (batch form; oracle-checkable —
     a session closes after `gap` of inactivity, Spark's session_window)."""

@@ -500,3 +500,22 @@ def test_streaming_cms_table_matches_batch(spark, tmp_path):
     got = {(r["j"], r["bucket"]): r["n"] for r in streamed.collect()}
     assert got == batch
     assert len(got) <= 4 * 4096
+
+
+def test_streaming_quantile_bins_match_batch(spark, tmp_path):
+    """The streamed log2 histogram carries EXACTLY the batch register
+    table as state (mergeable counts per (grp, bin))."""
+    from readability_spark.operators.sketches import quantile_bins
+    from readability_spark.streaming.stream import stream_quantile_bins
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    batch = {
+        (r["grp"], r["bin_lo"], r["bin_hi"]): r["n"]
+        for r in quantile_bins(docs, "lang", "n_chars").collect()
+    }
+    streamed = stream_quantile_bins(spark, sf, str(tmp_path / "ckpt"))
+    got = {
+        (r["grp"], r["bin_lo"], r["bin_hi"]): r["n"] for r in streamed.collect()
+    }
+    assert got == batch and len(got) > 10
