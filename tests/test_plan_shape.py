@@ -378,3 +378,29 @@ def test_token_drift_one_shuffle_topk_no_global_sort(spark):
     assert plan.count("Exchange hashpartitioning") == 0, plan
     assert "ExistingRDD" in plan, plan
     assert "\nSort" not in plan, plan
+
+
+def test_domain_mixers_single_partition_only_on_k_rows(spark):
+    """unimax/temperature/prior: corpus work is ONE map-side-combined
+    groupBy(domain); the SinglePartition exchange (the K-row window
+    frame) sits strictly above that partial aggregate, so the corpus
+    never funnels through one task."""
+    from readability_spark.operators.sampling import (
+        temperature_mix,
+        unimax_allocation,
+    )
+    from readability_spark.operators.textstats import domain_quality_prior
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (
+        unimax_allocation(docs, 50000.0, 2.0),
+        temperature_mix(docs, 50000.0, 0.3),
+        domain_quality_prior(docs),
+    ):
+        plan = plan_of(df)
+        assert plan.count("Exchange SinglePartition") == 1, plan
+        # map-side combine before any exchange: partial count/sum present
+        assert "partial_" in plan, plan
+        # the single-partition section must come AFTER the domain groupBy
+        sp = plan.index("Exchange SinglePartition")
+        assert "partial_" in plan[sp:], plan
