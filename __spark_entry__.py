@@ -726,6 +726,21 @@ def _q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return soft_dedup_weights(with_injected_duplicates(_docs(spark, sf_dir)), alpha=0.5)
 
 
+_QUOTAS = {"en": 120, "es": 40, "de": 40, "zh": 100}
+
+
+def _q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quota sampling for eval-set construction:
+    exactly min(quota, n_lang) docs per stratum in unit-hash order (zh
+    quota 100 > its 75 docs at sf0.01, exercising the exhausted-stratum
+    path; fr is unlisted and dropped). Oracle ranks the same md5 unit
+    hash single-phase; the salted two-phase Spark rank must match it
+    row-for-row."""
+    from readability_spark.operators.sampling import quota_sample
+
+    return quota_sample(_docs(spark, sf_dir), _QUOTAS)
+
+
 def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mT5/XLM-R-style temperature sampling at tau=0.3 over the same 52k
     budget as unimax_alloc — proportional-to-n^tau shares, flattened
@@ -1430,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_doremi": _q_domain_mix_doremi,
         "unimax_alloc": _q_unimax_alloc,
         "temperature_mix": _q_temperature_mix,
+        "quota_sample": _q_quota_sample,
         "domain_quality_prior": _q_domain_quality_prior,
         "split_dedup_safe": _q_split_dedup_safe,
         "dedup_soft_weights": _q_dedup_soft_weights,
@@ -1858,6 +1874,27 @@ SELECT domain, n_tokens::bigint AS n_tokens,
        {_r4(f'({alloc}) / n_tokens')} AS epochs,
        j <= t AS capped
 FROM s3
+"""
+
+
+def _quota_sample_oracle(quotas: dict = None) -> str:
+    """Mirror of sampling.quota_sample: md5 unit hash ranked single-phase
+    per stratum (the salted two-phase form is rank-equivalent by the
+    top-k containment argument), cut at the per-stratum quota."""
+    quotas = quotas or _QUOTAS
+    qcase = "CASE " + " ".join(
+        f"WHEN lang = '{v}' THEN {int(q)}" for v, q in sorted(quotas.items())
+    ) + " END"
+    u = f"({_h32_sql(tok='doc_id::varchar')}) / 4294967296.0"
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang AS stratum, {u} AS u, {qcase} AS q
+  FROM documents WHERE {qcase} IS NOT NULL),
+r AS (
+  SELECT doc_id, stratum, u, q,
+         row_number() OVER (PARTITION BY stratum ORDER BY u, doc_id) AS rk
+  FROM b)
+SELECT doc_id, stratum, u, rk::int AS rk FROM r WHERE rk <= q
 """
 
 
@@ -4618,6 +4655,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix_doremi": _doremi_oracle(),
         "unimax_alloc": _unimax_oracle(),
         "temperature_mix": _temperature_mix_oracle(),
+        "quota_sample": _quota_sample_oracle(),
         "domain_quality_prior": _domain_prior_oracle(),
         "split_dedup_safe": _split_oracle(),
         "dedup_soft_weights": _soft_weights_oracle(),

@@ -194,6 +194,56 @@ def unimax_allocation(
     )
 
 
+def quota_sample(
+    docs: DataFrame,
+    quotas: "dict[str, int]",
+    stratum_col: str = "lang",
+    n_salts: int = 16,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-stratum quota sampling — the eval-set builder: EXACTLY
+    min(quota, n_stratum) docs per stratum (rate sampling can't promise a
+    count), selected in unit-hash order so the choice is deterministic on
+    any partitioning AND minimally churning as the corpus grows: a doc
+    leaves the sample only if enough lower-hash docs arrive to push it
+    past the quota.
+
+    Strata absent from ``quotas`` are dropped. Salted two-phase rank
+    (the domain_top_k shape, snapshots.py:45): phase 1 ranks within
+    (stratum, key % n_salts) — bounded partitions — and keeps quota per
+    salt; phase 2 ranks the <= quota*n_salts survivors per stratum.
+    Correct because a row outside its salt group's top-quota cannot be
+    in the stratum's top-quota; no 10^9-doc stratum ever sorts in one
+    task.
+
+    Output: (doc_id, stratum, u, rk) with rk the 1-based hash rank.
+    """
+    from pyspark.sql import Window
+
+    quota_expr: Column = F.lit(None).cast("int")
+    for value, q in sorted(quotas.items()):
+        quota_expr = F.when(F.col("stratum") == value, F.lit(int(q))).otherwise(
+            quota_expr
+        )
+    base = (
+        docs.select(key_col, F.col(stratum_col).alias("stratum"))
+        .withColumn("u", unit_hash(key_col))
+        .withColumn("_q", quota_expr)
+        .filter(F.col("_q").isNotNull())
+    )
+    order = [F.col("u").asc(), F.col(key_col).asc()]
+    w1 = Window.partitionBy("stratum", F.col(key_col) % n_salts).orderBy(*order)
+    phase1 = base.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= F.col("_q")
+    )
+    w2 = Window.partitionBy("stratum").orderBy(*order)
+    return (
+        phase1.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= F.col("_q"))
+        .select(key_col, "stratum", "u", "rk")
+    )
+
+
 def temperature_mix(
     docs: DataFrame,
     budget_tokens: float,

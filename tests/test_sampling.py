@@ -356,3 +356,37 @@ def test_temperature_mix_flattens_toward_uniform(spark):
             assert r.oversampled == (r.alloc_tokens > r.n_tokens) or abs(
                 r.alloc_tokens - r.n_tokens
             ) < 1.0
+
+
+def test_quota_sample_exact_counts_and_rank_order(spark):
+    from readability_spark.operators.sampling import quota_sample, unit_hash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    quotas = {"en": 50, "es": 30, "zh": 10**6}  # zh quota exceeds its size
+    rows = quota_sample(docs, quotas).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.stratum, []).append(r)
+    assert set(by) == {"en", "es", "zh"}  # unlisted strata dropped
+    for lang, quota in quotas.items():
+        assert len(by[lang]) == min(quota, sizes[lang]), lang
+    # rank = position in (u, doc_id) order; matches a brute-force sort
+    hashes = {
+        r.doc_id: r.u
+        for r in docs.select("doc_id").withColumn("u", unit_hash("doc_id")).collect()
+    }
+    for lang, members in by.items():
+        members.sort(key=lambda r: r.rk)
+        expect = sorted((hashes[r.doc_id], r.doc_id) for r in members)
+        assert [(r.u, r.doc_id) for r in members] == expect
+        assert [r.rk for r in members] == list(range(1, len(members) + 1))
+
+
+def test_quota_sample_is_nested_under_quota_growth(spark):
+    from readability_spark.operators.sampling import quota_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    small = {r.doc_id for r in quota_sample(docs, {"en": 20}).collect()}
+    big = {r.doc_id for r in quota_sample(docs, {"en": 60}).collect()}
+    assert len(small) == 20 and small < big  # growing the quota only adds
