@@ -188,6 +188,7 @@ def main() -> int:
         "domain_mix_doremi",
         "unimax_alloc",
         "temperature_mix",
+        "quota_sample",
         "domain_quality_prior",
         "split_dedup_safe",
     ):
