@@ -808,6 +808,16 @@ def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(with_injected_duplicates(_docs(spark, sf_dir)))
 
 
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: top-10 most-similar cross-label
+    vectors per query, near-duplicates above rounded cosine 0.95
+    excluded. Oracle mirrors the cross-label join, the rounded-cosine
+    cap, and the (cosine DESC, vec_id) rank."""
+    from readability_spark.operators.similarity import hard_negatives, load_embeddings
+
+    return hard_negatives(load_embeddings(spark, sf_dir))
+
+
 def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.similarity import cosine_topk, load_embeddings
 
@@ -1217,6 +1227,24 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity(_docs(spark, sf_dir), head_max=29.0, middle_max=30.5)
 
 
+_BAND_RATES = {"head": 1.0, "middle": 0.5, "tail": 0.1}
+
+
+def _q_ccnet_band_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed CCNet selection step: perplexity-band the corpus
+    (lm_perplexity) then keep head/middle/tail at 1.0/0.5/0.1 via the
+    deterministic unit-hash stratified sampler — two already-verified
+    operators chained as one pipeline stage. The oracle nests the full
+    LM oracle as a CTE and applies the same md5 hash gate."""
+    from readability_spark.operators.lm import lm_perplexity
+    from readability_spark.operators.sampling import stratified_sample
+
+    bands = lm_perplexity(
+        _docs(spark, sf_dir), head_max=29.0, middle_max=30.5
+    ).select("doc_id", "band")
+    return stratified_sample(bands, _BAND_RATES, stratum_col="band")
+
+
 def _q_lm_ppl_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet adaptive banding: per-language percentile cut points computed
     on the 60% deterministic hash sample of the scored corpus, broadcast
@@ -1446,6 +1474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_alloc": _q_unimax_alloc,
         "temperature_mix": _q_temperature_mix,
         "quota_sample": _q_quota_sample,
+        "ann_hard_negatives": _q_hard_negatives,
+        "ccnet_band_sample": _q_ccnet_band_sample,
         "domain_quality_prior": _q_domain_quality_prior,
         "split_dedup_safe": _q_split_dedup_safe,
         "dedup_soft_weights": _q_dedup_soft_weights,
@@ -1898,6 +1928,22 @@ SELECT doc_id, stratum, u, rk::int AS rk FROM r WHERE rk <= q
 """
 
 
+def _ccnet_band_sample_oracle() -> str:
+    """Mirror of the composed CCNet selection: the full lm_perplexity
+    oracle nested as a CTE, then the md5 unit-hash gate at the per-band
+    keep rates."""
+    u = f"({_h32_sql(tok='doc_id::varchar')}) / 4294967296.0"
+    case = "CASE band " + " ".join(
+        f"WHEN '{b}' THEN {r!r}" for b, r in sorted(_BAND_RATES.items())
+    ) + " ELSE 0.0 END"
+    return f"""
+WITH lm AS ({_lm_perplexity_oracle(head_max=29.0, middle_max=30.5)})
+SELECT doc_id, band, u FROM (
+  SELECT doc_id, band, {u} AS u, {case} AS r FROM lm) t
+WHERE u < r
+"""
+
+
 def _temperature_mix_oracle(budget: float = 52000.0, tau: float = 0.3) -> str:
     """Mirror of sampling.temperature_mix: pow(n, tau) shares normalized
     by a window sum over the K-row domain table."""
@@ -2055,6 +2101,28 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, rank, vec_id, cosine_q8 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _hard_negatives_oracle(
+    n_queries: int = 5, k: int = 10, sim_cap: float = 0.95
+) -> str:
+    """Mirror of similarity.hard_negatives: cross-label candidates, the
+    round4-floored cosine capped at sim_cap, rank (cosine DESC, vec_id)."""
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding
+           FROM embeddings WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, v.vec_id, v.label AS neg_label, {_COSINE} AS cosine
+  FROM embeddings v, q WHERE v.label != q.q_label
+),
+ranked AS (
+  SELECT query_id, vec_id, neg_label, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored WHERE cosine <= {sim_cap!r}
+)
+SELECT query_id, rank, vec_id, neg_label, cosine FROM ranked WHERE rank <= {k}
 """
 
 
@@ -4656,6 +4724,8 @@ def oracle_sql() -> dict[str, str]:
         "unimax_alloc": _unimax_oracle(),
         "temperature_mix": _temperature_mix_oracle(),
         "quota_sample": _quota_sample_oracle(),
+        "ann_hard_negatives": _hard_negatives_oracle(),
+        "ccnet_band_sample": _ccnet_band_sample_oracle(),
         "domain_quality_prior": _domain_prior_oracle(),
         "split_dedup_safe": _split_oracle(),
         "dedup_soft_weights": _soft_weights_oracle(),

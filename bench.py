@@ -189,6 +189,8 @@ def main() -> int:
         "unimax_alloc",
         "temperature_mix",
         "quota_sample",
+        "ann_hard_negatives",
+        "ccnet_band_sample",
         "domain_quality_prior",
         "split_dedup_safe",
     ):

@@ -104,6 +104,51 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    sim_cap: float = 0.95,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the k
+    most-similar vectors from a DIFFERENT label class, excluding
+    near-duplicates above ``sim_cap`` (a >0.95-cosine cross-label pair is
+    almost surely a mislabeled positive, the classic false-negative trap
+    in contrastive training). The cap compares the round4-floored cosine,
+    so the gate is bit-exact across engines.
+
+    Same plan shape as :func:`cosine_topk` — broadcast(queries+labels) ×
+    one scan of the corpus, per-row JVM dot product, window top-k (the
+    window partitions by query, n_queries rows of state). At 10^12
+    vectors: the only shuffle is the top-k.
+
+    Output: (query_id, rank, vec_id, neg_label, cosine).
+    """
+    from pyspark.sql.window import Window
+
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    joined = emb.join(F.broadcast(q), F.col("label") != F.col("q_label"))
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        round4(
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (_norm(F.col("q_emb")) * _norm(F.col("embedding")))
+        ).alias("cosine"),
+    ).filter(F.col("cosine") <= F.lit(float(sim_cap)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "neg_label", "cosine")
+    )
+
+
 def quantize_int8(emb_col):
     """Symmetric per-vector int8 quantization: ``scale = max|x_i|``,
     ``q_i = floor(x_i / scale * 127 + 0.5)`` ∈ [-127, 127]. Half-up via the

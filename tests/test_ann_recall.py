@@ -2,6 +2,8 @@
 table-size-derived plane count, multi-probe — measured against the exact
 brute-force top-k."""
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -156,3 +158,34 @@ def test_int8_plan_broadcasts_queries(spark):
         int8_cosine_topk(emb)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_hard_negatives_match_bruteforce_cross_label(spark):
+    import numpy as np
+
+    from readability_spark.operators.similarity import hard_negatives, load_embeddings
+
+    emb = load_embeddings(spark, "/root/testdata/sf0.001")
+    rows = hard_negatives(emb, n_queries=3, k=5, sim_cap=0.95).collect()
+    data = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label)
+            for r in emb.collect()}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, got in by_q.items():
+        got.sort(key=lambda r: r.rank)
+        qv, qlab = data[qid]
+        # brute force with the SAME round4 floor the operator applies
+        cand = []
+        for vid, (v, lab) in data.items():
+            if lab == qlab:
+                continue
+            c = float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            c = math.floor(c * 10000.0 + 0.5) / 10000.0
+            if c <= 0.95:
+                cand.append((-c, vid))
+        cand.sort()
+        expect = [(vid, -negc) for negc, vid in cand[:5]]
+        assert [(r.vec_id, r.cosine) for r in got] == expect
+        assert all(data[r.vec_id][1] != qlab and r.neg_label != qlab for r in got)
