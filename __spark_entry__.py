@@ -713,6 +713,18 @@ def _q_domain_mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mix_report(feats, lr=0.5, eta=4.0, smoothing=0.05, n_iter=8)
 
 
+def _q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror/syndication report over the injected-duplicate corpus:
+    verified near-dup pairs aggregated by unordered source pair. Oracle
+    joins the same pairs CTE to the corpus on both endpoints."""
+    from readability_spark.operators.dedup import (
+        near_dup_source_matrix,
+        with_injected_duplicates,
+    )
+
+    return near_dup_source_matrix(with_injected_duplicates(_docs(spark, sf_dir)))
+
+
 def _q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SoftDeDup-style reweighting over the injected-duplicate corpus:
     every doc keeps weight cluster_size^-0.5 (unique docs 1.0). Oracle
@@ -1476,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": _q_quota_sample,
         "ann_hard_negatives": _q_hard_negatives,
         "ccnet_band_sample": _q_ccnet_band_sample,
+        "dup_source_matrix": _q_dup_source_matrix,
         "domain_quality_prior": _q_domain_quality_prior,
         "split_dedup_safe": _q_split_dedup_safe,
         "dedup_soft_weights": _q_dedup_soft_weights,
@@ -1839,6 +1852,23 @@ lbl AS (SELECT v AS doc_id, min(n) AS cluster_id FROM walk GROUP BY v),
 sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1)
 SELECT l.doc_id, l.cluster_id, sz.cluster_size::int AS cluster_size
 FROM lbl l JOIN sz USING (cluster_id)
+"""
+
+
+def _dup_source_matrix_oracle() -> str:
+    """Mirror of dedup.near_dup_source_matrix: the shared pairs CTE
+    joined to the injected-dup corpus on both endpoints, grouped by the
+    unordered source pair."""
+    return f"""
+WITH {_minhash_pairs_ctes()}
+SELECT least(a.source, b.source) AS source_lo,
+       greatest(a.source, b.source) AS source_hi,
+       count(*)::bigint AS n_pairs,
+       {_r4('avg(p.jaccard)')} AS avg_jaccard
+FROM pairs p
+JOIN dup a ON a.doc_id = p.id_a
+JOIN dup b ON b.doc_id = p.id_b
+GROUP BY 1, 2
 """
 
 
@@ -4726,6 +4756,7 @@ def oracle_sql() -> dict[str, str]:
         "quota_sample": _quota_sample_oracle(),
         "ann_hard_negatives": _hard_negatives_oracle(),
         "ccnet_band_sample": _ccnet_band_sample_oracle(),
+        "dup_source_matrix": _dup_source_matrix_oracle(),
         "domain_quality_prior": _domain_prior_oracle(),
         "split_dedup_safe": _split_oracle(),
         "dedup_soft_weights": _soft_weights_oracle(),

@@ -191,6 +191,7 @@ def main() -> int:
         "quota_sample",
         "ann_hard_negatives",
         "ccnet_band_sample",
+        "dup_source_matrix",
         "domain_quality_prior",
         "split_dedup_safe",
     ):

@@ -634,6 +634,34 @@ def canonical_survivors(docs: DataFrame) -> DataFrame:
     )
 
 
+def near_dup_source_matrix(docs: DataFrame) -> DataFrame:
+    """Mirror/syndication detection: aggregate the verified near-dup pairs
+    by the UNORDERED pair of sources they connect — the report that tells
+    a crawl operator which hosts copy from which (a hot off-diagonal cell
+    is a mirror or syndication feed; the diagonal is within-site
+    duplication). Scale shape: the pair table (candidate-bounded, far
+    smaller than the corpus) joins the slim (doc_id, source) projection
+    on each endpoint — two doc_id-keyed hash joins — then one map-side-
+    combined groupBy over at most K^2 source cells.
+
+    Output: (source_lo, source_hi, n_pairs, avg_jaccard).
+    """
+    pairs = minhash_lsh_pairs(docs)
+    s = docs.select("doc_id", "source")
+    j = pairs.join(
+        s.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a"
+    ).join(
+        s.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b"
+    )
+    return j.groupBy(
+        F.least("sa", "sb").alias("source_lo"),
+        F.greatest("sa", "sb").alias("source_hi"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        round4(F.avg("jaccard")).alias("avg_jaccard"),
+    )
+
+
 def soft_dedup_weights(docs: DataFrame, alpha: float = 1.0) -> DataFrame:
     """Duplicate-aware *soft* dedup (SlimPajama/SoftDeDup-style): instead of
     dropping near-duplicates, keep every document and down-weight each

@@ -380,3 +380,32 @@ def test_dedup_eval_recall_report(spark):
     assert row["recall"] == 1.0
     assert row["n_discovered"] >= row["n_truth"]
     assert row["n_extra"] == row["n_discovered"] - row["n_truth_found"]
+
+
+def test_source_matrix_aggregates_pairs_exactly(spark):
+    from readability_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_source_matrix,
+        with_injected_duplicates,
+    )
+
+    docs = with_injected_duplicates(spark.read.parquet(f"{SF}/documents.parquet"))
+    pairs = minhash_lsh_pairs(docs).collect()
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    expect: dict = {}
+    for p in pairs:
+        key = tuple(sorted((src[p.id_a], src[p.id_b])))
+        n, tot = expect.get(key, (0, 0.0))
+        expect[key] = (n + 1, tot + p.jaccard)
+    got = {
+        (r.source_lo, r.source_hi): r
+        for r in near_dup_source_matrix(docs).collect()
+    }
+    assert set(got) == set(expect) and expect
+    for key, (n, tot) in expect.items():
+        assert got[key].n_pairs == n
+        assert got[key].avg_jaccard == pytest.approx(
+            math.floor(tot / n * 10000.0 + 0.5) / 10000.0, abs=1e-9
+        )
+    # injected copies share their parent's source: the diagonal is hot
+    assert any(lo == hi for lo, hi in got)
