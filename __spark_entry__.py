@@ -1286,6 +1286,16 @@ def _q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility under the learned 8-merge BPE
+    vocabulary: subword tokens per word + chars per token, per lang.
+    Oracle nests the full bpe_segment oracle as a CTE and aggregates."""
+    from readability_spark.operators.bpe import bpe_fertility, bpe_vocab
+
+    docs = _docs(spark, sf_dir)
+    return bpe_fertility(docs, bpe_vocab(docs, num_merges=8))
+
+
 def _q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.jpeg import jpeg_pixel_stats, synthesize_jpegs
 
@@ -1489,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hard_negatives": _q_hard_negatives,
         "ccnet_band_sample": _q_ccnet_band_sample,
         "dup_source_matrix": _q_dup_source_matrix,
+        "bpe_fertility": _q_bpe_fertility,
         "domain_quality_prior": _q_domain_quality_prior,
         "split_dedup_safe": _q_split_dedup_safe,
         "dedup_soft_weights": _q_dedup_soft_weights,
@@ -3902,6 +3913,25 @@ FROM toks
     )
 
 
+def _bpe_fertility_oracle(num_merges: int = 8) -> str:
+    """Mirror of bpe.bpe_fertility: the full bpe_segment oracle nested as
+    a CTE, joined back to documents, aggregated per lang."""
+    return f"""
+WITH s AS ({_bpe_segment_oracle(num_merges)}),
+per AS (
+  SELECT d.lang, count(*)::bigint AS n_docs,
+         sum(len(string_split(d.text, ' ')))::bigint AS n_words,
+         sum(s.n_tokens)::bigint AS n_bpe_tokens,
+         sum(length(d.text))::bigint AS n_chars
+  FROM documents d JOIN s USING (doc_id)
+  GROUP BY 1)
+SELECT lang, n_docs, n_words, n_bpe_tokens, n_chars,
+       {_r4('n_bpe_tokens / n_words::double')} AS fertility,
+       {_r4('n_chars / n_bpe_tokens::double')} AS chars_per_token
+FROM per
+"""
+
+
 def _jpeg_pixel_stats_oracle() -> str:
     """Mirror of jpeg.synthesize_jpegs + jpeg_pixel_stats — computed from
     the closed-form constant-block value 2*((doc_id*7 + bx*3 + by*5) % 128),
@@ -4757,6 +4787,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_hard_negatives": _hard_negatives_oracle(),
         "ccnet_band_sample": _ccnet_band_sample_oracle(),
         "dup_source_matrix": _dup_source_matrix_oracle(),
+        "bpe_fertility": _bpe_fertility_oracle(),
         "domain_quality_prior": _domain_prior_oracle(),
         "split_dedup_safe": _split_oracle(),
         "dedup_soft_weights": _soft_weights_oracle(),

@@ -192,6 +192,7 @@ def main() -> int:
         "ann_hard_negatives",
         "ccnet_band_sample",
         "dup_source_matrix",
+        "bpe_fertility",
         "domain_quality_prior",
         "split_dedup_safe",
     ):

@@ -153,3 +153,43 @@ def bpe_segment(docs: DataFrame, merges: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", toks.alias("tokens"), F.size(toks).cast("long").alias("n_tokens")
     )
+
+
+def bpe_fertility(docs: DataFrame, merges: DataFrame) -> DataFrame:
+    """Per-language tokenizer fertility report — the metric a tokenizer
+    choice is judged by (e.g. XLM-R/UniMax papers): subword tokens per
+    whitespace word and characters per subword token, aggregated per
+    language. High fertility means the vocabulary under-serves the
+    language (each word shatters into many pieces) and that language
+    effectively pays more sequence budget per sentence.
+
+    Scale shape: :func:`bpe_segment` is a shuffle-free projection chain;
+    this adds one map-side-combined groupBy(lang) over three longs.
+
+    Output: (lang, n_docs, n_words, n_bpe_tokens, n_chars, fertility,
+    chars_per_token) — ratios round4.
+    """
+    from readability_spark.operators.dedup import round4
+
+    seg = bpe_segment(docs, merges).select("doc_id", "n_tokens")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    per = base.join(seg, "doc_id").groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        round4(F.col("n_bpe_tokens") / F.col("n_words")).alias("fertility"),
+        round4(F.col("n_chars") / F.col("n_bpe_tokens")).alias("chars_per_token"),
+    )

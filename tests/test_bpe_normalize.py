@@ -137,3 +137,33 @@ def test_normalize_plan_zero_shuffle(spark):
     plan = plan_of(normalize_text(with_messy_text(docs)))
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" in plan or "Python" in plan  # vectorized NFC stage
+
+
+def test_bpe_fertility_consistent_with_segmentation(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from readability_spark.operators.bpe import bpe_fertility, bpe_segment, bpe_vocab
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = bpe_vocab(docs, num_merges=8)
+    rows = {r.lang: r for r in bpe_fertility(docs, merges).collect()}
+    assert set(rows) == {r.lang for r in docs.select("lang").distinct().collect()}
+    seg = {r.doc_id: r.n_tokens for r in bpe_segment(docs, merges).collect()}
+    base = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("w"), F.length("text").alias("c")
+    ).collect()
+    agg: dict = {}
+    for r in base:
+        d = agg.setdefault(r.lang, [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += r.w
+        d[2] += seg[r.doc_id]
+        d[3] += r.c
+    for lang, (nd, nw, nt, nc) in agg.items():
+        got = rows[lang]
+        assert (got.n_docs, got.n_words, got.n_bpe_tokens, got.n_chars) == (nd, nw, nt, nc)
+        assert got.fertility == math.floor(nt / nw * 10000.0 + 0.5) / 10000.0
+        assert got.chars_per_token == math.floor(nc / nt * 10000.0 + 0.5) / 10000.0
+        assert got.fertility > 0.5  # letters-only tokenization still covers words
