@@ -851,6 +851,17 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(load_embeddings(spark, sf_dir))
 
 
+def _q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: 6 tables (vs the single-probe query's 16) with
+    radius-1 bit flips on the query probes — the classic index-size
+    saving (Lv et al. 2007): (1+b) probes per table recover the recall
+    of ~b extra tables without storing them. Oracle mirrors the probe
+    expansion with xor flips."""
+    from readability_spark.operators.similarity import load_embeddings, lsh_topk
+
+    return lsh_topk(load_embeddings(spark, sf_dir), n_tables=6, probe_radius=1)
+
+
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.similarity import (
         embedding_near_dup_pairs,
@@ -1500,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_band_sample": _q_ccnet_band_sample,
         "dup_source_matrix": _q_dup_source_matrix,
         "bpe_fertility": _q_bpe_fertility,
+        "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
         "domain_quality_prior": _q_domain_quality_prior,
         "split_dedup_safe": _q_split_dedup_safe,
         "dedup_soft_weights": _q_dedup_soft_weights,
@@ -2239,6 +2251,36 @@ def _ann_lsh_oracle(b: int = 3, n_tables: int = 16) -> str:
 WITH {_lsh_keys_sql('embeddings', b, n_tables)},
 q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
 qk AS (SELECT vec_id AS query_id, tbl, key AS probe FROM keys WHERE vec_id < 5),
+cands AS (
+  SELECT DISTINCT qk.query_id, vk.vec_id
+  FROM keys vk JOIN qk ON vk.tbl = qk.tbl AND vk.key = qk.probe
+  WHERE vk.vec_id != qk.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id, {_COSINE} AS cosine
+  FROM cands c JOIN embeddings v ON v.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+"""
+
+
+def _ann_lsh_multiprobe_oracle(b: int = 3, n_tables: int = 6, radius: int = 1) -> str:
+    """Mirror of similarity.lsh_topk with probe_radius=1: the query-side
+    probe set is the own key plus every single-bit xor flip."""
+    flips = ", ".join(["key"] + [f"xor(key, {1 << i})" for i in range(b)])
+    return f"""
+WITH {_lsh_keys_sql('embeddings', b, n_tables)},
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+qk AS (
+  SELECT DISTINCT query_id, tbl, probe FROM (
+    SELECT vec_id AS query_id, tbl, unnest([{flips}]) AS probe
+    FROM keys WHERE vec_id < 5)),
 cands AS (
   SELECT DISTINCT qk.query_id, vk.vec_id
   FROM keys vk JOIN qk ON vk.tbl = qk.tbl AND vk.key = qk.probe
@@ -4788,6 +4830,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_band_sample": _ccnet_band_sample_oracle(),
         "dup_source_matrix": _dup_source_matrix_oracle(),
         "bpe_fertility": _bpe_fertility_oracle(),
+        "ann_lsh_multiprobe": _ann_lsh_multiprobe_oracle(),
         "domain_quality_prior": _domain_prior_oracle(),
         "split_dedup_safe": _split_oracle(),
         "dedup_soft_weights": _soft_weights_oracle(),

@@ -193,6 +193,7 @@ def main() -> int:
         "ccnet_band_sample",
         "dup_source_matrix",
         "bpe_fertility",
+        "ann_lsh_multiprobe",
         "domain_quality_prior",
         "split_dedup_safe",
     ):

@@ -189,3 +189,21 @@ def test_hard_negatives_match_bruteforce_cross_label(spark):
         expect = [(vid, -negc) for negc, vid in cand[:5]]
         assert [(r.vec_id, r.cosine) for r in got] == expect
         assert all(data[r.vec_id][1] != qlab and r.neg_label != qlab for r in got)
+
+
+def test_multiprobe_recovers_recall_of_fewer_tables(spark):
+    """Radius-1 probing at 6 tables: candidates are a strict superset of
+    the 6-table single-probe run, and recall climbs back toward (and
+    must at least match) the plain 6-table configuration."""
+    emb = load_embeddings(spark, SF)
+    exact = _topk_sets(cosine_topk(emb, n_queries=5, k=10))
+    single = _topk_sets(lsh_topk(emb, n_queries=5, k=10, n_tables=6))
+    multi = _topk_sets(lsh_topk(emb, n_queries=5, k=10, n_tables=6, probe_radius=1))
+
+    def recall(approx):
+        return sum(
+            len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+        ) / len(exact)
+
+    assert recall(multi) >= recall(single)
+    assert recall(multi) >= 0.9, (recall(single), recall(multi))
