@@ -237,6 +237,16 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(with_injected_pii(_docs(spark, sf_dir)))
 
 
+def _q_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII governance report over the injected-PII corpus:
+    docs-with-PII, per-class hit totals, hits per 1k tokens. Oracle
+    mirrors the injection, the regex counts, and the per-source
+    aggregation."""
+    from readability_spark.operators.pii import pii_density_report, with_injected_pii
+
+    return pii_density_report(with_injected_pii(_docs(spark, sf_dir)))
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.textstats import repetition_stats
 
@@ -1512,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_source_matrix": _q_dup_source_matrix,
         "bpe_fertility": _q_bpe_fertility,
         "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
+        "pii_density": _q_pii_density,
         "domain_quality_prior": _q_domain_quality_prior,
         "split_dedup_safe": _q_split_dedup_safe,
         "dedup_soft_weights": _q_dedup_soft_weights,
@@ -2326,6 +2337,40 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{IPV4_RE}'))::int AS n_ips,
        {clean} AS clean_text
 FROM p
+"""
+
+
+def _pii_density_oracle() -> str:
+    """Mirror of pii.pii_density_report over the injected-PII corpus."""
+    from readability_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    inj = (
+        "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@mail.example.com for details' "
+        "WHEN doc_id % 3 = 1 THEN ' call 202-555-' || lpad((doc_id % 10000)::varchar, 4, '0') || ' now' "
+        "ELSE ' server 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' "
+        "|| (doc_id % 100 + 1) || ' logged' END"
+    )
+    return f"""
+WITH p AS (SELECT doc_id, source, text || ({inj}) AS text FROM documents),
+c AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' '))::bigint AS n_toks,
+         len(regexp_extract_all(text, '{EMAIL_RE}'))::bigint AS n_emails,
+         len(regexp_extract_all(text, '{PHONE_RE}'))::bigint AS n_phones,
+         len(regexp_extract_all(text, '{IPV4_RE}'))::bigint AS n_ips
+  FROM p),
+per AS (
+  SELECT source, count(*)::bigint AS n_docs,
+         sum(CASE WHEN n_emails + n_phones + n_ips > 0 THEN 1 ELSE 0 END)::bigint
+           AS n_docs_with_pii,
+         sum(n_emails)::bigint AS n_emails,
+         sum(n_phones)::bigint AS n_phones,
+         sum(n_ips)::bigint AS n_ips,
+         sum(n_toks)::bigint AS n_tokens
+  FROM c GROUP BY 1)
+SELECT source, n_docs, n_docs_with_pii, n_emails, n_phones, n_ips,
+       {_r4('(n_emails + n_phones + n_ips) * 1000.0 / n_tokens')} AS hits_per_1k_tokens
+FROM per
 """
 
 
@@ -4831,6 +4876,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_source_matrix": _dup_source_matrix_oracle(),
         "bpe_fertility": _bpe_fertility_oracle(),
         "ann_lsh_multiprobe": _ann_lsh_multiprobe_oracle(),
+        "pii_density": _pii_density_oracle(),
         "domain_quality_prior": _domain_prior_oracle(),
         "split_dedup_safe": _split_oracle(),
         "dedup_soft_weights": _soft_weights_oracle(),

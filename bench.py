@@ -194,6 +194,7 @@ def main() -> int:
         "dup_source_matrix",
         "bpe_fertility",
         "ann_lsh_multiprobe",
+        "pii_density",
         "domain_quality_prior",
         "split_dedup_safe",
     ):

@@ -77,3 +77,45 @@ def test_regexes_stay_in_shared_subset():
     for pat in (EMAIL_RE, PHONE_RE, IPV4_RE):
         re.compile(pat)
         assert not re.search(r"\(\?|\\[0-9]", pat), pat
+
+
+def test_pii_density_report_consistent_with_scrub_counts(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from readability_spark.operators.pii import (
+        pii_density_report,
+        pii_scrub,
+        with_injected_pii,
+    )
+
+    docs = with_injected_pii(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    per_doc = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    meta = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("w")
+    ).collect()
+    agg: dict = {}
+    for m in meta:
+        d = agg.setdefault(m.source, [0, 0, 0, 0, 0, 0])
+        c = per_doc[m.doc_id]
+        d[0] += 1
+        d[1] += 1 if (c.n_emails + c.n_phones + c.n_ips) > 0 else 0
+        d[2] += c.n_emails
+        d[3] += c.n_phones
+        d[4] += c.n_ips
+        d[5] += m.w
+    rows = {r.source: r for r in pii_density_report(docs).collect()}
+    assert set(rows) == set(agg)
+    for src, (nd, npii, ne, nph, nip, nt) in agg.items():
+        r = rows[src]
+        assert (r.n_docs, r.n_docs_with_pii, r.n_emails, r.n_phones, r.n_ips) == (
+            nd, npii, ne, nph, nip,
+        )
+        assert r.hits_per_1k_tokens == math.floor(
+            (ne + nph + nip) * 1000.0 / nt * 10000.0 + 0.5
+        ) / 10000.0
+        # every doc carries exactly one injected PII item by construction
+        assert r.n_docs_with_pii == r.n_docs
