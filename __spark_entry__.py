@@ -237,6 +237,16 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(with_injected_pii(_docs(spark, sf_dir)))
 
 
+def _q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card over the injected-duplicate corpus (so the
+    exact-dup rate is nonzero): sizes, lang/source breadth, dup rate,
+    mean composite quality — one global aggregation."""
+    from readability_spark.operators.dedup import with_injected_duplicates
+    from readability_spark.operators.textstats import corpus_card
+
+    return corpus_card(with_injected_duplicates(_docs(spark, sf_dir)))
+
+
 def _q_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source PII governance report over the injected-PII corpus:
     docs-with-PII, per-class hit totals, hits per 1k tokens. Oracle
@@ -1523,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": _q_bpe_fertility,
         "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
         "pii_density": _q_pii_density,
+        "corpus_card": _q_corpus_card,
         "domain_quality_prior": _q_domain_quality_prior,
         "split_dedup_safe": _q_split_dedup_safe,
         "dedup_soft_weights": _q_dedup_soft_weights,
@@ -2337,6 +2348,34 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{IPV4_RE}'))::int AS n_ips,
        {clean} AS clean_text
 FROM p
+"""
+
+
+def _corpus_card_oracle() -> str:
+    """Mirror of textstats.corpus_card over the injected-dup corpus: the
+    quality composite is the text_quality oracle's expression; dup rate
+    from count(distinct md5(text))."""
+    toks = "string_split(text, ' ')"
+    quality = _r4(
+        f"0.4::double * least(1.0::double, len({toks}) / 64.0) "
+        f"+ 0.3::double * least(1.0::double, ({_EN_HITS} / len({toks})::double) * 4) "
+        f"+ 0.3::double * (len(list_distinct({toks})) / len({toks})::double)"
+    )
+    return f"""
+WITH dup AS ({_DUP_DOCS}),
+a AS (
+  SELECT count(*)::bigint AS n_docs,
+         sum(len({toks}))::bigint AS n_tokens,
+         sum(length(text))::bigint AS n_chars,
+         count(DISTINCT lang)::bigint AS n_langs,
+         count(DISTINCT source)::bigint AS n_sources,
+         count(DISTINCT md5(text))::bigint AS n_unique,
+         avg({quality}) AS avg_q
+  FROM dup)
+SELECT n_docs, n_tokens, n_chars, n_langs, n_sources,
+       {_r4('(n_docs - n_unique) / n_docs::double')} AS exact_dup_rate,
+       {_r4('avg_q')} AS mean_quality
+FROM a
 """
 
 
@@ -4877,6 +4916,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_fertility": _bpe_fertility_oracle(),
         "ann_lsh_multiprobe": _ann_lsh_multiprobe_oracle(),
         "pii_density": _pii_density_oracle(),
+        "corpus_card": _corpus_card_oracle(),
         "domain_quality_prior": _domain_prior_oracle(),
         "split_dedup_safe": _split_oracle(),
         "dedup_soft_weights": _soft_weights_oracle(),

@@ -195,6 +195,7 @@ def main() -> int:
         "bpe_fertility",
         "ann_lsh_multiprobe",
         "pii_density",
+        "corpus_card",
         "domain_quality_prior",
         "split_dedup_safe",
     ):

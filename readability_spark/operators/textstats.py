@@ -498,3 +498,40 @@ def domain_quality_prior(docs: DataFrame, threshold: float = 0.55) -> DataFrame:
         round4(alpha).alias("prior_alpha"),
         round4(beta).alias("prior_beta"),
     )
+
+
+def corpus_card(docs: DataFrame) -> DataFrame:
+    """One-row dataset card — the summary a corpus release publishes:
+    sizes, language/source breadth, exact-duplicate rate, and mean
+    composite quality. All from ONE global aggregation over per-row
+    projections (the md5 distinct for dup rate is the only
+    cardinality-heavy term, and it's the same partial-agg shape as
+    exact dedup), so the card costs a single corpus scan.
+
+    Output: (n_docs, n_tokens, n_chars, n_langs, n_sources,
+    exact_dup_rate, mean_quality).
+    """
+    from readability_spark.operators.dedup import round4
+
+    q = quality_score(docs).select("doc_id", "quality")
+    j = docs.join(q, "doc_id")
+    agg = j.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.count_distinct(F.md5("text")).cast("bigint").alias("n_unique"),
+        F.avg("quality").alias("avg_q"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_langs",
+        "n_sources",
+        round4((F.col("n_docs") - F.col("n_unique")) / F.col("n_docs")).alias(
+            "exact_dup_rate"
+        ),
+        round4(F.col("avg_q")).alias("mean_quality"),
+    )
