@@ -196,3 +196,32 @@ def test_domain_quality_prior_flat_fallback_on_constant_rates(spark):
     for r in rows:
         expect = (r.n_good + 1.0) / (r.n_docs + 2.0)
         assert abs(r.shrunk_rate - expect) < 1e-3
+
+
+def test_corpus_card_single_row_exact(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from readability_spark.operators.dedup import with_injected_duplicates
+
+    docs = with_injected_duplicates(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    row = textstats.corpus_card(docs).collect()
+    assert len(row) == 1
+    r = row[0]
+    base = docs.select(
+        "doc_id", "lang", "source", "text", F.size(F.split("text", " ")).alias("w")
+    ).collect()
+    assert r.n_docs == len(base)
+    assert r.n_tokens == sum(b.w for b in base)
+    assert r.n_chars == sum(len(b.text) for b in base)
+    assert r.n_langs == len({b.lang for b in base})
+    assert r.n_sources == len({b.source for b in base})
+    uniq = len({b.text for b in base})
+    assert r.exact_dup_rate == math.floor(
+        (len(base) - uniq) / len(base) * 10000.0 + 0.5
+    ) / 10000.0
+    assert r.exact_dup_rate > 0  # injected copies guarantee duplicates
+    assert 0.0 < r.mean_quality < 1.0
