@@ -882,6 +882,15 @@ def _q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(load_embeddings(spark, sf_dir), n_tables=6, probe_radius=1)
 
 
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell z-scored distance-to-centroid outlier flags over the
+    embeddings table — the vector-cleaning pass. Oracle mirrors the
+    argmax assignment, the cell moments, and the rounded-z gate."""
+    from readability_spark.operators.similarity import embedding_outliers, load_embeddings
+
+    return embedding_outliers(load_embeddings(spark, sf_dir))
+
+
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.similarity import (
         embedding_near_dup_pairs,
@@ -1534,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
         "pii_density": _q_pii_density,
         "corpus_card": _q_corpus_card,
+        "embedding_outliers": _q_embedding_outliers,
         "domain_quality_prior": _q_domain_quality_prior,
         "split_dedup_safe": _q_split_dedup_safe,
         "dedup_soft_weights": _q_dedup_soft_weights,
@@ -3598,6 +3608,38 @@ FROM documents
 """
 
 
+def _embedding_outliers_oracle(n_centroids: int = 16, z_thresh: float = 2.0) -> str:
+    """Mirror of similarity.embedding_outliers: same seeded centroids,
+    argmax cell (cos DESC, cid ASC), per-cell moments, rounded-z gate."""
+    dot_vc = (
+        "list_sum(list_transform(generate_series(1, len(v.embedding)), "
+        "i -> v.embedding[i]::double * p.p_emb[i]))"
+    )
+    norm_v = "sqrt(list_sum(list_transform(v.embedding, x -> x::double * x::double)))"
+    norm_c = "sqrt(list_sum(list_transform(p.p_emb, x -> x * x)))"
+    std = "sqrt(greatest(m2 - m * m, 0.0))"
+    z = f"CASE WHEN {std} > 1e-12 THEN (b.dist - m) / {std} ELSE 0.0 END"
+    return f"""
+WITH p AS ({_planes_sql(n_centroids)}),
+ascore AS (
+  SELECT v.vec_id, p.plane_id AS cid,
+         {dot_vc} / ({norm_v} * {norm_c}) AS cos
+  FROM embeddings v, p
+),
+best AS (
+  SELECT vec_id, cid AS cell, 1.0 - cos AS dist FROM (
+    SELECT vec_id, cid, cos,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM ascore) WHERE rn = 1),
+st AS (SELECT cell, avg(dist) AS m, avg(dist * dist) AS m2 FROM best GROUP BY 1)
+SELECT b.vec_id, b.cell::int AS cell,
+       {_r4('b.dist')} AS dist,
+       {_r4(z)} AS z,
+       {_r4(z)} > {z_thresh!r} AS is_outlier
+FROM best b JOIN st USING (cell)
+"""
+
+
 def _ann_ivf_oracle(n_centroids: int = 16, nprobe: int = 4) -> str:
     """Mirror of similarity.ivf_topk: seeded centroids (same md5-nibble PRNG
     as the LSH planes), full-precision cosine argmax cell assignment, nprobe
@@ -4917,6 +4959,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_multiprobe": _ann_lsh_multiprobe_oracle(),
         "pii_density": _pii_density_oracle(),
         "corpus_card": _corpus_card_oracle(),
+        "embedding_outliers": _embedding_outliers_oracle(),
         "domain_quality_prior": _domain_prior_oracle(),
         "split_dedup_safe": _split_oracle(),
         "dedup_soft_weights": _soft_weights_oracle(),

@@ -196,6 +196,7 @@ def main() -> int:
         "ann_lsh_multiprobe",
         "pii_density",
         "corpus_card",
+        "embedding_outliers",
         "domain_quality_prior",
         "split_dedup_safe",
     ):

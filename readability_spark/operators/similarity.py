@@ -370,6 +370,67 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def embedding_outliers(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    z_thresh: float = 2.0,
+    seed: int = DEFAULT_PLANE_SEED,
+) -> DataFrame:
+    """Embedding-space outlier detection — the cleaning pass that flags
+    corrupt/degenerate vectors (bad decodes, zero-entropy pages,
+    mis-embedded rows) before they poison ANN graphs or SemDeDup cells:
+    each vector's cosine distance to its nearest coarse centroid is
+    z-scored against its OWN cell's distance distribution, so dense and
+    sparse regions each get a local threshold instead of one global
+    cutoff.
+
+    Scale shape: one scan against the broadcast centroid table with a
+    map-side-combined per-vector argmax (the :func:`ivf_assign` shape),
+    one K-cell moment aggregation broadcast back, then a pure
+    projection. Nothing shuffles but (vec_id, cell, dist) rows.
+
+    Output: (vec_id, cell, dist, z, is_outlier) — z round4-floored and
+    the flag compares the ROUNDED z to the threshold, keeping the gate
+    cross-engine exact.
+    """
+    cents = seeded_centroids(emb.sparkSession, n_centroids, _infer_dim(emb), seed)
+    scored = emb.join(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        (
+            _dot(F.col("embedding"), F.col("c_emb"))
+            / (_norm(F.col("embedding")) * _norm(F.col("c_emb")))
+        ).alias("cos"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("cos"), (-F.col("centroid_id")).alias("nid"))
+        ).alias("b")
+    ).select(
+        "vec_id",
+        (-F.col("b.nid")).cast("int").alias("cell"),
+        (F.lit(1.0) - F.col("b.cos")).alias("dist"),
+    )
+    stats = best.groupBy("cell").agg(
+        F.avg("dist").alias("m"),
+        F.avg(F.col("dist") * F.col("dist")).alias("m2"),
+    )
+    j = best.join(F.broadcast(stats), "cell")
+    std = F.sqrt(F.greatest(F.col("m2") - F.col("m") * F.col("m"), F.lit(0.0)))
+    z4 = round4(
+        F.when(std > F.lit(1e-12), (F.col("dist") - F.col("m")) / std).otherwise(
+            F.lit(0.0)
+        )
+    )
+    return j.select(
+        "vec_id",
+        "cell",
+        round4(F.col("dist")).alias("dist"),
+        z4.alias("z"),
+        (z4 > F.lit(float(z_thresh))).alias("is_outlier"),
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     n_centroids: int = 16,

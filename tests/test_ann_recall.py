@@ -207,3 +207,37 @@ def test_multiprobe_recovers_recall_of_fewer_tables(spark):
 
     assert recall(multi) >= recall(single)
     assert recall(multi) >= 0.9, (recall(single), recall(multi))
+
+
+def test_embedding_outliers_flags_injected_corrupt_vector(spark):
+    """Per-cell z-scores must match a numpy recompute of the cell's own
+    distance distribution, and flags must be exactly the rounded-z rule
+    (exercised with an injected constant vector in the mix)."""
+    import numpy as np
+
+    from readability_spark.operators.similarity import (
+        embedding_outliers,
+        load_embeddings,
+    )
+
+    emb = load_embeddings(spark, SF)
+    dim = len(emb.first().embedding)
+    corrupt = spark.createDataFrame(
+        [(999999, [100.0] * dim, -1)], "vec_id long, embedding array<float>, label int"
+    )
+    rows = embedding_outliers(emb.unionByName(corrupt)).collect()
+    by_id = {r.vec_id: r for r in rows}
+    assert len(rows) == emb.count() + 1
+    # recompute the flagged row's z from its cell's members
+    cell = by_id[999999].cell
+    members = [r.dist for r in rows if r.cell == cell]
+    m = float(np.mean(members))
+    sd = float(np.sqrt(np.mean(np.square(members)) - m * m))
+    if sd > 1e-12:
+        z_ref = (by_id[999999].dist - m) / sd
+        assert abs(by_id[999999].z - z_ref) < 2e-3
+    # flags are exactly the rounded-z > 2 rule
+    for r in rows:
+        assert r.is_outlier == (r.z > 2.0)
+    # and the corpus is not mostly "outliers"
+    assert sum(1 for r in rows if r.is_outlier) < len(rows) * 0.1
