@@ -558,6 +558,21 @@ def _q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl scheduling: PageRank the host graph, then
+    waterfill a 1000-fetch budget proportional to the ROUNDED ranks
+    under a 25-fetch politeness cap (the high-authority hosts saturate
+    it). Oracle nests the full unrolled-pagerank oracle as a CTE and
+    mirrors the weighted-waterfilling windows."""
+    from readability_spark.operators.frontier import crawl_budget_waterfill
+    from readability_spark.operators.graph import pagerank
+
+    pr = pagerank(_pagerank_edges(spark, sf_dir), n_iter=10).select(
+        "node", (F.floor(F.col("rank") * 10000.0 + 0.5) / 10000.0).alias("rank")
+    )
+    return crawl_budget_waterfill(pr, budget=1000.0, per_host_cap=25.0)
+
+
 def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order file layout over (doc-id bucket × length bucket): the file
     manifest + per-file bounding boxes a Morton-clustered write produces.
@@ -1544,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_density": _q_pii_density,
         "corpus_card": _q_corpus_card,
         "embedding_outliers": _q_embedding_outliers,
+        "crawl_budget": _q_crawl_budget,
         "domain_quality_prior": _q_domain_quality_prior,
         "split_dedup_safe": _q_split_dedup_safe,
         "dedup_soft_weights": _q_dedup_soft_weights,
@@ -3608,6 +3624,36 @@ FROM documents
 """
 
 
+def _crawl_budget_oracle(budget: float = 1000.0, cap: float = 25.0) -> str:
+    """Mirror of frontier.crawl_budget_waterfill over the pagerank
+    oracle's rounded ranks: weight-descending prefix windows, capped
+    prefix t, water level (B - t*c)/(W - CW_t)."""
+    return f"""
+WITH pr AS ({_pagerank_oracle()}),
+s1 AS (
+  SELECT node AS host, rank AS w,
+         row_number() OVER (ORDER BY rank DESC, node ASC) AS j,
+         sum(rank) OVER (ORDER BY rank DESC, node ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(rank) OVER () AS wtot
+  FROM pr),
+s2 AS (
+  SELECT *, max(CASE WHEN w * ({budget!r} - (j - 1) * {cap!r})
+                          >= {cap!r} * (wtot - (cw - w))
+                     THEN j ELSE 0 END) OVER () AS t
+  FROM s1),
+s3 AS (
+  SELECT *, coalesce(max(CASE WHEN j = t THEN cw END) OVER (), 0.0) AS cw_t
+  FROM s2)
+SELECT host,
+       {_r4('w')} AS weight,
+       {_r4(f'CASE WHEN j <= t THEN {cap!r} ELSE w * (({budget!r} - t * {cap!r}) / (wtot - cw_t)) END')} AS alloc_fetches,
+       {_r4(f'(CASE WHEN j <= t THEN {cap!r} ELSE w * (({budget!r} - t * {cap!r}) / (wtot - cw_t)) END) / {budget!r}')} AS share,
+       j <= t AS capped
+FROM s3
+"""
+
+
 def _embedding_outliers_oracle(n_centroids: int = 16, z_thresh: float = 2.0) -> str:
     """Mirror of similarity.embedding_outliers: same seeded centroids,
     argmax cell (cos DESC, cid ASC), per-cell moments, rounded-z gate."""
@@ -4960,6 +5006,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_density": _pii_density_oracle(),
         "corpus_card": _corpus_card_oracle(),
         "embedding_outliers": _embedding_outliers_oracle(),
+        "crawl_budget": _crawl_budget_oracle(),
         "domain_quality_prior": _domain_prior_oracle(),
         "split_dedup_safe": _split_oracle(),
         "dedup_soft_weights": _soft_weights_oracle(),

@@ -197,6 +197,7 @@ def main() -> int:
         "pii_density",
         "corpus_card",
         "embedding_outliers",
+        "crawl_budget",
         "domain_quality_prior",
         "split_dedup_safe",
     ):

@@ -101,3 +101,61 @@ def prioritize_frontier(
         .filter(F.col("rk") <= k_per_host)
         .select("host", "href", "n_refs", "depth", "priority", "rk")
     )
+
+
+def crawl_budget_waterfill(
+    ranks: DataFrame,
+    budget: float,
+    per_host_cap: float,
+    node_col: str = "node",
+    weight_col: str = "rank",
+) -> DataFrame:
+    """Importance-weighted crawl budget allocation under politeness:
+    split ``budget`` fetches across hosts proportional to their
+    authority weight (e.g. PageRank), but no host above
+    ``per_host_cap`` fetches — the weighted waterfilling optimum. The
+    heaviest hosts saturate the cap; the remaining budget splits
+    proportionally among the rest at the water level
+    lambda = (B - t*c) / (W - CW_t), where t is the capped-prefix size
+    in weight-descending order.
+
+    Same closed-form window shape as ``sampling.unimax_allocation``:
+    everything beyond the (already tiny) per-host weight table is
+    window arithmetic over K host rows — a driver-sized frame. Feed it
+    the ROUND4ED weights (e.g. the link_pagerank query's output) and
+    the allocation is bit-reproducible across engines.
+
+    Output: (host, weight, alloc_fetches, share, capped).
+    """
+    b, c = float(budget), float(per_host_cap)
+    wo = Window.orderBy(F.desc("w"), F.asc("host"))
+    wall = Window.partitionBy()
+    s1 = (
+        ranks.select(
+            F.col(node_col).alias("host"), F.col(weight_col).cast("double").alias("w")
+        )
+        .withColumn("j", F.row_number().over(wo))
+        .withColumn("cw", F.sum("w").over(wo))
+        .withColumn("wtot", F.sum("w").over(wall))
+    )
+    flag = (F.col("w") * (F.lit(b) - (F.col("j") - 1) * F.lit(c))) >= (
+        F.lit(c) * (F.col("wtot") - (F.col("cw") - F.col("w")))
+    )
+    s2 = s1.withColumn(
+        "t", F.max(F.when(flag, F.col("j")).otherwise(0)).over(wall)
+    ).withColumn(
+        "cw_t",
+        F.coalesce(
+            F.max(F.when(F.col("j") == F.col("t"), F.col("cw"))).over(wall),
+            F.lit(0.0),
+        ),
+    )
+    lam = (F.lit(b) - F.col("t") * F.lit(c)) / (F.col("wtot") - F.col("cw_t"))
+    alloc = F.when(F.col("j") <= F.col("t"), F.lit(c)).otherwise(F.col("w") * lam)
+    return s2.select(
+        "host",
+        round4(F.col("w")).alias("weight"),
+        round4(alloc).alias("alloc_fetches"),
+        round4(alloc / F.lit(b)).alias("share"),
+        (F.col("j") <= F.col("t")).alias("capped"),
+    )

@@ -168,3 +168,43 @@ def test_hits_partition_independent(spark):
     for v in ra:
         assert ra[v][0] == pytest.approx(rb[v][0], abs=1e-12)
         assert ra[v][1] == pytest.approx(rb[v][1], abs=1e-12)
+
+
+def _waterfill_weighted_bruteforce(weights, budget, cap):
+    """Bisect lambda so sum(min(cap, w*lambda)) == budget (all capped when
+    K*cap <= budget)."""
+    if budget >= cap * len(weights) - 1e-9:
+        return [cap] * len(weights)
+    lo, hi = 0.0, budget / min(w for w in weights if w > 0) + 1.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if sum(min(cap, w * mid) for w in weights) < budget:
+            lo = mid
+        else:
+            hi = mid
+    return [min(cap, w * hi) for w in weights]
+
+
+def test_crawl_budget_waterfill_matches_bisection(spark):
+    from pyspark.sql import functions as F
+
+    from readability_spark.operators.frontier import crawl_budget_waterfill
+
+    rows = [(f"h{i}", w) for i, w in enumerate([0.4, 0.2, 0.1, 0.1, 0.1, 0.05, 0.05])]
+    pr = spark.createDataFrame(rows, "node string, rank double")
+    for budget, cap in [(1000.0, 150.0), (1000.0, 400.0), (100.0, 10.0), (10000.0, 5000.0)]:
+        got = sorted(
+            crawl_budget_waterfill(pr, budget, cap).collect(),
+            key=lambda r: -r.weight,
+        )
+        # the operator orders by weight desc; align bruteforce the same way
+        ws = sorted([w for _, w in rows], reverse=True)
+        expect = _waterfill_weighted_bruteforce(ws, budget, cap)
+        for g, e in zip(got, expect):
+            assert abs(g.alloc_fetches - e) < 1e-2, (budget, cap, g, e)
+            assert g.capped == (abs(g.alloc_fetches - cap) < 1e-6)
+            assert abs(g.share - g.alloc_fetches / budget) < 1e-3
+        assert abs(sum(g.alloc_fetches for g in got) - min(budget, cap * len(rows))) < 0.1
+        # heavier hosts never get less than lighter ones
+        allocs = [g.alloc_fetches for g in got]
+        assert allocs == sorted(allocs, reverse=True)
