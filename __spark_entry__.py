@@ -237,6 +237,14 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(with_injected_pii(_docs(spark, sf_dir)))
 
 
+def _q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source type-token ratio + hapax fraction — the vocabulary-
+    richness spam signal. Oracle mirrors the two-level token counts."""
+    from readability_spark.operators.textstats import lexical_diversity
+
+    return lexical_diversity(_docs(spark, sf_dir))
+
+
 def _q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row dataset card over the injected-duplicate corpus (so the
     exact-dup rate is nonzero): sizes, lang/source breadth, dup rate,
@@ -1560,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_card": _q_corpus_card,
         "embedding_outliers": _q_embedding_outliers,
         "crawl_budget": _q_crawl_budget,
+        "lexical_diversity": _q_lexical_diversity,
         "domain_quality_prior": _q_domain_quality_prior,
         "split_dedup_safe": _q_split_dedup_safe,
         "dedup_soft_weights": _q_dedup_soft_weights,
@@ -2374,6 +2383,23 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{IPV4_RE}'))::int AS n_ips,
        {clean} AS clean_text
 FROM p
+"""
+
+
+def _lexical_diversity_oracle(group: str = "source") -> str:
+    """Mirror of textstats.lexical_diversity."""
+    return f"""
+WITH t AS (
+  SELECT {group} AS grp, unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT grp, tok, count(*) AS c FROM t GROUP BY 1, 2),
+per AS (
+  SELECT grp, sum(c)::bigint AS n_tokens, count(*)::bigint AS n_types,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::bigint AS n_hapax
+  FROM c GROUP BY 1)
+SELECT grp, n_tokens, n_types, n_hapax,
+       {_r4('n_types / n_tokens::double')} AS type_token_ratio,
+       {_r4('n_hapax / n_types::double')} AS hapax_frac
+FROM per
 """
 
 
@@ -5007,6 +5033,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_card": _corpus_card_oracle(),
         "embedding_outliers": _embedding_outliers_oracle(),
         "crawl_budget": _crawl_budget_oracle(),
+        "lexical_diversity": _lexical_diversity_oracle(),
         "domain_quality_prior": _domain_prior_oracle(),
         "split_dedup_safe": _split_oracle(),
         "dedup_soft_weights": _soft_weights_oracle(),

@@ -198,6 +198,7 @@ def main() -> int:
         "corpus_card",
         "embedding_outliers",
         "crawl_budget",
+        "lexical_diversity",
         "domain_quality_prior",
         "split_dedup_safe",
     ):

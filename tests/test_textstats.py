@@ -225,3 +225,35 @@ def test_corpus_card_single_row_exact(spark):
     ) / 10000.0
     assert r.exact_dup_rate > 0  # injected copies guarantee duplicates
     assert 0.0 < r.mean_quality < 1.0
+
+
+def test_lexical_diversity_exact_and_detects_template_spam(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy cheap pills buy cheap pills buy cheap pills", "en", "spam", 0),
+            (2, "cheap pills here buy now cheap pills buy", "en", "spam", 0),
+            (3, "the quick brown fox jumps over a lazy dog tonight", "en", "prose", 0),
+            (4, "every sentence introduces entirely novel vocabulary again", "en", "prose", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r.grp: r for r in textstats.lexical_diversity(docs).collect()}
+    # exact recompute
+    from collections import Counter
+
+    for grp in ("spam", "prose"):
+        toks = []
+        for r in docs.filter(f"source = '{grp}'").collect():
+            toks += r.text.split(" ")
+        c = Counter(toks)
+        assert rows[grp].n_tokens == len(toks)
+        assert rows[grp].n_types == len(c)
+        assert rows[grp].n_hapax == sum(1 for v in c.values() if v == 1)
+        assert rows[grp].type_token_ratio == math.floor(
+            len(c) / len(toks) * 10000.0 + 0.5
+        ) / 10000.0
+    # the signal: template spam has far lower diversity than prose
+    assert rows["spam"].type_token_ratio < 0.5 < rows["prose"].type_token_ratio
+    assert rows["spam"].hapax_frac < rows["prose"].hapax_frac
