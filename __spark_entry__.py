@@ -566,6 +566,21 @@ def _q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction groups over the z-order file manifest
+    (target 100 rows/group): consecutive files packed by running-sum
+    binning, preserving cluster order. Oracle nests the zorder oracle
+    and mirrors the exclusive-prefix-sum grouping."""
+    from readability_spark.operators.layout import compaction_plan, zorder_layout
+
+    dims = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 256).alias("xb"),
+        (F.col("n_chars") % 256).alias("yb"),
+    )
+    manifest = zorder_layout(dims, ["xb", "yb"], bits=8, file_bits=6)
+    return compaction_plan(manifest, target_rows=100)
+
+
 def _q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed crawl scheduling: PageRank the host graph, then
     waterfill a 1000-fetch budget proportional to the ROUNDED ranks
@@ -1569,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": _q_embedding_outliers,
         "crawl_budget": _q_crawl_budget,
         "lexical_diversity": _q_lexical_diversity,
+        "compaction_plan": _q_compaction_plan,
         "domain_quality_prior": _q_domain_quality_prior,
         "split_dedup_safe": _q_split_dedup_safe,
         "dedup_soft_weights": _q_dedup_soft_weights,
@@ -3650,6 +3666,23 @@ FROM documents
 """
 
 
+def _compaction_plan_oracle(target_rows: int = 100) -> str:
+    """Mirror of layout.compaction_plan over the zorder oracle manifest."""
+    return f"""
+WITH m AS ({_zorder_oracle()}),
+g AS (
+  SELECT file_id, n,
+         floor(coalesce(sum(n) OVER (ORDER BY file_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {int(target_rows)})::int AS group_id
+  FROM m)
+SELECT group_id, count(*)::bigint AS n_files, sum(n)::bigint AS n_rows,
+       min(file_id)::bigint AS first_file, max(file_id)::bigint AS last_file,
+       sum(n) < {int(target_rows)} AS undersized
+FROM g GROUP BY 1
+"""
+
+
 def _crawl_budget_oracle(budget: float = 1000.0, cap: float = 25.0) -> str:
     """Mirror of frontier.crawl_budget_waterfill over the pagerank
     oracle's rounded ranks: weight-descending prefix windows, capped
@@ -5034,6 +5067,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outliers": _embedding_outliers_oracle(),
         "crawl_budget": _crawl_budget_oracle(),
         "lexical_diversity": _lexical_diversity_oracle(),
+        "compaction_plan": _compaction_plan_oracle(),
         "domain_quality_prior": _domain_prior_oracle(),
         "split_dedup_safe": _split_oracle(),
         "dedup_soft_weights": _soft_weights_oracle(),

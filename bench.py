@@ -199,6 +199,7 @@ def main() -> int:
         "embedding_outliers",
         "crawl_budget",
         "lexical_diversity",
+        "compaction_plan",
         "domain_quality_prior",
         "split_dedup_safe",
     ):

@@ -75,3 +75,54 @@ def zorder_layout(
     for d in dims:
         aggs += [F.min(d).alias(f"min_{d}"), F.max(d).alias(f"max_{d}")]
     return tagged.groupBy("file_id").agg(*aggs)
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    target_rows: int,
+    order_col: str = "file_id",
+    size_col: str = "n",
+) -> DataFrame:
+    """Small-file compaction planner — the table-maintenance step an
+    Iceberg/lakehouse pipeline schedules: walk the file manifest in
+    layout order (preserving the z-order clustering) and pack
+    consecutive files into groups of ~``target_rows`` via the running
+    size sum (group = floor(exclusive-prefix-sum / target), the
+    bin-by-running-total plan). Rewriting each group as one file yields
+    right-sized, still-clustered files.
+
+    The window runs over the FILE MANIFEST — thousands of rows per
+    partition at most, never data — so the single-partition frame is a
+    driver-sized cost, same contract as the domain mixers.
+
+    Output: (group_id, n_files, n_rows, first_file, last_file,
+    undersized) — undersized marks the (at most one, trailing) group
+    below target.
+    """
+    from pyspark.sql import Window
+
+    wo = Window.orderBy(order_col)
+    cum_before = F.coalesce(
+        F.sum(size_col).over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    tagged = manifest.withColumn(
+        "group_id", F.floor(cum_before / F.lit(int(target_rows))).cast("int")
+    )
+    return (
+        tagged.groupBy("group_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum(size_col).cast("bigint").alias("n_rows"),
+            F.min(order_col).cast("bigint").alias("first_file"),
+            F.max(order_col).cast("bigint").alias("last_file"),
+        )
+        .select(
+            "group_id",
+            "n_files",
+            "n_rows",
+            "first_file",
+            "last_file",
+            (F.col("n_rows") < F.lit(int(target_rows))).alias("undersized"),
+        )
+    )

@@ -51,3 +51,33 @@ def test_zorder_layout_bboxes_are_tight(spark):
     for r in stats:
         assert r["max_xb"] - r["min_xb"] <= 31
         assert r["max_yb"] - r["min_yb"] <= 31
+
+
+def test_compaction_plan_groups_consecutive_and_covers_all(spark):
+    from readability_spark.operators.layout import compaction_plan
+
+    manifest = spark.createDataFrame(
+        [(i, n) for i, n in enumerate([5, 5, 5, 90, 200, 3, 3, 3, 3, 50])],
+        "file_id long, n long",
+    )
+    rows = sorted(compaction_plan(manifest, target_rows=100).collect(),
+                  key=lambda r: r.group_id)
+    # reference: greedy running-sum binning in file order
+    sizes = [5, 5, 5, 90, 200, 3, 3, 3, 3, 50]
+    cum, expect = 0, {}
+    for fid, n in enumerate(sizes):
+        gid = cum // 100
+        a = expect.setdefault(gid, [0, 0, fid, fid])
+        a[0] += 1
+        a[1] += n
+        a[3] = fid
+        cum += n
+    assert {r.group_id: [r.n_files, r.n_rows, r.first_file, r.last_file]
+            for r in rows} == expect
+    # every file appears exactly once; ranges are consecutive, non-overlapping
+    assert sum(r.n_files for r in rows) == len(sizes)
+    for a, b in zip(rows, rows[1:]):
+        assert b.first_file == a.last_file + 1
+    # the undersized flag is exactly the n_rows < target rule
+    for r in rows:
+        assert r.undersized == (r.n_rows < 100)
