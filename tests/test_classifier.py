@@ -142,3 +142,18 @@ def test_score_is_round4_sigmoid(spark):
         assert got[did].p == math.floor(p * 10000.0 + 0.5) / 10000.0
         assert got[did].yhat == (1.0 if p > 0.5 else 0.0)
         assert got[did].correct == (got[did].yhat == y)
+
+
+def test_group_dro_deterministic_across_partitionings(spark):
+    """The round4-floored mixer outputs must be identical whatever the
+    input partition layout (the avg aggregation's FP drift stays under
+    the rounding floor on this corpus)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumnRenamed(
+        "source", "domain"
+    )
+    outs = []
+    for parts in (1, 13):
+        feats = quality_features(docs.repartition(parts), keep_cols=("domain",))
+        rep = domain_mix_report(feats, lr=0.5, eta=4.0, smoothing=0.05, n_iter=8)
+        outs.append({r.domain: (r.weight, r.excess_loss, r.n_docs) for r in rep.collect()})
+    assert outs[0] == outs[1]
