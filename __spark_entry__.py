@@ -299,6 +299,25 @@ def _q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_snapshot_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way increment triage (exact_dup / near_dup / new) over the
+    same old/new snapshot splits as snapshot_diff — the ' v2' mutation
+    makes true near-dups whose originals sit in the old snapshot.
+    Oracle composes the md5 membership pass with the incremental
+    minhash probe CTEs."""
+    from readability_spark.operators.snapshots import snapshot_triage
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 1).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 2, F.concat("text", F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return snapshot_triage(old, new)
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.snapshots import snapshot_diff
 
@@ -1585,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": _q_crawl_budget,
         "lexical_diversity": _q_lexical_diversity,
         "compaction_plan": _q_compaction_plan,
+        "snapshot_triage": _q_snapshot_triage,
         "domain_quality_prior": _q_domain_quality_prior,
         "split_dedup_safe": _q_split_dedup_safe,
         "dedup_soft_weights": _q_dedup_soft_weights,
@@ -1865,6 +1885,63 @@ pairs AS (
   JOIN sh sb ON sb.doc_id = id_b
   WHERE {jac} >= 0.5
 )"""
+
+
+def _snapshot_triage_oracle(threshold: float = 0.5) -> str:
+    """Mirror of snapshots.snapshot_triage over the snapshot_diff splits:
+    md5 membership vs the old snapshot, the incremental minhash probe
+    (same 16-hash/4-band signatures, bucket collisions, exact Jaccard
+    over ALL candidates), three-way CASE."""
+    mh = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{k}:' || s))) AS mh{k}" for k in range(16)
+    )
+    bands = ", ".join(
+        "md5(" + " || '|' || ".join(f"mh{b * 4 + r}" for r in range(4)) + f") AS band{b}"
+        for b in range(4)
+    )
+    bn = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS key FROM bandn" for b in range(4)
+    )
+    bh = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS key FROM bandh" for b in range(4)
+    )
+    jac = (
+        "floor((len(list_intersect(sa.sh, sb.sh))::double / "
+        "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) "
+        "* 10000.0 + 0.5) / 10000.0"
+    )
+    return f"""
+WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0),
+n AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 2 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 5 != 1),
+oh AS (SELECT DISTINCT md5(text) AS h FROM o),
+shn AS (SELECT doc_id, {_SHINGLES} AS sh FROM n),
+shh AS (SELECT doc_id, {_SHINGLES} AS sh FROM o),
+sign AS (SELECT doc_id, {mh} FROM shn),
+sigh AS (SELECT doc_id, {mh} FROM shh),
+bandn AS (SELECT doc_id, {bands} FROM sign),
+bandh AS (SELECT doc_id, {bands} FROM sigh),
+bucketn AS ({bn}),
+bucketh AS ({bh}),
+cands AS (
+  SELECT DISTINCT nb.doc_id AS new_id, hb.doc_id AS hist_id
+  FROM bucketn nb JOIN bucketh hb ON nb.band = hb.band AND nb.key = hb.key
+),
+ver AS (
+  SELECT new_id, max({jac}) AS mj
+  FROM cands
+  JOIN shn sa ON sa.doc_id = new_id
+  JOIN shh sb ON sb.doc_id = hist_id
+  GROUP BY new_id
+)
+SELECT n.doc_id,
+       CASE WHEN md5(n.text) IN (SELECT h FROM oh) THEN 'exact_dup'
+            WHEN ver.mj >= {threshold!r} THEN 'near_dup'
+            ELSE 'new' END AS status,
+       ver.mj AS max_jaccard
+FROM n LEFT JOIN ver ON ver.new_id = n.doc_id
+"""
 
 
 def _incremental_minhash_oracle(threshold: float = 0.5) -> str:
@@ -5068,6 +5145,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_budget": _crawl_budget_oracle(),
         "lexical_diversity": _lexical_diversity_oracle(),
         "compaction_plan": _compaction_plan_oracle(),
+        "snapshot_triage": _snapshot_triage_oracle(),
         "domain_quality_prior": _domain_prior_oracle(),
         "split_dedup_safe": _split_oracle(),
         "dedup_soft_weights": _soft_weights_oracle(),

@@ -200,6 +200,7 @@ def main() -> int:
         "crawl_budget",
         "lexical_diversity",
         "compaction_plan",
+        "snapshot_triage",
         "domain_quality_prior",
         "split_dedup_safe",
     ):

@@ -135,3 +135,42 @@ def refetch_schedule(
         round4(lam).alias("lambda_per_day"),
         round4(refetch).alias("refetch_days"),
     )
+
+
+def snapshot_triage(
+    old: DataFrame, new: DataFrame, jaccard_threshold: float = 0.5
+) -> DataFrame:
+    """Three-way curation triage of a crawl increment against the prior
+    corpus snapshot — the admit/skip/review decision per incoming page:
+    ``exact_dup`` (content hash already in the old snapshot),
+    ``near_dup`` (verified minhash neighbor >= threshold in the old
+    snapshot), else ``new``. Combines the exact membership pass with
+    :func:`~readability_spark.operators.dedup.incremental_minhash_new`'s
+    banded history probe.
+
+    Scale shape: the exact pass is one hash join on 32-hex content keys
+    (production persists the history hash set); the near probe joins
+    (band, key) short strings and verifies candidates only; the
+    increment side is small by contract. Nothing driver-side.
+
+    Output: (doc_id, status, max_jaccard) for every new doc.
+    """
+    from readability_spark.operators.dedup import incremental_minhash_new
+
+    old_h = (
+        old.select(F.md5("text").alias("_h"))
+        .distinct()
+        .withColumn("_ex", F.lit(True))
+    )
+    ex = new.select("doc_id", F.md5("text").alias("_h")).join(old_h, "_h", "left")
+    inc = incremental_minhash_new(
+        new, old, jaccard_threshold=jaccard_threshold
+    ).select("doc_id", "max_jaccard", "is_new")
+    return ex.join(inc, "doc_id").select(
+        "doc_id",
+        F.when(F.col("_ex"), F.lit("exact_dup"))
+        .when(~F.col("is_new"), F.lit("near_dup"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+        "max_jaccard",
+    )

@@ -56,3 +56,40 @@ def test_domain_top_k_matches_single_window(spark):
     }
     assert got == want
     assert len([t for t in got if t[0] == "small"]) == 3  # fewer than k kept all
+
+
+def test_snapshot_triage_three_way_classification(spark):
+    from pyspark.sql import functions as F
+
+    from readability_spark.operators.snapshots import snapshot_triage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 1).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 2, F.concat("text", F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    rows = {r.doc_id: r for r in snapshot_triage(old, new).collect()}
+    assert len(rows) == new.count()
+    by_status: dict = {}
+    for did, r in rows.items():
+        by_status.setdefault(r.status, []).append(did)
+        if r.status == "exact_dup":
+            # unmutated doc whose content exists in old
+            assert did % 7 != 2 and did % 3 != 0
+            assert r.max_jaccard == 1.0
+        elif r.status == "near_dup":
+            assert r.max_jaccard is not None and r.max_jaccard >= 0.5
+            assert r.max_jaccard < 1.0 or did % 7 == 2
+        else:
+            assert r.max_jaccard is None or r.max_jaccard < 0.5
+    # all three branches fire on this corpus
+    assert set(by_status) == {"exact_dup", "near_dup", "new"}, {
+        k: len(v) for k, v in by_status.items()
+    }
+    # every v2-mutated doc whose original sits in old is caught as near-dup
+    for did in rows:
+        if did % 7 == 2 and did % 3 != 0:
+            assert rows[did].status == "near_dup", (did, rows[did])
