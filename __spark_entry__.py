@@ -407,6 +407,18 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(with_synthetic_lines(_docs(spark, sf_dir)))
 
 
+def _q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source template lines over the deterministically-lined corpus
+    (min_docs=3 within a source). Oracle rebuilds the same lined text
+    and mirrors the per-(source, line) distinct-doc counts."""
+    from readability_spark.operators.cleaning import (
+        host_boilerplate_lines,
+        with_synthetic_lines,
+    )
+
+    return host_boilerplate_lines(with_synthetic_lines(_docs(spark, sf_dir)))
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.decontam import decontaminate, with_injected_contamination
 
@@ -1605,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": _q_lexical_diversity,
         "compaction_plan": _q_compaction_plan,
         "snapshot_triage": _q_snapshot_triage,
+        "host_boilerplate": _q_host_boilerplate,
         "domain_quality_prior": _q_domain_quality_prior,
         "split_dedup_safe": _q_split_dedup_safe,
         "dedup_soft_weights": _q_dedup_soft_weights,
@@ -2789,6 +2802,21 @@ lined AS (
     ), chr(10)) AS text
   FROM t
 )"""
+
+
+def _host_boilerplate_oracle(width: int = 8, min_docs: int = 3) -> str:
+    """Mirror of cleaning.host_boilerplate_lines over the shared lined
+    CTE, joined back to documents for the source column."""
+    return f"""
+WITH {_lined_cte(width)},
+l AS (
+  SELECT DISTINCT d.source AS grp, m.doc_id, line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        FROM lined) m
+  JOIN documents d ON d.doc_id = m.doc_id)
+SELECT grp, line, count(*)::bigint AS n_docs
+FROM l GROUP BY 1, 2 HAVING count(*) >= {min_docs}
+"""
 
 
 def _line_dedup_oracle(width: int = 8, min_docs: int = 4) -> str:
@@ -5146,6 +5174,7 @@ def oracle_sql() -> dict[str, str]:
         "lexical_diversity": _lexical_diversity_oracle(),
         "compaction_plan": _compaction_plan_oracle(),
         "snapshot_triage": _snapshot_triage_oracle(),
+        "host_boilerplate": _host_boilerplate_oracle(),
         "domain_quality_prior": _domain_prior_oracle(),
         "split_dedup_safe": _split_oracle(),
         "dedup_soft_weights": _soft_weights_oracle(),

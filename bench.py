@@ -201,6 +201,7 @@ def main() -> int:
         "lexical_diversity",
         "compaction_plan",
         "snapshot_triage",
+        "host_boilerplate",
         "domain_quality_prior",
         "split_dedup_safe",
     ):

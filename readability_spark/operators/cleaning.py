@@ -200,3 +200,32 @@ def with_synthetic_lines(docs: DataFrame, width: int = 8) -> DataFrame:
         lambda x: x.isNotNull(),
     )
     return docs.withColumn("text", F.concat_ws("\n", F.concat(base, extras)))
+
+
+def host_boilerplate_lines(
+    docs: DataFrame, min_docs: int = 3, group_col: str = "source"
+) -> DataFrame:
+    """Per-host boilerplate template mining — the site-local counterpart
+    of :func:`line_dedup`'s corpus-global pass (trafilatura/CCNet strip
+    per-SITE templates: nav menus and footers repeat within a host long
+    before they repeat across the corpus): a line occurring in
+    ``min_docs`` or more distinct documents OF THE SAME group is a
+    template candidate.
+
+    Scale shape: one distinct over (group, doc_id, line-hash) — collapses
+    within-doc repeats map-side — then a map-side-combined count per
+    (group, line). No line list funnels through one task; the output is
+    the per-host template vocabulary, tiny next to the corpus.
+
+    Output: (grp, line, n_docs).
+    """
+    lines = docs.select(
+        F.col(group_col).alias("grp"),
+        "doc_id",
+        F.explode(F.split(F.col("text"), "\n")).alias("line"),
+    ).distinct()
+    return (
+        lines.groupBy("grp", "line")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -234,3 +234,24 @@ def test_c4_badwords_with_regex_metacharacters(spark):
     )
     got = {r.doc_id: r.has_badword for r in c4_clean(df, badwords=bad).collect()}
     assert got == {0: True, 1: False, 2: True, 3: False}
+
+
+def test_host_boilerplate_lines_are_group_local(spark):
+    from readability_spark.operators.cleaning import host_boilerplate_lines
+
+    rows = [
+        # host A: 3 docs share a footer line; one line repeats WITHIN a doc
+        (1, "unique alpha\nshared footer line\nshared footer line", "en", "A", 0),
+        (2, "unique beta\nshared footer line", "en", "A", 0),
+        (3, "unique gamma\nshared footer line", "en", "A", 0),
+        # host B has the same footer but only 2 docs -> below threshold
+        (4, "other delta\nshared footer line", "en", "B", 0),
+        (5, "other epsilon\nshared footer line", "en", "B", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {(r.grp, r.line): r.n_docs
+           for r in host_boilerplate_lines(docs, min_docs=3).collect()}
+    # within-doc repetition counts once; B's 2-doc footer stays below bar
+    assert got == {("A", "shared footer line"): 3}
