@@ -237,6 +237,24 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(with_injected_pii(_docs(spark, sf_dir)))
 
 
+def _q_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pearson correlation between bigram-LM perplexity and
+    the heuristic quality composite — both on their ROUNDED outputs so
+    the joined inputs are cross-engine exact; the correlation itself is
+    round4-floored. Oracle nests the LM oracle and the quality
+    expression."""
+    from readability_spark.operators.lm import lm_perplexity
+    from readability_spark.operators.textstats import (
+        quality_score,
+        signal_correlation,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ppl = lm_perplexity(docs, head_max=29.0, middle_max=30.5).select("doc_id", "ppl")
+    q = quality_score(docs).select("doc_id", "quality")
+    return signal_correlation(ppl, q, docs, "ppl", "quality")
+
+
 def _q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source type-token ratio + hapax fraction — the vocabulary-
     richness spam signal. Oracle mirrors the two-level token counts."""
@@ -1618,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": _q_compaction_plan,
         "snapshot_triage": _q_snapshot_triage,
         "host_boilerplate": _q_host_boilerplate,
+        "signal_correlation": _q_signal_correlation,
         "domain_quality_prior": _q_domain_quality_prior,
         "split_dedup_safe": _q_split_dedup_safe,
         "dedup_soft_weights": _q_dedup_soft_weights,
@@ -2489,6 +2508,24 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{IPV4_RE}'))::int AS n_ips,
        {clean} AS clean_text
 FROM p
+"""
+
+
+def _signal_correlation_oracle() -> str:
+    """Mirror of textstats.signal_correlation over the LM oracle's
+    rounded ppl and the rounded quality composite, per lang."""
+    toks = "string_split(text, ' ')"
+    quality = _r4(
+        f"0.4::double * least(1.0::double, len({toks}) / 64.0) "
+        f"+ 0.3::double * least(1.0::double, ({_EN_HITS} / len({toks})::double) * 4) "
+        f"+ 0.3::double * (len(list_distinct({toks})) / len({toks})::double)"
+    )
+    return f"""
+WITH lm AS ({_lm_perplexity_oracle(head_max=29.0, middle_max=30.5)})
+SELECT d.lang AS grp, count(*)::bigint AS n_docs,
+       {_r4('corr(lm.ppl, ' + quality.replace('text', 'd.text') + ')')} AS corr
+FROM documents d JOIN lm ON lm.doc_id = d.doc_id
+GROUP BY 1
 """
 
 
@@ -5175,6 +5212,7 @@ def oracle_sql() -> dict[str, str]:
         "compaction_plan": _compaction_plan_oracle(),
         "snapshot_triage": _snapshot_triage_oracle(),
         "host_boilerplate": _host_boilerplate_oracle(),
+        "signal_correlation": _signal_correlation_oracle(),
         "domain_quality_prior": _domain_prior_oracle(),
         "split_dedup_safe": _split_oracle(),
         "dedup_soft_weights": _soft_weights_oracle(),

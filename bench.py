@@ -202,6 +202,7 @@ def main() -> int:
         "compaction_plan",
         "snapshot_triage",
         "host_boilerplate",
+        "signal_correlation",
         "domain_quality_prior",
         "split_dedup_safe",
     ):

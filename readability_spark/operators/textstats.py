@@ -570,3 +570,35 @@ def lexical_diversity(docs: DataFrame, group_col: str = "source") -> DataFrame:
         round4(F.col("n_types") / F.col("n_tokens")).alias("type_token_ratio"),
         round4(F.col("n_hapax") / F.col("n_types")).alias("hapax_frac"),
     )
+
+
+def signal_correlation(
+    scored_a: DataFrame,
+    scored_b: DataFrame,
+    by: DataFrame,
+    col_a: str,
+    col_b: str,
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group Pearson correlation between two per-document quality
+    signals — the calibration report that tells a pipeline whether its
+    cheap heuristic agrees with its expensive model score (and where:
+    a language whose correlation collapses needs its own thresholds).
+
+    Scale shape: two doc_id-keyed joins of slim (doc_id, score)
+    projections, then one map-side-combined groupBy computing the
+    correlation moments. Nothing but ids and doubles shuffles.
+
+    Output: (grp, n_docs, corr) — corr round4, NULL when degenerate.
+    """
+    from readability_spark.operators.dedup import round4
+
+    j = (
+        by.select("doc_id", F.col(group_col).alias("grp"))
+        .join(scored_a.select("doc_id", col_a), "doc_id")
+        .join(scored_b.select("doc_id", col_b), "doc_id")
+    )
+    return j.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        round4(F.corr(col_a, col_b)).alias("corr"),
+    )

@@ -257,3 +257,31 @@ def test_lexical_diversity_exact_and_detects_template_spam(spark):
     # the signal: template spam has far lower diversity than prose
     assert rows["spam"].type_token_ratio < 0.5 < rows["prose"].type_token_ratio
     assert rows["spam"].hapax_frac < rows["prose"].hapax_frac
+
+
+def test_signal_correlation_matches_numpy_pearson(spark):
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.select("doc_id", (F.col("doc_id") % 17).cast("double").alias("s1"))
+    b = docs.select(
+        "doc_id",
+        ((F.col("doc_id") % 17) * 2 + (F.col("doc_id") % 5)).cast("double").alias("s2"),
+    )
+    rows = {r.grp: r for r in textstats.signal_correlation(a, b, docs, "s1", "s2").collect()}
+    base = docs.select("doc_id", "lang").collect()
+    per: dict = {}
+    for r in base:
+        per.setdefault(r.lang, []).append(r.doc_id)
+    for lang, ids in per.items():
+        x = np.array([i % 17 for i in ids], dtype=float)
+        y = np.array([(i % 17) * 2 + i % 5 for i in ids], dtype=float)
+        expect = float(np.corrcoef(x, y)[0, 1])
+        got = rows[lang]
+        assert got.n_docs == len(ids)
+        assert abs(got.corr - expect) < 2e-4, (lang, got.corr, expect)
+        assert got.corr > 0.9  # strongly positively related by construction
