@@ -1604,6 +1604,41 @@ def _q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_eval_recall(with_injected_duplicates(_docs(spark, sf_dir)))
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement: the 100
+    token-count-weighted docs with the smallest deterministic exponential
+    keys. Oracle recomputes -ln(u)/w from the same md5 unit hash and
+    ranks single-phase; Spark's TakeOrderedAndProject must match it
+    row-for-row on the quantized keys."""
+    from readability_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), k=100)
+
+
+def _q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019) between the
+    even- and odd-label halves of the embeddings table: forward-best
+    margin per source vector above 1.0, with the mutual-best flag.
+    Cosines are quantized to bigints before the neighborhood sums, so
+    the margin is one exact-integer division — bit-identical across
+    engines."""
+    from readability_spark.operators.bitext import bitext_margin_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return bitext_margin_pairs(emb, k=4, threshold=1.0)
+
+
+def _q_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-curve banding planner for a 128-permutation MinHash at Jaccard
+    threshold 0.7: one row per (bands, rows) divisor split with the
+    false-positive / false-negative grid masses. The Spark expression
+    chains and the SQL oracle come from one square-and-multiply
+    generator (planner.py), so every double op is shared."""
+    from readability_spark.operators.planner import lsh_parameter_plan
+
+    return lsh_parameter_plan(spark, perms=128, threshold=0.7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = verification priority, not narrative order.
 
@@ -1618,6 +1653,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- new in r4 (no driver row yet) -----------------------------------
+        "weighted_sample": _q_weighted_sample,
+        "bitext_pairs": _q_bitext_pairs,
+        "lsh_plan": _q_lsh_plan,
         "lm_ppl_adaptive": _q_lm_ppl_adaptive,
         "domain_mix_doremi": _q_domain_mix_doremi,
         "unimax_alloc": _q_unimax_alloc,
@@ -5190,10 +5228,77 @@ def _vocab_growth_oracle() -> str:
     )
 
 
+def _weighted_sample_oracle(k: int = 100) -> str:
+    """Mirror of sampling.weighted_sample: same md5 unit hash, same
+    clamped -ln(u)/w exponential key quantized at 1e9, ranked
+    single-phase (TakeOrderedAndProject is rank-equivalent)."""
+    u = f"({_h32_sql(tok='doc_id::varchar')}) / 4294967296.0"
+    return f"""
+WITH b AS (
+  SELECT doc_id, len(string_split(text, ' '))::double AS w, {u} AS u
+  FROM documents WHERE len(string_split(text, ' ')) > 0),
+kq AS (
+  SELECT doc_id, w,
+         floor(-ln(greatest(u, 1.0 / 4294967296.0)) / w * 1e9)::bigint AS ek
+  FROM b),
+r AS (
+  SELECT doc_id, w, row_number() OVER (ORDER BY ek, doc_id) AS rk FROM kq)
+SELECT doc_id, w::bigint AS w, rk::int AS rk FROM r WHERE rk <= {k}
+"""
+
+
+def _bitext_pairs_oracle(k: int = 4, threshold: float = 1.0) -> str:
+    """Mirror of bitext.bitext_margin_pairs: quantized-bigint cosines,
+    exact top-k neighborhood sums per endpoint, margin = c*2k/(sa+sb),
+    forward-best above threshold with the backward-best mutual flag."""
+    dot = (
+        "list_sum(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> a.embedding[i]::double * b.embedding[i]::double))"
+    )
+    na = "sqrt(list_sum(list_transform(a.embedding, x -> x::double * x::double)))"
+    nb = "sqrt(list_sum(list_transform(b.embedding, x -> x::double * x::double)))"
+    return f"""
+WITH a AS (SELECT vec_id AS src_id, embedding FROM embeddings WHERE label % 2 = 0),
+b AS (SELECT vec_id AS tgt_id, embedding FROM embeddings WHERE label % 2 = 1),
+scored AS (
+  SELECT a.src_id, b.tgt_id,
+         floor({dot} / ({na} * {nb}) * 10000.0 + 0.5)::bigint AS c
+  FROM a, b),
+nna AS (
+  SELECT src_id, sum(c) AS sum_a FROM (
+    SELECT src_id, c,
+           row_number() OVER (PARTITION BY src_id ORDER BY c DESC, tgt_id) AS r
+    FROM scored) WHERE r <= {k} GROUP BY src_id),
+nnb AS (
+  SELECT tgt_id, sum(c) AS sum_b FROM (
+    SELECT tgt_id, c,
+           row_number() OVER (PARTITION BY tgt_id ORDER BY c DESC, src_id) AS r
+    FROM scored) WHERE r <= {k} GROUP BY tgt_id),
+m AS (
+  SELECT s.src_id, s.tgt_id, s.c,
+         s.c::double * {2.0 * k!r} / (nna.sum_a + nnb.sum_b)::double AS margin
+  FROM scored s JOIN nna USING (src_id) JOIN nnb USING (tgt_id)),
+rb AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS fwd,
+         row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS bwd
+  FROM m)
+SELECT src_id, tgt_id, c::double / 10000.0 AS cos,
+       floor(margin * 10000.0 + 0.5) / 10000.0 AS margin,
+       (bwd = 1) AS mutual
+FROM rb WHERE fwd = 1 AND margin > {float(threshold)!r}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = "string_split(text, ' ')"
     url = "'http://synth.fakehost/doc/' || doc_id || '.html'"
+    from readability_spark.operators.planner import lsh_parameter_plan_sql
+
     return {
+        "weighted_sample": _weighted_sample_oracle(),
+        "bitext_pairs": _bitext_pairs_oracle(),
+        "lsh_plan": lsh_parameter_plan_sql(perms=128, threshold=0.7),
         "lm_ppl_adaptive": _lm_adaptive_oracle(),
         "domain_mix_doremi": _doremi_oracle(),
         "unimax_alloc": _unimax_oracle(),

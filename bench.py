@@ -205,6 +205,9 @@ def main() -> int:
         "signal_correlation",
         "domain_quality_prior",
         "split_dedup_safe",
+        "weighted_sample",
+        "bitext_pairs",
+        "lsh_plan",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

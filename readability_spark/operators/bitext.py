@@ -1,0 +1,111 @@
+"""Bitext mining: margin-based parallel-pair scoring across two corpus
+sides (Artetxe & Schwenk 2019, the CCMatrix/NLLB mining criterion).
+
+Raw cosine is a poor cross-lingual alignment signal because some vectors
+sit in dense "hub" regions where EVERYTHING scores high. The published
+fix normalizes each candidate cosine by the average cosine of both
+endpoints' k-nearest neighborhoods (the "ratio" margin):
+
+    margin(x, y) = cos(x, y) / ( (avgNNk(x) + avgNNk(y)) / 2 )
+
+A pair is mined when y is x's best candidate by margin and the margin
+clears a threshold; the ``mutual`` flag marks pairs that are also the
+backward best (the strictest published selection, "max" strategy).
+
+Engine determinism: every cosine is quantized to a bigint
+``floor(cos*10000 + 0.5)`` FIRST, so the neighborhood sums are exact
+integer arithmetic (order-independent — a float sum over an unordered
+group is not reproducible across engines) and the margin is a single
+double division of exact integers — bit-identical in Spark and DuckDB.
+
+Scale shape: at sf the candidate set is the full side-A × side-B cross
+join (the same honest small-scale stand-in the decontamination operator
+uses). At 10^12 vectors the candidate generator is the IVF/LSH shortlist
+(similarity.py) — margin scoring itself is unchanged: it only ever looks
+at each endpoint's top-k candidate rows, so the two window ranks stay
+k-bounded per key and the only shuffles are the two per-endpoint top-k
+exchanges. No per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from readability_spark.operators.similarity import _dot, _norm
+
+
+def _cos_q(a, b):
+    """Quantized cosine: floor(cos*1e4 + 0.5) as bigint — exact downstream."""
+    return F.floor(_dot(a, b) / (_norm(a) * _norm(b)) * 10000.0 + 0.5).cast("long")
+
+
+def bitext_margin_pairs(
+    emb: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    side_col: str = "label",
+) -> DataFrame:
+    """Mine aligned pairs between side A (even ``side_col``) and side B
+    (odd): forward-best margin per A vector above ``threshold``, with a
+    ``mutual`` flag for pairs that are also the backward best.
+
+    Output: (src_id, tgt_id, cos, margin, mutual) — cos is the quantized
+    cosine/1e4, margin round4'd from one exact-integer division.
+    """
+    from pyspark.sql.window import Window
+
+    a = emb.filter(F.pmod(F.col(side_col), F.lit(2)) == 0).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("a_emb")
+    )
+    b = emb.filter(F.pmod(F.col(side_col), F.lit(2)) == 1).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("b_emb")
+    )
+    scored = a.crossJoin(b).select(
+        "src_id", "tgt_id", _cos_q(F.col("a_emb"), F.col("b_emb")).alias("c")
+    )
+
+    # Per-endpoint neighborhood density: exact bigint sum of the top-k
+    # quantized cosines (ties to the smaller partner id, like every other
+    # rank in this repo). Two k-bounded window passes, one exchange each.
+    wa = Window.partitionBy("src_id").orderBy(F.desc("c"), F.asc("tgt_id"))
+    wb = Window.partitionBy("tgt_id").orderBy(F.desc("c"), F.asc("src_id"))
+    nn_a = (
+        scored.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= k)
+        .groupBy("src_id")
+        .agg(F.sum("c").alias("sum_a"))
+    )
+    nn_b = (
+        scored.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum("c").alias("sum_b"))
+    )
+
+    # margin = c / ((sum_a/k + sum_b/k) / 2) = c * 2k / (sum_a + sum_b):
+    # one double division over exact integers.
+    m = (
+        scored.join(nn_a, "src_id")
+        .join(nn_b, "tgt_id")
+        .withColumn(
+            "margin",
+            F.col("c").cast("double")
+            * F.lit(2.0 * k)
+            / (F.col("sum_a") + F.col("sum_b")).cast("double"),
+        )
+    )
+    wfwd = Window.partitionBy("src_id").orderBy(F.desc("margin"), F.asc("tgt_id"))
+    wbwd = Window.partitionBy("tgt_id").orderBy(F.desc("margin"), F.asc("src_id"))
+    best = (
+        m.withColumn("fwd", F.row_number().over(wfwd))
+        .withColumn("bwd", F.row_number().over(wbwd))
+        .filter((F.col("fwd") == 1) & (F.col("margin") > F.lit(float(threshold))))
+    )
+    return best.select(
+        "src_id",
+        "tgt_id",
+        (F.col("c").cast("double") / 10000.0).alias("cos"),
+        (F.floor(F.col("margin") * 10000.0 + 0.5) / 10000.0).alias("margin"),
+        (F.col("bwd") == 1).alias("mutual"),
+    )

@@ -445,3 +445,57 @@ def chunk_sliding(
         .select("doc_id", F.explode(chunks).alias("c"))
         .select("doc_id", "c.chunk_idx", "c.start_tok", "c.n_chunk_tokens", "c.chunk_fp")
     )
+
+
+def weighted_sample(
+    docs: DataFrame, k: int = 100, weight_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis & Spirakis 2006
+    (algorithm A-ES): each row draws u = unit_hash(key) and the k rows
+    with the smallest exponential keys e = -ln(u) / w form an exact
+    weight-proportional sample (P(row in sample) follows successive
+    weighted draws without replacement). The pipeline use is
+    quality-weighted subsampling: w = token count here, so long documents
+    are proportionally likelier, but ANY positive weight expression works
+    (classifier score, domain prior, inverse duplication weight).
+
+    Deterministic like every sampler in this module: u comes from the md5
+    unit hash, not an RNG, so the same corpus + config selects the same
+    rows on any partitioning, any cluster size, any retry.
+
+    Engine determinism: ln() may differ by 1 ulp between the JVM and
+    DuckDB's libm, so rows are ORDERED by the quantized key
+    floor(e * 1e9) (bigint) with key_col as tiebreak — a selection flip
+    would need a true key within ~1e-7 of both a quantization edge and
+    the k-boundary simultaneously.
+
+    Plan shape: one codegen projection (hash + ln, no shuffle) feeding a
+    global top-k — Spark plans orderBy().limit(k) as
+    TakeOrderedAndProject: per-partition top-k then a k-row merge, never
+    a global sort. At 10^12 rows this is a scan plus k rows of driver
+    state.
+
+    Output: (doc_id, w, rk) with rk the 1-based selection order.
+    """
+    from pyspark.sql import Window
+
+    w = F.size(F.split(F.col(weight_col), " ")).cast("double")
+    base = (
+        docs.select(key_col, w.alias("w"))
+        .filter(F.col("w") > 0)
+        .withColumn("u", unit_hash(key_col))
+        # u == 0 (p = 2^-32) would give ln(0); clamp to the smallest
+        # representable hash step, identically in the oracle.
+        .withColumn(
+            "ek",
+            F.floor(-F.log(F.greatest(F.col("u"), F.lit(1.0 / _HASH_SPACE))) / F.col("w") * 1e9).cast(
+                "long"
+            ),
+        )
+    )
+    picked = base.orderBy(F.col("ek").asc(), F.col(key_col).asc()).limit(k)
+    # rank the k survivors: single-partition window on k rows only.
+    wk = Window.partitionBy().orderBy(F.col("ek").asc(), F.col(key_col).asc())
+    return picked.withColumn("rk", F.row_number().over(wk)).select(
+        key_col, F.col("w").cast("bigint").alias("w"), "rk"
+    )
