@@ -1639,6 +1639,50 @@ def _q_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_parameter_plan(spark, perms=128, threshold=0.7)
 
 
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-level Shannon entropy quality proxy per doc (the codec-free
+    gzip-ratio analogue): per-char-count terms quantized to bigints before
+    the per-doc sum, so both engines aggregate exact integers."""
+    from readability_spark.operators.textstats import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
+def _urls_for_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four deterministic url shapes keyed on doc_id % 4: ad-spam host
+    (digit/hyphen subdomains, deep path, param farm), clean news path,
+    query-id blog, percent-encoded path. The oracle rebuilds the same
+    strings with ||."""
+    d = F.col("doc_id")
+    s = d.cast("string")
+    url = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("http://promo-"), (d % 97).cast("string"),
+                F.lit("-cheap4u.win7.ads.example.biz/a/b/c/d/e/p"), s,
+                F.lit(".html?q=1&s=2&t=3"),
+            ),
+        )
+        .when(d % 4 == 1, F.concat(F.lit("https://news.example.org/articles/"), s))
+        .when(
+            d % 4 == 2,
+            F.concat(F.lit("http://blog.example.com/post?id="), s, F.lit("&ref=rss")),
+        )
+        .otherwise(F.concat(F.lit("http://www.example.net/p%20q%3A/"), s))
+    )
+    return _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+
+
+def _q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-shape spam features over the four synthesized url shapes.
+    Pure regex/length codegen; the oracle mirrors every regex with
+    DuckDB's 'g' replace flag."""
+    from readability_spark.operators.urltools import url_features
+
+    return url_features(_urls_for_features(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = verification priority, not narrative order.
 
@@ -1656,6 +1700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "bitext_pairs": _q_bitext_pairs,
         "lsh_plan": _q_lsh_plan,
+        "char_entropy": _q_char_entropy,
+        "url_features": _q_url_features,
         "lm_ppl_adaptive": _q_lm_ppl_adaptive,
         "domain_mix_doremi": _q_domain_mix_doremi,
         "unimax_alloc": _q_unimax_alloc,
@@ -5290,6 +5336,82 @@ FROM rb WHERE fwd = 1 AND margin > {float(threshold)!r}
 """
 
 
+def _char_entropy_oracle() -> str:
+    """Mirror of textstats.char_entropy: same char split, same bigint
+    quantization of the c*log2(c) terms, same H = log2(n) - sq/1e6/n."""
+    h = "(log2(n_chars::double) - (sq::double / 1e6) / n_chars::double)"
+    return f"""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE length(text) > 0),
+cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+agg AS (
+  SELECT doc_id, sum(c) AS n_chars, count(*) AS n_distinct_chars,
+         sum(floor(c::double * log2(c::double) * 1e6)::bigint) AS sq
+  FROM cnt GROUP BY doc_id)
+SELECT doc_id, n_chars::bigint AS n_chars,
+       n_distinct_chars::int AS n_distinct_chars,
+       floor({h} * 10000.0 + 0.5) / 10000.0 AS entropy_bits,
+       floor((CASE WHEN n_distinct_chars > 1
+                   THEN {h} / log2(n_distinct_chars::double)
+                   ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS entropy_ratio
+FROM agg
+"""
+
+
+def _url_features_oracle() -> str:
+    """Mirror of urltools.url_features over the same four synthesized url
+    shapes; DuckDB regexp_replace needs the explicit 'g' flag to match
+    Spark's replace-all semantics."""
+    mk = """
+CASE doc_id % 4
+  WHEN 0 THEN 'http://promo-' || (doc_id % 97)::varchar ||
+              '-cheap4u.win7.ads.example.biz/a/b/c/d/e/p' || doc_id::varchar ||
+              '.html?q=1&s=2&t=3'
+  WHEN 1 THEN 'https://news.example.org/articles/' || doc_id::varchar
+  WHEN 2 THEN 'http://blog.example.com/post?id=' || doc_id::varchar || '&ref=rss'
+  ELSE 'http://www.example.net/p%20q%3A/' || doc_id::varchar
+END"""
+    return f"""
+WITH p AS (SELECT doc_id, ({mk}) AS url FROM documents),
+f AS (
+  SELECT url,
+    lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS host,
+    regexp_extract(url, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM p),
+g AS (
+  SELECT url, host,
+    length(host) AS host_len,
+    length(host) - length(regexp_replace(host, '\\.', '', 'g')) AS n_subdomains,
+    length(host) - length(regexp_replace(host, '[0-9]', '', 'g')) AS host_digits,
+    length(host) - length(regexp_replace(host, '-', '', 'g')) AS host_hyphens,
+    length(path) - length(regexp_replace(path, '/', '', 'g')) AS path_depth,
+    length(path) AS path_len,
+    CASE WHEN query = '' THEN 0
+         ELSE length(query) - length(regexp_replace(query, '=', '', 'g')) END AS n_params,
+    floor((length(url) - length(regexp_replace(url, '%[0-9a-fA-F]{{2}}', '', 'g'))) / 3)::int AS pct_encoded,
+    length(url) AS url_len
+  FROM f),
+s AS (
+  SELECT *,
+    CASE WHEN host_len > 0 THEN host_digits::double / host_len ELSE 0.0 END AS digit_frac
+  FROM g)
+SELECT url, host, host_len::int AS host_len, n_subdomains::int AS n_subdomains,
+  floor(digit_frac * 10000.0 + 0.5) / 10000.0 AS host_digit_frac,
+  host_hyphens::int AS host_hyphens, path_depth::int AS path_depth,
+  path_len::int AS path_len, n_params::int AS n_params, pct_encoded,
+  url_len::int AS url_len,
+  floor((0.25 * least(1.0, digit_frac * 4)
+       + 0.2 * least(1.0, greatest(n_subdomains - 1, 0) / 3.0)
+       + 0.2 * least(1.0, host_hyphens / 4.0)
+       + 0.15 * least(1.0, greatest(path_depth - 3, 0) / 4.0)
+       + 0.1 * least(1.0, n_params / 4.0)
+       + 0.1 * least(1.0, url_len / 160.0)) * 10000.0 + 0.5) / 10000.0 AS suspicion
+FROM s
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = "string_split(text, ' ')"
     url = "'http://synth.fakehost/doc/' || doc_id || '.html'"
@@ -5299,6 +5421,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _weighted_sample_oracle(),
         "bitext_pairs": _bitext_pairs_oracle(),
         "lsh_plan": lsh_parameter_plan_sql(perms=128, threshold=0.7),
+        "char_entropy": _char_entropy_oracle(),
+        "url_features": _url_features_oracle(),
         "lm_ppl_adaptive": _lm_adaptive_oracle(),
         "domain_mix_doremi": _doremi_oracle(),
         "unimax_alloc": _unimax_oracle(),

@@ -208,6 +208,8 @@ def main() -> int:
         "weighted_sample",
         "bitext_pairs",
         "lsh_plan",
+        "char_entropy",
+        "url_features",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

@@ -602,3 +602,53 @@ def signal_correlation(
         F.count("*").cast("bigint").alias("n_docs"),
         round4(F.corr(col_a, col_b)).alias("corr"),
     )
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Character-level Shannon entropy per document — the compression-ratio
+    quality proxy (RefinedWeb/Dolma use gzip ratio; unigram char entropy is
+    its codec-free analogue and needs no Python). Very LOW entropy flags
+    repeated-character/boilerplate junk; very HIGH flags base64 blobs,
+    minified code, or random spam — both tails are filter targets.
+
+    Computed as H = log2(n) - (1/n) * Σ c_i*log2(c_i) over per-char counts
+    c_i. Engine determinism: each c_i*log2(c_i) term is quantized to a
+    bigint (floor(x*1e6)) before the per-doc sum, so the aggregation is
+    exact integer arithmetic — order-independent across engines (log2 of
+    a small exact integer may differ by 1 ulp between libms; the floor
+    boundary risk is the same accepted class as weighted_sample's).
+
+    Plan shape: explode chars → count per (doc, char) → per-doc agg, both
+    groupBys map-side combined; shuffle rows are bounded by
+    docs × alphabet, not corpus chars. Pure codegen, no Python.
+
+    Output: (doc_id, n_chars, n_distinct_chars, entropy_bits,
+    entropy_ratio) — ratio is H / log2(distinct), 1.0 = uniform usage.
+    """
+    chars = docs.filter(F.length("text") > 0).select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    term = F.floor(
+        F.col("c").cast("double") * F.log2(F.col("c").cast("double")) * 1e6
+    ).cast("long")
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count("*").alias("n_distinct_chars"),
+        F.sum(term).alias("sq"),
+    )
+    h = F.log2(F.col("n_chars").cast("double")) - (
+        F.col("sq").cast("double") / 1e6
+    ) / F.col("n_chars").cast("double")
+    return agg.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_distinct_chars").cast("int").alias("n_distinct_chars"),
+        round4(h).alias("entropy_bits"),
+        round4(
+            F.when(
+                F.col("n_distinct_chars") > 1,
+                h / F.log2(F.col("n_distinct_chars").cast("double")),
+            ).otherwise(F.lit(0.0))
+        ).alias("entropy_ratio"),
+    )

@@ -137,3 +137,62 @@ def domain_stats(pages: DataFrame, url_col: str = "url", chars_col: str = "n_cha
             F.sum(F.col(chars_col).cast("long")).alias("total_chars"),
         )
     )
+
+
+def url_features(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-shape spam signals — the frontier-prioritization features every
+    crawler scores before spending a fetch (long auto-generated hosts,
+    digit-heavy subdomains, parameter farms, and deep calendar/session
+    paths correlate with low-value pages; see the SEO-spam features in
+    Ntoulas et al. 2006, "Detecting spam web pages through content
+    analysis" — these are the URL-side analogues).
+
+    Everything is regex/length arithmetic over the url string — pure
+    codegen, zero shuffles, exactly mirrored in SQL. The composite
+    ``suspicion`` in [0,1] is a fixed-weight blend: each component is
+    already normalized, so the blend is engine-exact after round4.
+
+    Output: (url, host, host_len, n_subdomains, host_digit_frac,
+    host_hyphens, path_depth, path_len, n_params, pct_encoded, url_len,
+    suspicion).
+    """
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(u, r"^[a-zA-Z]+://([^/:?#]+)", 1))
+    path = F.regexp_extract(u, r"^[a-zA-Z]+://[^/?#]+(/[^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    host_len = F.length(host)
+    host_digits = host_len - F.length(F.regexp_replace(host, r"[0-9]", ""))
+    n_sub = F.length(host) - F.length(F.regexp_replace(host, r"\.", ""))
+    hyphens = F.length(host) - F.length(F.regexp_replace(host, r"-", ""))
+    depth = F.length(path) - F.length(F.regexp_replace(path, r"/", ""))
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.length(query) - F.length(F.regexp_replace(query, r"=", ""))
+    )
+    pct = F.floor(
+        (F.length(u) - F.length(F.regexp_replace(u, r"%[0-9a-fA-F]{2}", ""))) / 3
+    ).cast("int")
+    digit_frac = F.when(host_len > 0, host_digits / host_len).otherwise(F.lit(0.0))
+    suspicion = (
+        0.25 * F.least(F.lit(1.0), digit_frac * 4)
+        + 0.2 * F.least(F.lit(1.0), F.greatest(n_sub - 1, F.lit(0)) / 3.0)
+        + 0.2 * F.least(F.lit(1.0), hyphens / 4.0)
+        + 0.15 * F.least(F.lit(1.0), F.greatest(depth - 3, F.lit(0)) / 4.0)
+        + 0.1 * F.least(F.lit(1.0), n_params / 4.0)
+        + 0.1 * F.least(F.lit(1.0), F.length(u) / 160.0)
+    )
+    from readability_spark.operators.dedup import round4
+
+    return pages.select(
+        u.alias("url"),
+        host.alias("host"),
+        host_len.cast("int").alias("host_len"),
+        n_sub.cast("int").alias("n_subdomains"),
+        round4(digit_frac).alias("host_digit_frac"),
+        hyphens.cast("int").alias("host_hyphens"),
+        depth.cast("int").alias("path_depth"),
+        F.length(path).cast("int").alias("path_len"),
+        n_params.cast("int").alias("n_params"),
+        pct.alias("pct_encoded"),
+        F.length(u).cast("int").alias("url_len"),
+        round4(suspicion).alias("suspicion"),
+    )

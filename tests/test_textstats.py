@@ -285,3 +285,41 @@ def test_signal_correlation_matches_numpy_pearson(spark):
         assert got.n_docs == len(ids)
         assert abs(got.corr - expect) < 2e-4, (lang, got.corr, expect)
         assert got.corr > 0.9  # strongly positively related by construction
+
+
+def test_char_entropy_matches_bruteforce(spark):
+    import math
+    from collections import Counter
+
+    from readability_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),                # zero entropy
+            (2, "abab"),                # 1 bit, ratio 1.0
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "aaabbbcc d"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textstats.char_entropy(docs).collect()}
+    for doc_id, text in [(1, "aaaa"), (2, "abab"), (3, "the quick brown fox jumps over the lazy dog"), (4, "aaabbbcc d")]:
+        counts = Counter(text)
+        n = len(text)
+        sq = sum(math.floor(c * math.log2(c) * 1e6) for c in counts.values())
+        h = math.log2(n) - (sq / 1e6) / n
+        got = rows[doc_id]
+        assert got.n_chars == n
+        assert got.n_distinct_chars == len(counts)
+        assert abs(got.entropy_bits - h) < 2e-4
+    assert rows[1].entropy_bits == 0.0
+    assert rows[2].entropy_ratio == 1.0
+    # random-ish English prose sits in the 3-4.5 bit band
+    assert 3.0 < rows[3].entropy_bits < 4.5
+
+
+def test_char_entropy_skips_empty(spark):
+    from readability_spark.operators import textstats
+
+    docs = spark.createDataFrame([(1, ""), (2, "ab")], "doc_id long, text string")
+    assert [r.doc_id for r in textstats.char_entropy(docs).collect()] == [2]

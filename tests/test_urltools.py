@@ -116,3 +116,31 @@ def test_length_quantiles_exact_and_approx_schema(spark):
     assert approx.columns == ["lang", "n_docs", "p25", "p50", "p75", "p95", "p99"]
     arows = {r.lang: r for r in approx.collect()}
     assert abs(arows["en"].p50 - 50.5) <= 1.0
+
+
+def test_url_features_known_values(spark):
+    from readability_spark.operators.urltools import url_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://promo-3-cheap4u.win7.ads.example.biz/a/b/c/d/e/p1.html?q=1&s=2&t=3"),
+            (2, "https://news.example.org/articles/9"),
+            (3, "http://www.example.net/p%20q%3A/7"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r.url: r for r in url_features(df).collect()}
+    spam = rows["http://promo-3-cheap4u.win7.ads.example.biz/a/b/c/d/e/p1.html?q=1&s=2&t=3"]
+    assert spam.host == "promo-3-cheap4u.win7.ads.example.biz"
+    assert spam.n_subdomains == 4
+    assert spam.host_hyphens == 2
+    assert spam.path_depth == 6
+    assert spam.n_params == 3
+    clean = rows["https://news.example.org/articles/9"]
+    assert clean.n_params == 0
+    assert clean.path_depth == 2
+    assert clean.pct_encoded == 0
+    enc = rows["http://www.example.net/p%20q%3A/7"]
+    assert enc.pct_encoded == 2
+    # the ad-spam shape must clearly outrank the clean article url
+    assert spam.suspicion > clean.suspicion + 0.3
