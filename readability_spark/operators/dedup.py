@@ -886,3 +886,50 @@ def dedup_eval_recall(docs_with_dups: DataFrame, dup_offset: int = DUP_OFFSET) -
         "n_discovered",
         (F.col("n_discovered") - F.col("n_truth_found")).alias("n_extra"),
     )
+
+
+def minhash_band_buckets_projection(
+    docs: DataFrame, num_hashes: int = 16, bands: int = 4, keep: tuple = ()
+) -> DataFrame:
+    """The same (doc_id, band, key) bucket rows as
+    :func:`minhash_band_buckets`, computed WITHOUT aggregation:
+    sig_k = array_min(transform(shingles, md5(k:shingle))) — array_min
+    over strings is the identical lexicographic minimum the exploded
+    groupBy-min takes, so the two forms are row-identical (pinned in
+    tests). The projection form exists for Structured Streaming, where a
+    signature aggregation would burn the query's single allowed stateful
+    aggregation; batch pipelines keep the explode+groupBy form (map-side
+    partial agg beats recomputing the shingle array K times per row).
+
+    ``keep`` names extra input columns to carry through (the streaming
+    triage rides its shingle array along so no stream-stream self-join
+    is needed to re-attach it).
+    """
+    rows_per_band = num_hashes // bands
+    sh = _shingles(F.col("text"))
+    def _sig(k: int):
+        # NB: a two-arg lambda would make pyspark pass the ARRAY INDEX as
+        # the second argument — capture k via closure, not a default arg.
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{k}:"), s)))
+        ).alias(f"mh{k}")
+
+    sigs = [_sig(k) for k in range(num_hashes)]
+    with_sigs = docs.select("doc_id", *keep, *sigs)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return with_sigs.select(
+        "doc_id", *keep, F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        "doc_id", *keep, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )

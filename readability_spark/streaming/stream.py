@@ -414,3 +414,103 @@ def stream_extract(spark: SparkSession, pages_path: str, checkpoint_dir: str, ou
     )
     query.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+def stream_triage(
+    spark: SparkSession,
+    history: DataFrame,
+    new_src_dir: str,
+    checkpoint_dir: str,
+    jaccard_threshold: float = 0.5,
+    out_table: str = "stream_triage",
+):
+    """Streaming form of
+    :func:`~readability_spark.operators.snapshots.snapshot_triage`: each
+    incoming page of a crawl increment is classified exact_dup /
+    near_dup / new against the static prior-corpus snapshot as it
+    arrives — the admission gate a continuously-ingesting pipeline runs
+    instead of the nightly batch triage.
+
+    Streaming constraints force one structural change from the batch op:
+    a streaming query gets ONE stateful aggregation, and the batch
+    minhash signature already spends an aggregation (explode →
+    groupBy-min). So the stream side computes signatures in projection
+    form (dedup.minhash_band_buckets_projection — pinned row-identical
+    to the batch form), every history lookup is a stream-static join
+    (exact md5 set, banded bucket table, candidate shingles — all
+    precomputed from the static snapshot, in production persisted per
+    corpus release), and the three probe branches union into a single
+    groupBy(doc_id). Candidate pairs colliding in multiple bands are NOT
+    distinct-ed (that would be a second aggregation); duplicates cannot
+    change max/bool aggregates, so the verdict is unaffected.
+
+    Output table: (doc_id, status, max_jaccard) — exactly the batch
+    triage's schema; the stream==batch equality is pinned in tests.
+    """
+    from readability_spark.operators.dedup import (
+        _shingles,
+        minhash_band_buckets,
+        minhash_band_buckets_projection,
+        round4,
+    )
+
+    hist_exact = (
+        history.select(F.md5("text").alias("_h")).distinct().withColumn("_ex", F.lit(True))
+    )
+    hist_buckets = minhash_band_buckets(history).withColumnRenamed("doc_id", "hist_id")
+    hist_sh = history.select(
+        F.col("doc_id").alias("hist_id"), _shingles(F.col("text")).alias("sh_b")
+    )
+
+    schema = spark.read.parquet(new_src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(new_src_dir)
+
+    base = stream.select(
+        "doc_id", F.lit(None).cast("double").alias("jacc"), F.lit(False).alias("ex")
+    )
+    exact = (
+        stream.select("doc_id", F.md5("text").alias("_h"))
+        .join(hist_exact, "_h")
+        .select("doc_id", F.lit(None).cast("double").alias("jacc"), F.col("_ex").alias("ex"))
+    )
+    near = (
+        minhash_band_buckets_projection(
+            stream.withColumn("sh_a", _shingles(F.col("text"))), keep=("sh_a",)
+        )
+        .join(hist_buckets, ["band", "key"])
+        .join(hist_sh, "hist_id")
+        .select(
+            "doc_id",
+            round4(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jacc"),
+            F.lit(False).alias("ex"),
+        )
+    )
+    agg = (
+        base.unionByName(exact)
+        .unionByName(near)
+        .groupBy("doc_id")
+        .agg(F.max("jacc").alias("max_jaccard"), F.max("ex").alias("_ex"))
+        .select(
+            "doc_id",
+            F.when(F.col("_ex"), F.lit("exact_dup"))
+            .when(
+                F.col("max_jaccard") >= jaccard_threshold, F.lit("near_dup")
+            )
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            "max_jaccard",
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(out_table)

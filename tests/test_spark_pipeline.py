@@ -519,3 +519,51 @@ def test_streaming_quantile_bins_match_batch(spark, tmp_path):
         (r["grp"], r["bin_lo"], r["bin_hi"]): r["n"] for r in streamed.collect()
     }
     assert got == batch and len(got) > 10
+
+
+def test_minhash_projection_matches_groupby_form(spark):
+    """array_min projection signatures must be row-identical to the
+    exploded groupBy-min form the batch pipeline uses."""
+    from readability_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_band_buckets_projection,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, minhash_band_buckets(docs).collect()))
+    b = sorted(
+        map(tuple, minhash_band_buckets_projection(docs).select("doc_id", "band", "key").collect())
+    )
+    assert a == b
+
+
+def test_stream_triage_matches_batch(spark, tmp_path):
+    """The streaming admission gate must reach the identical verdict per
+    doc as the batch snapshot_triage on the same old/new split."""
+    from pyspark.sql import functions as F
+
+    from readability_spark.operators.snapshots import snapshot_triage
+    from readability_spark.streaming.stream import stream_triage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 1).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 2, F.concat("text", F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    src = str(tmp_path / "increment")
+    # two files so the stream sees multiple input splits
+    new.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(src)
+    new.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+
+    got = {
+        r.doc_id: (r.status, r.max_jaccard)
+        for r in stream_triage(spark, old, src, str(tmp_path / "ck")).collect()
+    }
+    want = {
+        r.doc_id: (r.status, r.max_jaccard) for r in snapshot_triage(old, new).collect()
+    }
+    assert got == want
+    assert {s for s, _ in want.values()} == {"exact_dup", "near_dup", "new"}
