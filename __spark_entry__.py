@@ -1683,6 +1683,16 @@ def _q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_features(_urls_for_features(spark, sf_dir))
 
 
+def _q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-threshold calibration at keep-rate 0.4: each
+    language's cutoff at the 0.6 quantile of its own quality scores
+    (the CCNet normalization). The gate compares against the round4-ed
+    quantile in both engines so interpolation ulps can't flip a doc."""
+    from readability_spark.operators.textstats import quality_threshold_calibrate
+
+    return quality_threshold_calibrate(_docs(spark, sf_dir), keep_rate=0.4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = verification priority, not narrative order.
 
@@ -1702,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_plan": _q_lsh_plan,
         "char_entropy": _q_char_entropy,
         "url_features": _q_url_features,
+        "quality_calibrate": _q_quality_calibrate,
         "lm_ppl_adaptive": _q_lm_ppl_adaptive,
         "domain_mix_doremi": _q_domain_mix_doremi,
         "unimax_alloc": _q_unimax_alloc,
@@ -5423,6 +5434,23 @@ def oracle_sql() -> dict[str, str]:
         "lsh_plan": lsh_parameter_plan_sql(perms=128, threshold=0.7),
         "char_entropy": _char_entropy_oracle(),
         "url_features": _url_features_oracle(),
+        "quality_calibrate": f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         {_r4(f"0.4::double * least(1.0::double, len({toks}) / 64.0) + 0.3::double * least(1.0::double, ({_EN_HITS} / len({toks})::double) * 4) + 0.3::double * (len(list_distinct({toks})) / len({toks})::double)")} AS quality
+  FROM documents),
+th AS (
+  SELECT lang, count(*) AS n_docs,
+         floor(quantile_cont(quality, 0.6) * 10000.0 + 0.5) / 10000.0 AS threshold
+  FROM q GROUP BY lang),
+k AS (
+  SELECT q.lang, count(*) AS n_kept
+  FROM q JOIN th USING (lang) WHERE q.quality >= th.threshold GROUP BY q.lang)
+SELECT th.lang, n_docs::bigint AS n_docs, threshold,
+       coalesce(n_kept, 0)::bigint AS n_kept,
+       floor(coalesce(n_kept, 0)::double / n_docs * 10000.0 + 0.5) / 10000.0 AS kept_rate
+FROM th LEFT JOIN k ON th.lang = k.lang
+""",
         "lm_ppl_adaptive": _lm_adaptive_oracle(),
         "domain_mix_doremi": _doremi_oracle(),
         "unimax_alloc": _unimax_oracle(),

@@ -210,6 +210,7 @@ def main() -> int:
         "lsh_plan",
         "char_entropy",
         "url_features",
+        "quality_calibrate",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

@@ -652,3 +652,56 @@ def char_entropy(docs: DataFrame) -> DataFrame:
             ).otherwise(F.lit(0.0))
         ).alias("entropy_ratio"),
     )
+
+
+def quality_threshold_calibrate(
+    docs: DataFrame, keep_rate: float = 0.4, exact: bool = True
+) -> DataFrame:
+    """Per-language quality-threshold calibration — the CCNet-style
+    normalization step: instead of one global cutoff (which would gut
+    low-resource languages whose score distributions sit lower), pick
+    each language's threshold at the (1 - keep_rate) quantile of ITS OWN
+    quality distribution, so every language keeps ~keep_rate of its
+    docs. Returns the per-language report a pipeline publishes before
+    committing thresholds to a filter config.
+
+    The comparison bound is the round4-ed quantile (both engines
+    quantize the interpolated value identically, so the >= gate can't
+    flip on a last-ulp interpolation difference). ``exact=True`` uses
+    the exact percentile aggregate; switch to ``exact=False``
+    (approx_percentile, t-digest) past ~10^9 docs per language — same
+    schema, bounded agg memory.
+
+    Plan shape: one score projection, one per-lang agg (K rows), one
+    broadcast join back + one counting agg. No windows, no sorts.
+
+    Output: (lang, n_docs, threshold, n_kept, kept_rate).
+    """
+    from readability_spark.operators.dedup import round4
+
+    p = 1.0 - float(keep_rate)
+    scored = (
+        quality_score(docs)
+        .select("doc_id", "quality")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    if exact:
+        pct = F.percentile("quality", F.lit(p))
+    else:
+        pct = F.approx_percentile(F.col("quality"), F.lit(p), F.lit(10000))
+    th = scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), round4(pct).alias("threshold")
+    )
+    kept = (
+        scored.join(F.broadcast(th.select("lang", "threshold")), "lang")
+        .filter(F.col("quality") >= F.col("threshold"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return th.join(kept, "lang", "left").select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "threshold",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        round4(F.coalesce("n_kept", F.lit(0)) / F.col("n_docs")).alias("kept_rate"),
+    )

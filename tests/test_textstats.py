@@ -323,3 +323,31 @@ def test_char_entropy_skips_empty(spark):
 
     docs = spark.createDataFrame([(1, ""), (2, "ab")], "doc_id long, text string")
     assert [r.doc_id for r in textstats.char_entropy(docs).collect()] == [2]
+
+
+def test_quality_calibrate_hits_keep_rate(spark):
+    from readability_spark.operators import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rows = textstats.quality_threshold_calibrate(docs, keep_rate=0.4).collect()
+    assert rows, "expected one row per language"
+    for r in rows:
+        # quantile gate keeps ~keep_rate per language (ties can push it over)
+        assert 0.35 <= r.kept_rate <= 0.6, (r.lang, r.kept_rate)
+        assert r.n_kept <= r.n_docs
+    # a stricter keep-rate must move every language's threshold up (or equal)
+    t40 = {r.lang: r.threshold for r in rows}
+    t20 = {
+        r.lang: r.threshold
+        for r in textstats.quality_threshold_calibrate(docs, keep_rate=0.2).collect()
+    }
+    assert all(t20[lang] >= t40[lang] for lang in t40)
+
+
+def test_quality_calibrate_approx_schema(spark):
+    from readability_spark.operators import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = textstats.quality_threshold_calibrate(docs, keep_rate=0.5, exact=False)
+    assert out.columns == ["lang", "n_docs", "threshold", "n_kept", "kept_rate"]
+    assert out.count() > 0
