@@ -5,36 +5,17 @@ count, column set, and order-insensitive values."""
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from readability_spark.testing import compare_result, register_oracle_views
+
 SF = sys.argv[1] if len(sys.argv) > 1 else "0.01"
 ONLY = sys.argv[2:] or None
 SF_DIR = f"/root/testdata/sf{SF}"
-
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-
-
-def norm_cell(v):
-    if v is None:
-        return "∅"
-    if isinstance(v, bool):
-        return "T" if v else "F"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.6g}" if v == int(v) else repr(round(v, 9))
-    return str(v)
-
-
-def table_repr(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
-    return [cols[i] for i in order], out
 
 
 def main():
@@ -54,8 +35,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    register_oracle_views(con, SF_DIR)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -88,26 +68,8 @@ def main():
             continue
         t_oracle = time.monotonic() - t1
         timings.append((t_spark + t_oracle, t_spark, t_oracle, name))
-        ok = True
-        msgs = []
-        if len(srows) != len(orows):
-            ok = False
-            msgs.append(f"rowcount {len(srows)} vs {len(orows)}")
-        if sorted(scols) != sorted(c.lower() for c in ocols) and sorted(
-            c.lower() for c in scols
-        ) != sorted(c.lower() for c in ocols):
-            ok = False
-            msgs.append(f"columns {sorted(scols)} vs {sorted(ocols)}")
-        if ok:
-            sc, sv = table_repr(scols, srows)
-            oc, ov = table_repr([c.lower() for c in ocols], orows)
-            if sv != ov:
-                ok = False
-                diff = [(a, b) for a, b in zip(sv, ov) if a != b][:3]
-                extra_s = [x for x in sv if x not in set(ov)][:2]
-                extra_o = [x for x in ov if x not in set(sv)][:2]
-                msgs.append(f"values differ; first diffs: {diff} spark-only={extra_s} oracle-only={extra_o}")
-        if ok:
+        msgs = compare_result(scols, srows, ocols, orows)
+        if not msgs:
             print(f"✓ {name} ({len(srows)} rows)")
         else:
             failures += 1
