@@ -1693,6 +1693,71 @@ def _q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_threshold_calibrate(_docs(spark, sf_dir), keep_rate=0.4)
 
 
+def _q_reshard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash resharding plan for growing 8 -> 12 corpus shards
+    over the synthesized url keys: per-new-shard key counts, moved-in
+    keys, and moved bytes. HRW movement is minimal by construction
+    (~(12-8)/12 of keys, all landing on the four NEW shards — the
+    property test pins that no key moves between surviving shards). The
+    oracle recomputes the md5 argmax strings verbatim."""
+    from readability_spark.operators.shards import reshard_plan
+
+    return reshard_plan(_urls_for_features(spark, sf_dir), "url", n_old=8, n_new=12)
+
+
+_TYPO_BRANDS = ["example.com", "wikipedia.org", "github.com", "archive.org", "python.org"]
+_TYPO_HOSTS = [
+    "examp1e.com", "exampl.com", "examplle.com",
+    "wikipedla.org", "wikipeda.org",
+    "githib.com", "gthub.com",
+    "archlve.org", "pythom.org",
+]
+
+
+def _hosts_for_typosquat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic host mix: 70% of docs on five brand hosts
+    (doc_id % 5 picks the brand), 30% on nine single-edit typo variants
+    (doc_id % 9 picks the typo). The oracle rebuilds the same urls with
+    list_extract."""
+    d = F.col("doc_id")
+    host = F.when(
+        d % 10 < 7, F.element_at(F.array(*[F.lit(b) for b in _TYPO_BRANDS]), (d % 5 + 1).cast("int"))
+    ).otherwise(F.element_at(F.array(*[F.lit(t) for t in _TYPO_HOSTS]), (d % 9 + 1).cast("int")))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("http://"), host, F.lit("/p"), d.cast("string")).alias("url"),
+    )
+
+
+def _q_typosquat_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typosquat governance over the synthesized brand/typo host mix: the
+    top-5 hosts by traffic become the brand list; every other host within
+    one edit of a brand is flagged with its page count. The oracle
+    recomputes the host synthesis, the top-k brand election (same docs
+    desc / host asc tie-break), and DuckDB's own levenshtein."""
+    from readability_spark.operators.urltools import typosquat_candidates
+
+    return typosquat_candidates(_hosts_for_typosquat(spark, sf_dir), top_k=5)
+
+
+def _q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the trained quality classifier: 10 equal-width
+    probability bins, per-bin mean predicted p vs empirical positive rate
+    (the |gap| ECE sums). Bin aggregates are integer-exact (p re-quantized
+    to 1e4 grid before summing) so partial-sum order can't flip a round4.
+    The oracle nests the full 16-round GD CTE and re-bins identically."""
+    from readability_spark.operators.classifier import (
+        calibration_report,
+        quality_features,
+        score_logreg,
+        train_logreg,
+    )
+
+    feats = quality_features(_docs(spark, sf_dir)).cache()
+    w = train_logreg(feats, lr=4.0, n_iter=16)
+    return calibration_report(score_logreg(feats, w), n_bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = verification priority, not narrative order.
 
@@ -1723,6 +1788,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": _q_duplicate_spans,
         "corpus_mix": _q_corpus_mix,
         # -- new in r4 (no driver row yet) -----------------------------------
+        "reshard_plan": _q_reshard_plan,
+        "typosquat_hosts": _q_typosquat_hosts,
+        "classifier_calibration": _q_classifier_calibration,
         "weighted_sample": _q_weighted_sample,
         "bitext_pairs": _q_bitext_pairs,
         "lsh_plan": _q_lsh_plan,
@@ -5376,11 +5444,9 @@ FROM agg
 """
 
 
-def _url_features_oracle() -> str:
-    """Mirror of urltools.url_features over the same four synthesized url
-    shapes; DuckDB regexp_replace needs the explicit 'g' flag to match
-    Spark's replace-all semantics."""
-    mk = """
+# SQL mirror of _urls_for_features (shared by the url_features and
+# reshard_plan oracles)
+_URLS_CASE_SQL = """
 CASE doc_id % 4
   WHEN 0 THEN 'http://promo-' || (doc_id % 97)::varchar ||
               '-cheap4u.win7.ads.example.biz/a/b/c/d/e/p' || doc_id::varchar ||
@@ -5389,6 +5455,83 @@ CASE doc_id % 4
   WHEN 2 THEN 'http://blog.example.com/post?id=' || doc_id::varchar || '&ref=rss'
   ELSE 'http://www.example.net/p%20q%3A/' || doc_id::varchar
 END"""
+
+
+def _reshard_plan_oracle(n_old: int = 8, n_new: int = 12) -> str:
+    """Mirror of shards.reshard_plan over the synthesized urls: the same
+    md5-weight rendezvous argmax (weight hex || ':' || zero-padded shard,
+    reduced with max) for both shard counts, then the per-new-shard
+    movement aggregation."""
+
+    def argmax(n: int) -> str:
+        return (
+            f"CAST(substr(list_max(list_transform(range({n}), "
+            f"s -> md5(url || '#' || s::varchar) || ':' || "
+            f"lpad(s::varchar, 2, '0'))), 34, 2) AS INT)"
+        )
+
+    return f"""
+WITH u AS (SELECT {_URLS_CASE_SQL} AS url FROM documents),
+a AS (
+  SELECT {argmax(n_old)} AS old_shard,
+         {argmax(n_new)} AS new_shard,
+         length(url)::bigint AS nb
+  FROM u)
+SELECT new_shard, count(*)::bigint AS n_keys,
+       sum(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END)::bigint AS n_moved_in,
+       sum(CASE WHEN old_shard <> new_shard THEN nb ELSE 0 END)::bigint AS moved_bytes
+FROM a GROUP BY new_shard
+"""
+
+
+def _typosquat_oracle(top_k: int = 5) -> str:
+    """Mirror of urltools.typosquat_candidates over the synthesized
+    brand/typo host mix: same host synthesis, same top-k brand election
+    (docs desc, host asc), DuckDB's own levenshtein, same subdomain
+    guard."""
+    brands = ", ".join(f"'{b}'" for b in _TYPO_BRANDS)
+    typos = ", ".join(f"'{t}'" for t in _TYPO_HOSTS)
+    return f"""
+WITH h AS (
+  SELECT CASE WHEN doc_id % 10 < 7
+              THEN list_extract([{brands}], (doc_id % 5 + 1)::int)
+              ELSE list_extract([{typos}], (doc_id % 9 + 1)::int)
+         END AS host
+  FROM documents),
+hc AS (SELECT host, count(*)::bigint AS docs FROM h GROUP BY host),
+b AS (SELECT host AS brand FROM hc ORDER BY docs DESC, host LIMIT {top_k})
+SELECT hc.host, b.brand, levenshtein(hc.host, b.brand)::int AS dist, hc.docs AS docs
+FROM hc CROSS JOIN b
+WHERE levenshtein(hc.host, b.brand) <= 1
+  AND hc.host <> b.brand
+  AND NOT (hc.host LIKE ('%.' || b.brand))
+"""
+
+
+def _classifier_calibration_oracle(n_bins: int = 10) -> str:
+    """Mirror of classifier.calibration_report: nest the full 16-round GD
+    scoring oracle, re-bin on the identical round4-floored p, and compute
+    the bin aggregates from the same exact-integer quantities."""
+    return f"""
+SELECT bin, count(*)::bigint AS n,
+       floor(sum(p_q) / (10000.0 * count(*)) * 10000.0 + 0.5) / 10000.0 AS mean_p,
+       floor(sum(y1)::double / count(*) * 10000.0 + 0.5) / 10000.0 AS pos_rate,
+       floor(abs(sum(p_q) / (10000.0 * count(*)) - sum(y1)::double / count(*))
+             * 10000.0 + 0.5) / 10000.0 AS gap
+FROM (
+  SELECT CAST(least(floor(p * {n_bins}), {n_bins - 1}) AS INT) AS bin,
+         CAST(floor(p * 10000.0 + 0.5) AS BIGINT) AS p_q,
+         CAST(y AS BIGINT) AS y1
+  FROM ({_classifier_oracle()}) s
+) GROUP BY bin
+"""
+
+
+def _url_features_oracle() -> str:
+    """Mirror of urltools.url_features over the same four synthesized url
+    shapes; DuckDB regexp_replace needs the explicit 'g' flag to match
+    Spark's replace-all semantics."""
+    mk = _URLS_CASE_SQL
     return f"""
 WITH p AS (SELECT doc_id, ({mk}) AS url FROM documents),
 f AS (
@@ -5457,6 +5600,9 @@ SELECT th.lang, n_docs::bigint AS n_docs, threshold,
        floor(coalesce(n_kept, 0)::double / n_docs * 10000.0 + 0.5) / 10000.0 AS kept_rate
 FROM th LEFT JOIN k ON th.lang = k.lang
 """,
+        "reshard_plan": _reshard_plan_oracle(),
+        "typosquat_hosts": _typosquat_oracle(),
+        "classifier_calibration": _classifier_calibration_oracle(),
         "lm_ppl_adaptive": _lm_adaptive_oracle(),
         "domain_mix_doremi": _doremi_oracle(),
         "unimax_alloc": _unimax_oracle(),

@@ -211,6 +211,9 @@ def main() -> int:
         "char_entropy",
         "url_features",
         "quality_calibrate",
+        "reshard_plan",
+        "typosquat_hosts",
+        "classifier_calibration",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

@@ -224,3 +224,47 @@ def score_logreg(
         yhat.alias("yhat"),
         (yhat == F.col(label_col)).alias("correct"),
     )
+
+
+def calibration_report(scored: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Reliability table for a scored classifier frame (the standard
+    calibration diagnostic: Niculescu-Mizil & Caruana 2005): bucket
+    predictions into ``n_bins`` equal-width probability bins and compare
+    each bin's mean predicted p against its empirical positive rate —
+    the per-bin |gap| is what ECE sums.
+
+    Determinism: ``p`` arrives round4-floored (score_logreg), so the bin
+    edge expression floor(p * n_bins) sees the identical double in both
+    engines; the bin AGGREGATES are computed on exact integers (p
+    re-quantized to p*1e4 as bigint, y as 0/1 bigint) so partial-sum
+    order can never produce a cross-engine ulp — the same
+    quantize-before-sum trick as the LSH planner's masses.
+
+    Scale shape: one map-side-combined groupBy over n_bins keys; the
+    report is n_bins rows no matter the corpus size.
+    """
+    from readability_spark.operators.dedup import round4
+
+    p = F.col("p")
+    bin_ = F.least(F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1))
+    p_q = F.floor(p * 10000.0 + 0.5).cast("long")
+    binned = scored.select(
+        bin_.alias("bin"),
+        p_q.alias("p_q"),
+        F.col("y").cast("long").alias("y1"),
+    )
+    n = F.count(F.lit(1))
+    sum_pq = F.sum("p_q")
+    sum_y = F.sum("y1")
+    return (
+        binned.groupBy("bin")
+        .agg(
+            n.alias("n"),
+            round4(sum_pq / (10000.0 * n)).alias("mean_p"),
+            round4(sum_y.cast("double") / n).alias("pos_rate"),
+            round4(F.abs(sum_pq / (10000.0 * n) - sum_y.cast("double") / n)).alias(
+                "gap"
+            ),
+        )
+        .select("bin", "n", "mean_p", "pos_rate", "gap")
+    )

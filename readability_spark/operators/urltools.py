@@ -196,3 +196,49 @@ def url_features(pages: DataFrame, url_col: str = "url") -> DataFrame:
         F.length(u).cast("int").alias("url_len"),
         round4(suspicion).alias("suspicion"),
     )
+
+
+def typosquat_candidates(
+    pages: DataFrame,
+    url_col: str = "url",
+    top_k: int = 8,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Typosquatting / host-mirror governance: hosts within ``max_dist``
+    edits of a high-traffic "brand" host.
+
+    Brand list = the ``top_k`` hosts by page count (deterministic
+    tie-break: host asc) — on a real crawl this is the Alexa-style head of
+    the host distribution, a few thousand rows at most. Every OTHER host
+    is screened against the brand list with ``levenshtein`` (a JVM builtin
+    here, RE-free; same function in the DuckDB oracle), excluding the
+    brand itself and its legitimate subdomains (``x.brand``).
+
+    Scale shape: one groupBy(host) shuffle to build host counts, then a
+    broadcast nested-loop join of hosts x top_k brands — linear in
+    distinct hosts (NOT in pages), the brand side pinned tiny by
+    contract. Spark >= 3.5 can push a levenshtein threshold down into the
+    join filter; kept un-thresholded here for oracle parity.
+
+    Output: (host, brand, dist, docs) — docs = pages on the suspect host.
+    """
+    host_counts = (
+        pages.select(host_of(F.col(url_col)).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+    brands = (
+        host_counts.orderBy(F.col("docs").desc(), F.col("host"))
+        .limit(top_k)
+        .select(F.col("host").alias("brand"))
+    )
+    dist = F.levenshtein(F.col("host"), F.col("brand"))
+    return (
+        host_counts.crossJoin(F.broadcast(brands))
+        .filter(
+            (dist <= max_dist)
+            & (F.col("host") != F.col("brand"))
+            & ~F.col("host").endswith(F.concat(F.lit("."), F.col("brand")))
+        )
+        .select("host", "brand", dist.cast("int").alias("dist"), "docs")
+    )
