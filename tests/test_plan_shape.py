@@ -404,3 +404,47 @@ def test_domain_mixers_single_partition_only_on_k_rows(spark):
         # the single-partition section must come AFTER the domain groupBy
         sp = plan.index("Exchange SinglePartition")
         assert "partial_" in plan[sp:], plan
+
+
+def test_reshard_assignment_is_pure_projection(spark):
+    """Rendezvous assignment must add ZERO exchanges below the report's one
+    groupBy: the md5 argmax is a per-row column expression. The report
+    itself is one map-side-combined aggregation (AQE may print the
+    exchange once per plan reuse; count distinct exchange ids instead)."""
+    from readability_spark.operators.shards import reshard_plan
+
+    keys = spark.range(200).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    plan = plan_of(reshard_plan(keys, "k", n_old=8, n_new=12))
+    assert plan.count("Exchange") == 1, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_typosquat_plan_broadcasts_brands(spark):
+    """The brand side must reach the screen as a broadcast: a shuffled join
+    against a top-k list would serialize the whole host table through one
+    exchange for an 8-row build side."""
+    from readability_spark.operators.urltools import typosquat_candidates
+
+    pages = spark.range(300).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 40).cast("string"),
+                 F.lit(".com/p"), F.col("id")).alias("url"))
+    plan = plan_of(typosquat_candidates(pages, top_k=4))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    # host counting is the only real shuffle of data volume
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_calibration_plan_single_aggregation(spark):
+    """The reliability table is one map-side-combined groupBy over n_bins
+    keys — no window, no join, no second exchange."""
+    from readability_spark.operators.classifier import (
+        calibration_report,
+        quality_features,
+        score_logreg,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    scored = score_logreg(quality_features(docs), [1.0, 1.0, 0.0])
+    plan = plan_of(calibration_report(scored))
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan
