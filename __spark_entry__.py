@@ -1772,6 +1772,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     COMPLETE gate is tests/test_oracle_parity.py (every entry vs its
     DuckDB oracle at sf0.001, run by plain pytest) plus the committed
     sf0.01 sweep record BENCH/SELFCHECK_r04.md.
+
+    r5 note: rotate the entries that sit past the r4 prefix (the r4-new
+    block after position 50 and the r02-green block) to the front so the
+    union of driver rounds keeps growing.
     """
     return {
         # -- flagship first: the one row the whole engine is judged on gets
