@@ -265,14 +265,20 @@ def main() -> int:
 
     total = round(sum(queries.values()), 3)
     # The final stdout line IS the contract, and the consumer tail-captures a
-    # bounded buffer (BENCH_r03.json came back `parsed: null` after the line
-    # grew past it). Keep it compact: headline numbers + per-query best only.
-    # Full per-trial walls and cardinalities go to BENCH/TRIALS.json.
+    # 2000-char buffer (measured: BENCH_r02's 927-char line parsed; r3's
+    # longer line came back `parsed: null`, and even a compact dict of all
+    # ~108 per-query walls is ~2.9 KB). So the LINE carries only the
+    # extraction headline + the round-over-round perf-tracked query set;
+    # every benched wall, per-trial arrays, and cardinalities go to
+    # BENCH/TRIALS.json.
+    line_queries = {
+        k: v for k, v in queries.items() if k == "extract_articles" or k in headline
+    }
     result = {
         "metric": "headline query wall time (extraction + dedup + ANN + stats) at sf dir",
         "value": total,
         "unit": "sec",
-        "queries": queries,
+        "queries": line_queries,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         "n_docs": n_docs,
@@ -280,8 +286,10 @@ def main() -> int:
         if queries["extract_articles"]
         else None,
         "bench_trials": TRIALS,
+        "n_queries_benched": len(queries),
+        "all_walls": "BENCH/TRIALS.json",
     }
-    detail = dict(result, query_trials=ALL_TRIALS, cardinalities=cardinalities)
+    detail = dict(result, queries=queries, query_trials=ALL_TRIALS, cardinalities=cardinalities)
     try:
         # Diagnostic/smoke runs at other SFs set SPARK_GRAFT_TRIALS_PATH so
         # they don't clobber the committed round-artifact per-trial record.

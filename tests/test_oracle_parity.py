@@ -15,6 +15,8 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
+
+pytestmark = pytest.mark.spark
 from readability_spark.testing import compare_result, register_oracle_views
 
 SF_DIR = "/root/testdata/sf0.001"
