@@ -300,7 +300,16 @@ def main() -> int:
             json.dump(detail, f, indent=1)
     except OSError as e:
         print(f"bench: could not write TRIALS.json: {e}", file=sys.stderr)
-    print(json.dumps(result))
+    line = json.dumps(result)
+    if len(line) > 1900:
+        # Hard guard on the consumer's 2000-char tail buffer: if the headline
+        # set ever grows the line past it, shed per-query walls (they live in
+        # TRIALS.json anyway) rather than ship an unparseable artifact.
+        result["queries"] = {"extract_articles": queries["extract_articles"]}
+        result["queries_note"] = "line truncated to fit tail buffer; see all_walls"
+        line = json.dumps(result)
+        print("bench: headline line exceeded 1900B; shed walls", file=sys.stderr)
+    print(line)
     sys.stdout.flush()
     # The JSON line above IS the contract. A large local[32] session was
     # observed hanging in shutdown for >10 min after printing it; don't let
