@@ -1648,6 +1648,32 @@ def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(_docs(spark, sf_dir))
 
 
+def _q_encoding_damage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake / encoding-damage signals over synthetically damaged docs
+    (doc_id % 7 keys six damage classes + one clean class): U+FFFD residue,
+    raw C1 controls, UTF-8-as-cp1252 2/3-byte artifacts, double-escaped
+    entities, numeric-entity residue. Pure regexp_count projection; the
+    oracle embeds the identical pattern strings."""
+    from readability_spark.operators.encoding import (
+        encoding_damage,
+        with_synthetic_mojibake,
+    )
+
+    return encoding_damage(with_synthetic_mojibake(_docs(spark, sf_dir)))
+
+
+def _q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-lite single-pass repair of the same damaged docs: the shared
+    REPAIR_TABLE applied as a literal-replace chain (longest artifact
+    first) in both engines."""
+    from readability_spark.operators.encoding import (
+        mojibake_repair,
+        with_synthetic_mojibake,
+    )
+
+    return mojibake_repair(with_synthetic_mojibake(_docs(spark, sf_dir)))
+
+
 def _urls_for_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Four deterministic url shapes keyed on doc_id % 4: ad-spam host
     (digit/hyphen subdomains, deep path, param farm), clean news path,
@@ -1768,7 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries that had never had a driver row in any round as of r3 (ANN
     int8/IVF, semdedup, media codecs, duplicate_spans, corpus_mix);
     (3) queries new in r4; (4) the r02-green block; (5) the r03-green
-    block. With 138 entries no 50-row prefix can cover everything, so the
+    block. With 143 entries no 50-row prefix can cover everything, so the
     COMPLETE gate is tests/test_oracle_parity.py (every entry vs its
     DuckDB oracle at sf0.001, run by plain pytest) plus the committed
     sf0.01 sweep record BENCH/SELFCHECK_r04.md.
@@ -1799,6 +1825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_pairs": _q_bitext_pairs,
         "lsh_plan": _q_lsh_plan,
         "char_entropy": _q_char_entropy,
+        "encoding_damage": _q_encoding_damage,
+        "mojibake_repair": _q_mojibake_repair,
         "url_features": _q_url_features,
         "quality_calibrate": _q_quality_calibrate,
         "lm_ppl_adaptive": _q_lm_ppl_adaptive,
@@ -5425,6 +5453,82 @@ FROM rb WHERE fwd = 1 AND margin > {float(threshold)!r}
 """
 
 
+def _mojibake_cte() -> str:
+    """SQL mirror of encoding.with_synthetic_mojibake: the same INJECTIONS
+    appended by doc_id % 7 (class 6 = clean)."""
+    from readability_spark.operators.encoding import INJECTIONS
+
+    cases = "\n".join(
+        "    WHEN {} THEN text || ' {}'".format(i, inj.replace("'", "''"))
+        for i, inj in enumerate(INJECTIONS)
+    )
+    return (
+        "m AS (\n  SELECT doc_id, CASE doc_id % 7\n"
+        + cases
+        + "\n    ELSE text END AS text FROM documents)"
+    )
+
+
+def _encoding_damage_oracle() -> str:
+    """Mirror of encoding.encoding_damage over the injected docs: the SAME
+    module-constant pattern strings (Java regex and RE2 agree on these —
+    literal char classes, alternation, bounded repeat), counts via
+    len(regexp_extract_all), the one double round4-quantized."""
+    from readability_spark.operators import encoding as E
+
+    def cnt(pat: str, alias: str) -> str:
+        return "len(regexp_extract_all(text, '{}'))::bigint AS {}".format(
+            pat.replace("'", "''"), alias
+        )
+
+    counts = ",\n    ".join(
+        cnt(pat, alias)
+        for pat, alias in (
+            (E.PAT_FFFD, "n_fffd"),
+            (E.PAT_C1, "n_c1"),
+            (E.PAT_MOJI2, "n_moji2"),
+            (E.PAT_MOJI3, "n_moji3"),
+            (E.PAT_DBL_ENTITY, "n_dbl_entity"),
+            (E.PAT_ENTITY_RESIDUE, "n_entity_residue"),
+        )
+    )
+    total = "(n_fffd + n_c1 + n_moji2 + n_moji3 + n_dbl_entity + n_entity_residue)"
+    rate = _r4(f"CASE WHEN n_chars > 0 THEN {total}::double * 1000.0 / n_chars::double ELSE 0.0 END")
+    return f"""
+WITH {_mojibake_cte()},
+d AS (
+  SELECT doc_id, length(text)::bigint AS n_chars,
+    {counts}
+  FROM m)
+SELECT doc_id, n_chars, n_fffd, n_c1, n_moji2, n_moji3, n_dbl_entity,
+       n_entity_residue, {total}::bigint AS damage_total,
+       {rate} AS damage_per_kchar,
+       ({total} > 0) AS is_damaged
+FROM d
+"""
+
+
+def _mojibake_repair_oracle() -> str:
+    """Mirror of encoding.mojibake_repair: the shared REPAIR_TABLE applied
+    as the same nested replace chain (both engines substitute all
+    non-overlapping occurrences left-to-right)."""
+    from readability_spark.operators.encoding import REPAIR_TABLE
+
+    expr = "text"
+    for artifact, original in REPAIR_TABLE:
+        expr = "replace({}, '{}', '{}')".format(
+            expr, artifact.replace("'", "''"), original.replace("'", "''")
+        )
+    return f"""
+WITH {_mojibake_cte()},
+r AS (SELECT doc_id, text, {expr} AS fixed FROM m)
+SELECT doc_id, (text != fixed) AS changed,
+       (length(text) - length(fixed))::bigint AS chars_removed,
+       fixed AS text_repaired
+FROM r
+"""
+
+
 def _char_entropy_oracle() -> str:
     """Mirror of textstats.char_entropy: same char split, same bigint
     quantization of the c*log2(c) terms, same H = log2(n) - sq/1e6/n."""
@@ -5586,6 +5690,8 @@ def oracle_sql() -> dict[str, str]:
         "bitext_pairs": _bitext_pairs_oracle(),
         "lsh_plan": lsh_parameter_plan_sql(perms=128, threshold=0.7),
         "char_entropy": _char_entropy_oracle(),
+        "encoding_damage": _encoding_damage_oracle(),
+        "mojibake_repair": _mojibake_repair_oracle(),
         "url_features": _url_features_oracle(),
         "quality_calibrate": f"""
 WITH q AS (
