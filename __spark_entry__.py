@@ -1650,10 +1650,11 @@ def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_encoding_damage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mojibake / encoding-damage signals over synthetically damaged docs
-    (doc_id % 7 keys six damage classes + one clean class): U+FFFD residue,
-    raw C1 controls, UTF-8-as-cp1252 2/3-byte artifacts, double-escaped
-    entities, numeric-entity residue. Pure regexp_count projection; the
-    oracle embeds the identical pattern strings."""
+    (doc_id % 8 keys seven damage classes + one clean class): U+FFFD
+    residue, raw C1 controls, UTF-8-as-cp1252 2/3/4-byte artifacts
+    (4-byte = misdecoded emoji), double-escaped entities, numeric-entity
+    residue. Pure regexp_count projection; the oracle embeds the identical
+    pattern strings."""
     from readability_spark.operators.encoding import (
         encoding_damage,
         with_synthetic_mojibake,
@@ -5455,7 +5456,7 @@ FROM rb WHERE fwd = 1 AND margin > {float(threshold)!r}
 
 def _mojibake_cte() -> str:
     """SQL mirror of encoding.with_synthetic_mojibake: the same INJECTIONS
-    appended by doc_id % 7 (class 6 = clean)."""
+    appended by doc_id % (len(INJECTIONS)+1) (last class = clean)."""
     from readability_spark.operators.encoding import INJECTIONS
 
     cases = "\n".join(
@@ -5463,7 +5464,7 @@ def _mojibake_cte() -> str:
         for i, inj in enumerate(INJECTIONS)
     )
     return (
-        "m AS (\n  SELECT doc_id, CASE doc_id % 7\n"
+        "m AS (\n  SELECT doc_id, CASE doc_id % {}\n".format(len(INJECTIONS) + 1)
         + cases
         + "\n    ELSE text END AS text FROM documents)"
     )
@@ -5488,11 +5489,15 @@ def _encoding_damage_oracle() -> str:
             (E.PAT_C1, "n_c1"),
             (E.PAT_MOJI2, "n_moji2"),
             (E.PAT_MOJI3, "n_moji3"),
+            (E.PAT_MOJI4, "n_moji4"),
             (E.PAT_DBL_ENTITY, "n_dbl_entity"),
             (E.PAT_ENTITY_RESIDUE, "n_entity_residue"),
         )
     )
-    total = "(n_fffd + n_c1 + n_moji2 + n_moji3 + n_dbl_entity + n_entity_residue)"
+    total = (
+        "(n_fffd + n_c1 + n_moji2 + n_moji3 + n_moji4"
+        " + n_dbl_entity + n_entity_residue)"
+    )
     rate = _r4(f"CASE WHEN n_chars > 0 THEN {total}::double * 1000.0 / n_chars::double ELSE 0.0 END")
     return f"""
 WITH {_mojibake_cte()},
@@ -5500,8 +5505,8 @@ d AS (
   SELECT doc_id, length(text)::bigint AS n_chars,
     {counts}
   FROM m)
-SELECT doc_id, n_chars, n_fffd, n_c1, n_moji2, n_moji3, n_dbl_entity,
-       n_entity_residue, {total}::bigint AS damage_total,
+SELECT doc_id, n_chars, n_fffd, n_c1, n_moji2, n_moji3, n_moji4,
+       n_dbl_entity, n_entity_residue, {total}::bigint AS damage_total,
        {rate} AS damage_per_kchar,
        ({total} > 0) AS is_damaged
 FROM d
@@ -5510,22 +5515,34 @@ FROM d
 
 def _mojibake_repair_oracle() -> str:
     """Mirror of encoding.mojibake_repair: the shared REPAIR_TABLE applied
-    as the same nested replace chain (both engines substitute all
-    non-overlapping occurrences left-to-right)."""
+    as the same replace chain (both engines substitute all non-overlapping
+    occurrences left-to-right). DuckDB's binder caps expression nesting at
+    128, so the chain is chunked into stacked CTEs of 40 replaces each —
+    same composition order, bounded per-expression depth."""
     from readability_spark.operators.encoding import REPAIR_TABLE
 
-    expr = "text"
-    for artifact, original in REPAIR_TABLE:
-        expr = "replace({}, '{}', '{}')".format(
-            expr, artifact.replace("'", "''"), original.replace("'", "''")
+    chunks = [REPAIR_TABLE[i : i + 40] for i in range(0, len(REPAIR_TABLE), 40)]
+    ctes = []
+    for ci, chunk in enumerate(chunks):
+        expr = "f{}".format(ci - 1) if ci else "text"
+        for artifact, original in chunk:
+            expr = "replace({}, '{}', '{}')".format(
+                expr, artifact.replace("'", "''"), original.replace("'", "''")
+            )
+        ctes.append(
+            "c{0} AS (SELECT doc_id, text, {1} AS f{0} FROM {2})".format(
+                ci, expr, "c{}".format(ci - 1) if ci else "m"
+            )
         )
+    last = len(chunks) - 1
+    cte_block = ",\n".join(ctes)
     return f"""
 WITH {_mojibake_cte()},
-r AS (SELECT doc_id, text, {expr} AS fixed FROM m)
-SELECT doc_id, (text != fixed) AS changed,
-       (length(text) - length(fixed))::bigint AS chars_removed,
-       fixed AS text_repaired
-FROM r
+{cte_block}
+SELECT doc_id, (text != f{last}) AS changed,
+       (length(text) - length(f{last}))::bigint AS chars_removed,
+       f{last} AS text_repaired
+FROM c{last}
 """
 
 

@@ -19,6 +19,11 @@ Signals, each an exact non-overlapping match count:
   alphabets are disjoint (leads U+00C0–U+00EF vs continuations, which are
   cp1252 images of 0x80–0xBF), so no match of one class can sit inside a
   match of the other and the two counts are order-independent.
+- **UTF-8-as-cp1252, 4-byte** — a lead in ``ð..÷`` (0xF0–0xF7) followed by
+  three continuation chars: misdecoded astral-plane text, overwhelmingly
+  emoji on real pages (``ðŸ˜€`` for ``😀``). The lead alphabet is again
+  disjoint from the 2/3-byte leads and from the continuation set, so all
+  three moji counts are mutually order-independent.
 - **double-escaped entities** — ``&amp;amp;``-style, HTML escaped twice.
 - **numeric-entity residue** — ``&#8217;``-style markup that survived
   extraction into "plain" text.
@@ -84,6 +89,7 @@ def _cls(chars: str) -> str:
 _CONT = "".join(_whatwg_1252(b) for b in range(0x80, 0xC0))
 _LEAD2 = "".join(chr(c) for c in range(0xC2, 0xE0))  # Â..ß
 _LEAD3 = "".join(chr(c) for c in range(0xE0, 0xF0))  # à..ï
+_LEAD4 = "".join(chr(c) for c in range(0xF0, 0xF8))  # ð..÷
 
 #: Detection patterns — module constants so the oracle embeds the SAME
 #: strings (the cross-engine contract is pattern identity, not parallel
@@ -92,6 +98,7 @@ PAT_FFFD = "�"
 PAT_C1 = _cls("".join(chr(c) for c in range(0x80, 0xA0)))
 PAT_MOJI2 = _cls(_LEAD2) + _cls(_CONT)
 PAT_MOJI3 = _cls(_LEAD3) + _cls(_CONT) + _cls(_CONT)
+PAT_MOJI4 = _cls(_LEAD4) + _cls(_CONT) + _cls(_CONT) + _cls(_CONT)
 PAT_DBL_ENTITY = "&amp;(amp|lt|gt|quot|nbsp|#[0-9]+);"
 PAT_ENTITY_RESIDUE = "&#[0-9]{2,6};"
 
@@ -105,6 +112,11 @@ _REPAIR_CHARS = (
     "‚„†‡‰™€"
     "ŒœŠšŽžŸƒˆ˜"
     + "".join(chr(c) for c in range(0xA0, 0x100))
+    # curated astral set: the emoji/symbol code points that dominate
+    # real-page 4-byte damage (4-char artifacts, ``ðŸ˜€`` → ``😀``),
+    # plus BMP ❤ (a 3-byte artifact, but it travels with the emoji set)
+    + "😭🙂🙏👍👎🎉🔥💯❤"
+    + "".join(chr(c) for c in range(0x1F600, 0x1F610))
 )
 
 #: (artifact, original) pairs, longest artifact first (3-char artifacts
@@ -113,14 +125,15 @@ _REPAIR_CHARS = (
 #: table edits). Deterministic tiebreak on the artifact string itself.
 REPAIR_TABLE: tuple = tuple(
     sorted(
-        ((mojibake(c), c) for c in _REPAIR_CHARS),
+        {mojibake(c): c for c in _REPAIR_CHARS}.items(),
         key=lambda p: (-len(p[0]), p[0]),
     )
 )
 
 #: Synthetic damage injected by :func:`with_synthetic_mojibake`, keyed on
-#: ``doc_id % 7`` (index 6 = clean control group). Every class of signal
-#: is represented so the detector columns are all non-trivially exercised.
+#: ``doc_id % (len(INJECTIONS) + 1)`` (last class = clean control group).
+#: Every class of signal is represented so the detector columns are all
+#: non-trivially exercised.
 INJECTIONS: tuple = (
     mojibake("cliché déjà vu"),
     mojibake("don’t “quote” – dash — here…"),
@@ -128,15 +141,17 @@ INJECTIONS: tuple = (
     "broken ��� decode",
     mojibake("priced £5 and © naïve"),
     "ctrl\x85line\x92quote",
+    mojibake("emoji 😀 and 🎉 here"),
 )
 
 
 def with_synthetic_mojibake(docs: DataFrame) -> DataFrame:
     """Append a deterministic damage string to ``text`` keyed on
-    ``doc_id % 7`` (six damage classes + one clean residue class), so the
-    detector and repairer have known non-trivial work on the synthetic
-    corpus. Mirrored literally by the SQL oracle."""
-    sel = F.col("doc_id") % 7
+    ``doc_id % (len(INJECTIONS) + 1)`` (one class per injection + one
+    clean residue class), so the detector and repairer have known
+    non-trivial work on the synthetic corpus. Mirrored literally by the
+    SQL oracle."""
+    sel = F.col("doc_id") % (len(INJECTIONS) + 1)
     out: Column = F.col("text")
     for i, inj in enumerate(INJECTIONS):
         out = F.when(sel == i, F.concat(F.col("text"), F.lit(" " + inj))).otherwise(
@@ -152,7 +167,7 @@ def _count(pat: str) -> Column:
 def encoding_damage(docs: DataFrame) -> DataFrame:
     """Per-document encoding-damage signals over ``(doc_id, text)``.
 
-    Output: ``doc_id, n_chars, n_fffd, n_c1, n_moji2, n_moji3,
+    Output: ``doc_id, n_chars, n_fffd, n_c1, n_moji2, n_moji3, n_moji4,
     n_dbl_entity, n_entity_residue, damage_total, damage_per_kchar,
     is_damaged``. All counts are exact integers; the rate is the sole
     double, round4-quantized. Zero shuffles — one projection.
@@ -165,6 +180,7 @@ def encoding_damage(docs: DataFrame) -> DataFrame:
         "n_c1": _count(PAT_C1),
         "n_moji2": _count(PAT_MOJI2),
         "n_moji3": _count(PAT_MOJI3),
+        "n_moji4": _count(PAT_MOJI4),
         "n_dbl_entity": _count(PAT_DBL_ENTITY),
         "n_entity_residue": _count(PAT_ENTITY_RESIDUE),
     }

@@ -44,6 +44,7 @@ def test_signal_counts_exact(spark):
         "a &amp;amp; b &amp;#34; c",         # two double-escaped entities
         "left &#8217; over &#160;",          # two numeric-entity residues
         "raw \x85 and \x92 controls",        # two C1 controls
+        mojibake("ok 😀🎉"),                 # two 4-byte (emoji) artifacts
     ]
     rows = _damage_rows(spark, texts)
     assert rows[0]["n_fffd"] == 2 and rows[0]["damage_total"] == 2
@@ -52,7 +53,10 @@ def test_signal_counts_exact(spark):
     assert rows[3]["n_dbl_entity"] == 2 and rows[3]["n_entity_residue"] == 0
     assert rows[4]["n_entity_residue"] == 2 and rows[4]["n_dbl_entity"] == 0
     assert rows[5]["n_c1"] == 2
-    for i in range(6):
+    assert rows[6]["n_moji4"] == 2
+    # emoji artifacts never bleed into the 2/3-byte counts (disjoint leads)
+    assert rows[6]["n_moji2"] == 0 and rows[6]["n_moji3"] == 0
+    for i in range(7):
         assert rows[i]["is_damaged"]
 
 
@@ -68,17 +72,19 @@ def test_repair_round_trips_real_damage(spark):
         "don’t “quote” – dash — here… and • bullets",
         "café déjà vu naïve façade über señor",
         "priced £5 — ©2024 ®™ ½ ¾ °C ±1 Œuvre Škoda",
+        "great 😀 party 🎉 love ❤ it 🙏",
         "no damage at all, plain ascii.",
     ]
-    damaged = [mojibake(s) for s in originals[:3]] + [originals[3]]
+    damaged = [mojibake(s) for s in originals[:4]] + [originals[4]]
     out = {
         r["doc_id"]: r.asDict()
         for r in mojibake_repair(_frame(spark, damaged)).collect()
     }
     for i, orig in enumerate(originals):
         assert out[i]["text_repaired"] == orig, (i, out[i]["text_repaired"])
-    assert out[0]["changed"] and out[1]["changed"] and out[2]["changed"]
-    assert not out[3]["changed"] and out[3]["chars_removed"] == 0
+    for i in range(4):
+        assert out[i]["changed"]
+    assert not out[4]["changed"] and out[4]["chars_removed"] == 0
 
 
 def test_repair_single_pass_on_double_mojibake(spark):
@@ -99,7 +105,7 @@ def test_repair_table_is_longest_first_and_unique():
 
 
 def test_injector_covers_every_signal(spark):
-    docs = _frame(spark, ["base text"] * 7).withColumn(
+    docs = _frame(spark, ["base text"] * 8).withColumn(
         "doc_id", F.col("doc_id")
     )
     rows = {
@@ -112,8 +118,9 @@ def test_injector_covers_every_signal(spark):
     assert rows[3]["n_fffd"] > 0
     assert rows[4]["n_moji2"] > 0
     assert rows[5]["n_c1"] > 0
-    assert rows[6]["damage_total"] == 0  # clean control class
-    assert len(INJECTIONS) == 6
+    assert rows[6]["n_moji4"] > 0
+    assert rows[7]["damage_total"] == 0  # clean control class
+    assert len(INJECTIONS) == 7
 
 
 def test_plans_are_shuffle_free(spark):
