@@ -1675,6 +1675,16 @@ def _q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mojibake_repair(with_synthetic_mojibake(_docs(spark, sf_dir)))
 
 
+def _q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade: exact integer regex
+    counts (sentence runs, letter-run words, vowel-run + consonant-only
+    syllable proxy), ratios round4-quantized before the linear formulas so
+    the doubles are hash-stable cross-engine. Zero-shuffle projection."""
+    from readability_spark.operators.textstats import readability_scores
+
+    return readability_scores(_docs(spark, sf_dir))
+
+
 def _urls_for_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Four deterministic url shapes keyed on doc_id % 4: ad-spam host
     (digit/hyphen subdomains, deep path, param farm), clean news path,
@@ -1795,7 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries that had never had a driver row in any round as of r3 (ANN
     int8/IVF, semdedup, media codecs, duplicate_spans, corpus_mix);
     (3) queries new in r4; (4) the r02-green block; (5) the r03-green
-    block. With 143 entries no 50-row prefix can cover everything, so the
+    block. With 144 entries no 50-row prefix can cover everything, so the
     COMPLETE gate is tests/test_oracle_parity.py (every entry vs its
     DuckDB oracle at sf0.001, run by plain pytest) plus the committed
     sf0.01 sweep record BENCH/SELFCHECK_r04.md.
@@ -1828,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "encoding_damage": _q_encoding_damage,
         "mojibake_repair": _q_mojibake_repair,
+        "text_readability": _q_text_readability,
         "url_features": _q_url_features,
         "quality_calibrate": _q_quality_calibrate,
         "lm_ppl_adaptive": _q_lm_ppl_adaptive,
@@ -5546,6 +5557,52 @@ FROM c{last}
 """
 
 
+def _text_readability_oracle() -> str:
+    """Mirror of textstats.readability_scores: the SAME module-constant
+    patterns, exact integer counts, ratios round4-ed before the linear
+    Flesch / FK formulas, scores round4-ed after — identical double ops
+    both engines."""
+    from readability_spark.operators import textstats as T
+
+    def cnt(pat: str) -> str:
+        return "len(regexp_extract_all(text, '{}'))::bigint".format(
+            pat.replace("'", "''")
+        )
+
+    ok = "(n_sentences > 0 AND n_words > 0)"
+    wps = _r4(f"CASE WHEN {ok} THEN n_words::double / n_sentences::double ELSE 0.0 END")
+    spw = _r4(
+        f"CASE WHEN {ok} THEN n_syllables::double / n_words::double ELSE 0.0 END"
+    )
+    fre = _r4(
+        f"CASE WHEN {ok} THEN 206.835 - 1.015 * words_per_sentence"
+        f" - 84.6 * syllables_per_word ELSE 0.0 END"
+    )
+    fkg = _r4(
+        f"CASE WHEN {ok} THEN 0.39 * words_per_sentence"
+        f" + 11.8 * syllables_per_word - 15.59 ELSE 0.0 END"
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+    {cnt(T.PAT_SENTENCE)} AS n_sentences,
+    {cnt(T.PAT_WORD)} AS n_words,
+    ({cnt(T.PAT_VOWEL_RUN)} + {cnt(T.PAT_NOVOWEL_WORD)})::bigint AS n_syllables
+  FROM documents),
+r AS (
+  SELECT *, {wps} AS words_per_sentence, {spw} AS syllables_per_word FROM b),
+s AS (
+  SELECT *, {fre} AS flesch_reading_ease, {fkg} AS fk_grade FROM r)
+SELECT *,
+  CASE WHEN NOT {ok} THEN 'empty'
+       WHEN flesch_reading_ease >= 70.0 THEN 'easy'
+       WHEN flesch_reading_ease >= 50.0 THEN 'standard'
+       WHEN flesch_reading_ease >= 30.0 THEN 'difficult'
+       ELSE 'very_difficult' END AS reading_band
+FROM s
+"""
+
+
 def _char_entropy_oracle() -> str:
     """Mirror of textstats.char_entropy: same char split, same bigint
     quantization of the c*log2(c) terms, same H = log2(n) - sq/1e6/n."""
@@ -5709,6 +5766,7 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": _char_entropy_oracle(),
         "encoding_damage": _encoding_damage_oracle(),
         "mojibake_repair": _mojibake_repair_oracle(),
+        "text_readability": _text_readability_oracle(),
         "url_features": _url_features_oracle(),
         "quality_calibrate": f"""
 WITH q AS (

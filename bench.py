@@ -214,6 +214,9 @@ def main() -> int:
         "reshard_plan",
         "typosquat_hosts",
         "classifier_calibration",
+        "encoding_damage",
+        "mojibake_repair",
+        "text_readability",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1
@@ -267,7 +270,7 @@ def main() -> int:
     # The final stdout line IS the contract, and the consumer tail-captures a
     # 2000-char buffer (measured: BENCH_r02's 927-char line parsed; r3's
     # longer line came back `parsed: null`, and even a compact dict of all
-    # ~108 per-query walls is ~2.9 KB). So the LINE carries only the
+    # ~110 per-query walls is ~2.9 KB). So the LINE carries only the
     # extraction headline + the round-over-round perf-tracked query set;
     # every benched wall, per-trial arrays, and cardinalities go to
     # BENCH/TRIALS.json.

@@ -705,3 +705,86 @@ def quality_threshold_calibrate(
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         round4(F.coalesce("n_kept", F.lit(0)) / F.col("n_docs")).alias("kept_rate"),
     )
+
+
+#: Flesch / Flesch-Kincaid surface patterns — module constants so the
+#: DuckDB oracle embeds the SAME strings (Java regex and RE2 agree on all
+#: of them: literal classes, ``+`` repeats, and the ASCII ``\b`` word
+#: boundary, which both engines define over ``[A-Za-z0-9_]``).
+PAT_SENTENCE = "[.!?]+"
+PAT_WORD = "[A-Za-z]+"
+PAT_VOWEL_RUN = "[AEIOUYaeiouy]+"
+#: Consonant-only words contribute one syllable each ("Dr", "nth") — the
+#: floor-1-per-word rule without a per-word explode.
+PAT_NOVOWEL_WORD = r"\b[BCDFGHJKLMNPQRSTVWXZbcdfghjklmnpqrstvwxz]+\b"
+
+
+def readability_scores(docs: DataFrame) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade over ``(doc_id, text)``.
+
+    The classic prose-difficulty signal quality filters bolt on next to
+    stopword/punctuation ratios: FRE = 206.835 − 1.015·(words/sentences)
+    − 84.6·(syllables/words); FKGL = 0.39·(words/sentences)
+    + 11.8·(syllables/words) − 15.59.
+
+    All inputs are exact integer regex counts (sentences = ``[.!?]+``
+    runs, words = letter runs, syllables = vowel-group runs + one per
+    consonant-only word — the standard vowel-run approximation). The two
+    ratios are round4-quantized FIRST, the linear formulas are evaluated
+    on the quantized ratios, and the results are round4-ed again — both
+    engines run the same double ops on identical inputs, so the scores
+    and the CASE band below them are hash-stable cross-engine.
+
+    Empty / wordless / sentenceless text yields 0-ratios and NULL-free
+    0 scores with band ``'empty'``. Zero shuffles — one codegen
+    projection; embarrassingly parallel at any corpus size.
+
+    Output: ``doc_id, n_sentences, n_words, n_syllables,
+    words_per_sentence, syllables_per_word, flesch_reading_ease,
+    fk_grade, reading_band``.
+    """
+
+    def cnt(pat: str) -> F.Column:
+        return F.regexp_count(F.col("text"), F.lit(pat)).cast("bigint")
+
+    base = docs.select(
+        "doc_id",
+        cnt(PAT_SENTENCE).alias("n_sentences"),
+        cnt(PAT_WORD).alias("n_words"),
+        (cnt(PAT_VOWEL_RUN) + cnt(PAT_NOVOWEL_WORD)).alias("n_syllables"),
+    )
+    ok = (F.col("n_sentences") > 0) & (F.col("n_words") > 0)
+    ratios = base.select(
+        "*",
+        round4(
+            F.when(ok, F.col("n_words") / F.col("n_sentences")).otherwise(F.lit(0.0))
+        ).alias("words_per_sentence"),
+        round4(
+            F.when(ok, F.col("n_syllables") / F.col("n_words")).otherwise(F.lit(0.0))
+        ).alias("syllables_per_word"),
+    )
+    fre = round4(
+        F.when(
+            ok,
+            F.lit(206.835)
+            - 1.015 * F.col("words_per_sentence")
+            - 84.6 * F.col("syllables_per_word"),
+        ).otherwise(F.lit(0.0))
+    )
+    fkg = round4(
+        F.when(
+            ok,
+            0.39 * F.col("words_per_sentence")
+            + 11.8 * F.col("syllables_per_word")
+            - F.lit(15.59),
+        ).otherwise(F.lit(0.0))
+    )
+    scored = ratios.select("*", fre.alias("flesch_reading_ease"), fkg.alias("fk_grade"))
+    band = (
+        F.when(~ok, F.lit("empty"))
+        .when(F.col("flesch_reading_ease") >= 70.0, F.lit("easy"))
+        .when(F.col("flesch_reading_ease") >= 50.0, F.lit("standard"))
+        .when(F.col("flesch_reading_ease") >= 30.0, F.lit("difficult"))
+        .otherwise(F.lit("very_difficult"))
+    )
+    return scored.select("*", band.alias("reading_band"))

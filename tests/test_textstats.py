@@ -351,3 +351,68 @@ def test_quality_calibrate_approx_schema(spark):
     out = textstats.quality_threshold_calibrate(docs, keep_rate=0.5, exact=False)
     assert out.columns == ["lang", "n_docs", "threshold", "n_kept", "kept_rate"]
     assert out.count() > 0
+
+
+def _read_rows(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {
+        r["doc_id"]: r.asDict()
+        for r in textstats.readability_scores(df).collect()
+    }
+
+
+def test_readability_counts_hand_computed(spark):
+    # "The cat sat. It ran!" -> 2 sentence runs, 5 words, 5 vowel runs
+    # (The/cat/sat/It/ran each contribute one) + 0 consonant-only words.
+    r = _read_rows(spark, ["The cat sat. It ran!"])[0]
+    assert r["n_sentences"] == 2
+    assert r["n_words"] == 5
+    assert r["n_syllables"] == 5
+    assert r["words_per_sentence"] == 2.5
+    assert r["syllables_per_word"] == 1.0
+    # FRE = 206.835 - 1.015*2.5 - 84.6*1.0 = 119.6975 -> round4 exact
+    assert r["flesch_reading_ease"] == 119.6975
+    assert r["reading_band"] == "easy"
+
+
+def test_readability_consonant_only_word_floor(spark):
+    # "Dr" has no vowel run; the \b consonant-word count gives it 1 syllable.
+    r = _read_rows(spark, ["Dr Smith arrived."])[0]
+    assert r["n_words"] == 3
+    # Smith: i run; arrived: a, i, e runs = 3; Dr: consonant-only = 1
+    assert r["n_syllables"] == 5
+
+
+def test_readability_band_ordering(spark):
+    # Long polysyllabic prose lands in a harder band than short prose.
+    easy = "He ran. She sat. It is fun. We go now."
+    hard = (
+        "Institutional considerations necessitate comprehensive "
+        "organizational restructuring initiatives notwithstanding "
+        "extraordinary administrative complexities."
+    )
+    rows = _read_rows(spark, [easy, hard])
+    assert rows[0]["flesch_reading_ease"] > rows[1]["flesch_reading_ease"]
+    assert rows[0]["reading_band"] == "easy"
+    assert rows[1]["reading_band"] == "very_difficult"
+
+
+def test_readability_empty_and_wordless(spark):
+    rows = _read_rows(spark, ["", "12345 678", "no sentence terminator here"])
+    for i in range(3):
+        assert rows[i]["reading_band"] == "empty"
+        assert rows[i]["flesch_reading_ease"] == 0.0
+        assert rows[i]["fk_grade"] == 0.0
+
+
+def test_readability_plan_is_shuffle_free(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        textstats.readability_scores(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
