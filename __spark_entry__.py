@@ -1685,6 +1685,20 @@ def _q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability_scores(_docs(spark, sf_dir))
 
 
+def _q_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel attrition over the injected-duplicates corpus:
+    5 cumulative stages (input → lang gate → Gopher rules → quality
+    threshold → exact keep-first dedup among survivors), doc+token
+    survival counts and round4 rates. One scan, one md5 Exchange, one
+    global agg."""
+    from readability_spark.operators.dedup import with_injected_duplicates
+    from readability_spark.operators.textstats import filter_attrition
+
+    return filter_attrition(
+        with_injected_duplicates(_docs(spark, sf_dir)), stopwords=_SYNTH_STOPWORDS
+    )
+
+
 def _urls_for_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Four deterministic url shapes keyed on doc_id % 4: ad-spam host
     (digit/hyphen subdomains, deep path, param farm), clean news path,
@@ -1839,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_damage": _q_encoding_damage,
         "mojibake_repair": _q_mojibake_repair,
         "text_readability": _q_text_readability,
+        "filter_attrition": _q_filter_attrition,
         "url_features": _q_url_features,
         "quality_calibrate": _q_quality_calibrate,
         "lm_ppl_adaptive": _q_lm_ppl_adaptive,
@@ -5603,6 +5618,73 @@ FROM s
 """
 
 
+def _filter_attrition_oracle(
+    stopwords: tuple = _SYNTH_STOPWORDS, quality_threshold: float = 0.55
+) -> str:
+    """Mirror of textstats.filter_attrition over the injected-duplicates
+    union: same Gopher term arithmetic as _gopher_oracle, same quality
+    formula as the text_quality oracle (round4-ed before the threshold
+    compare), same keep-first-among-survivors window election, stages
+    stacked by UNION ALL."""
+    from readability_spark.operators.textstats import ATTRITION_STAGES
+
+    stop = ", ".join(f"'{w}'" for w in stopwords)
+    toks = "string_split(text, ' ')"
+    quality = _r4(
+        f"0.4::double * least(1.0::double, len({toks}) / 64.0)"
+        f" + 0.3::double * least(1.0::double, ({_EN_HITS} / len({toks})::double) * 4)"
+        f" + 0.3::double * (len(list_distinct({toks})) / len({toks})::double)"
+    )
+    gopher = (
+        "n >= 50 AND n <= 100000 AND mean_len >= 3 AND mean_len <= 10"
+        " AND alpha_words / n >= 0.8 AND symbols / n <= 0.1 AND stop_hits >= 2"
+    )
+    stages = "\nUNION ALL\n".join(
+        f"SELECT {i} AS stage_idx, '{name}' AS stage,"
+        f" d{i} AS docs_kept, t{i} AS tokens_kept,"
+        f" {_r4(f'CASE WHEN d0 > 0 THEN d{i}::double / d0 ELSE 0.0 END')} AS docs_rate,"
+        f" {_r4(f'CASE WHEN t0 > 0 THEN t{i}::double / t0 ELSE 0.0 END')} AS tokens_rate"
+        " FROM a"
+        for i, name in enumerate(ATTRITION_STAGES)
+    )
+    return f"""
+WITH dup AS ({_DUP_DOCS}),
+m AS (
+  SELECT doc_id, lang, md5(text) AS fp,
+    len({toks})::bigint AS n,
+    (length(text) - (len({toks}) - 1)) / len({toks}) AS mean_len,
+    len(list_filter({toks}, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+    ((length(text) - length(replace(text, '#', '')))
+     + (length(text) - length(replace(text, '...', ''))) / 3
+     + (length(text) - length(replace(text, '…', '')))) AS symbols,
+    len(list_filter(list_distinct({toks}), w -> list_contains([{stop}], w))) AS stop_hits,
+    {quality} AS q
+  FROM dup),
+f AS (
+  SELECT doc_id, n, fp,
+    (lang = 'en') AS c1,
+    (lang = 'en' AND {gopher}) AS c2,
+    (lang = 'en' AND {gopher} AND q >= {quality_threshold}) AS c3
+  FROM m),
+d AS (
+  SELECT *, (c3 AND doc_id = min(CASE WHEN c3 THEN doc_id END)
+             OVER (PARTITION BY fp)) AS c4
+  FROM f),
+a AS (
+  SELECT count(*)::bigint AS d0, coalesce(sum(n), 0)::bigint AS t0,
+    coalesce(sum(CASE WHEN c1 THEN 1 ELSE 0 END), 0)::bigint AS d1,
+    coalesce(sum(CASE WHEN c2 THEN 1 ELSE 0 END), 0)::bigint AS d2,
+    coalesce(sum(CASE WHEN c3 THEN 1 ELSE 0 END), 0)::bigint AS d3,
+    coalesce(sum(CASE WHEN c4 THEN 1 ELSE 0 END), 0)::bigint AS d4,
+    coalesce(sum(CASE WHEN c1 THEN n ELSE 0 END), 0)::bigint AS t1,
+    coalesce(sum(CASE WHEN c2 THEN n ELSE 0 END), 0)::bigint AS t2,
+    coalesce(sum(CASE WHEN c3 THEN n ELSE 0 END), 0)::bigint AS t3,
+    coalesce(sum(CASE WHEN c4 THEN n ELSE 0 END), 0)::bigint AS t4
+  FROM d)
+{stages}
+"""
+
+
 def _char_entropy_oracle() -> str:
     """Mirror of textstats.char_entropy: same char split, same bigint
     quantization of the c*log2(c) terms, same H = log2(n) - sq/1e6/n."""
@@ -5767,6 +5849,7 @@ def oracle_sql() -> dict[str, str]:
         "encoding_damage": _encoding_damage_oracle(),
         "mojibake_repair": _mojibake_repair_oracle(),
         "text_readability": _text_readability_oracle(),
+        "filter_attrition": _filter_attrition_oracle(),
         "url_features": _url_features_oracle(),
         "quality_calibrate": f"""
 WITH q AS (

@@ -60,12 +60,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
     distinct_ratio = F.size(F.array_distinct(toks)) / n
     stop_ratio = en_hits / n
-    len_score = F.least(F.lit(1.0), n / F.lit(64.0))
-    score = round4(
-        0.4 * len_score
-        + 0.3 * F.least(F.lit(1.0), stop_ratio * 4)
-        + 0.3 * distinct_ratio
-    )
+    score = _quality_col()
     return docs.select(
         "doc_id",
         n.alias("n_tokens"),
@@ -179,6 +174,70 @@ def length_quantiles(docs: DataFrame, exact: bool = True) -> DataFrame:
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def _gopher_terms(stopwords: tuple) -> dict:
+    """The five Gopher rule inputs as named Columns over the current row's
+    ``text`` — shared by :func:`gopher_rules` (full per-rule report) and
+    :func:`filter_attrition` (pass/fail only) so the rule arithmetic has
+    exactly one definition."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    mean_len = (F.length("text") - (n - 1)) / n
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    # symbol occurrences: '#', ASCII '...' (3 chars per hit), unicode '…'
+    ln = F.length("text")
+    symbols = (
+        (ln - F.length(F.replace(F.col("text"), F.lit("#"))))
+        + (ln - F.length(F.replace(F.col("text"), F.lit("...")))) / 3
+        + (ln - F.length(F.replace(F.col("text"), F.lit("…"))))
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array_distinct(toks),
+            lambda w: F.array_contains(
+                F.array(*[F.lit(s) for s in stopwords]), w
+            ),
+        )
+    )
+    return {
+        "n": n,
+        "mean_len": mean_len,
+        "alpha_words": alpha_words,
+        "symbols": symbols,
+        "stop_hits": stop_hits,
+    }
+
+
+def _gopher_pass(stopwords: tuple, min_stop_hits: int) -> "F.Column":
+    t = _gopher_terms(stopwords)
+    n, mean_len = t["n"], t["mean_len"]
+    return (
+        (n >= 50)
+        & (n <= 100000)
+        & (mean_len >= 3)
+        & (mean_len <= 10)
+        & (t["alpha_words"] / n >= 0.8)
+        & (t["symbols"] / n <= 0.1)
+        & (t["stop_hits"] >= min_stop_hits)
+    )
+
+
+def _quality_col() -> "F.Column":
+    """The composite quality score as a Column over the current row's
+    ``text`` — shared by :func:`quality_score` and
+    :func:`filter_attrition`."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    en_hits = F.expr(_hits_expr("text", EN_STOPWORDS))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    stop_ratio = en_hits / n
+    len_score = F.least(F.lit(1.0), n / F.lit(64.0))
+    return round4(
+        0.4 * len_score
+        + 0.3 * F.least(F.lit(1.0), stop_ratio * 4)
+        + 0.3 * distinct_ratio
+    )
+
+
 def gopher_rules(
     docs: DataFrame,
     stopwords: tuple = GOPHER_STOPWORDS,
@@ -200,25 +259,9 @@ def gopher_rules(
 
     One codegen projection, no shuffle, no Python.
     """
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    mean_len = (F.length("text") - (n - 1)) / n
-    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
-    # symbol occurrences: '#', ASCII '...' (3 chars per hit), unicode '…'
-    ln = F.length("text")
-    symbols = (
-        (ln - F.length(F.replace(F.col("text"), F.lit("#"))))
-        + (ln - F.length(F.replace(F.col("text"), F.lit("...")))) / 3
-        + (ln - F.length(F.replace(F.col("text"), F.lit("…"))))
-    )
-    stop_hits = F.size(
-        F.filter(
-            F.array_distinct(toks),
-            lambda w: F.array_contains(
-                F.array(*[F.lit(s) for s in stopwords]), w
-            ),
-        )
-    )
+    t = _gopher_terms(stopwords)
+    n, mean_len = t["n"], t["mean_len"]
+    alpha_words, symbols, stop_hits = t["alpha_words"], t["symbols"], t["stop_hits"]
     ok_words = (n >= 50) & (n <= 100000)
     ok_mean_len = (mean_len >= 3) & (mean_len <= 10)
     ok_alpha = alpha_words / n >= 0.8
@@ -788,3 +831,112 @@ def readability_scores(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("very_difficult"))
     )
     return scored.select("*", band.alias("reading_band"))
+
+
+#: Ordered stage labels of the curation funnel — module constant so the
+#: DuckDB oracle and the tests name the stages identically.
+ATTRITION_STAGES = ("0_input", "1_lang_en", "2_gopher", "3_quality", "4_exact_dedup")
+
+
+def filter_attrition(
+    docs: DataFrame,
+    stopwords: tuple = GOPHER_STOPWORDS,
+    min_stop_hits: int = 2,
+    quality_threshold: float = 0.55,
+) -> DataFrame:
+    """Curation-funnel attrition report: how many documents (and tokens)
+    survive each stage of the standard web-corpus filter chain, cumulatively
+    — the per-stage table a dataset release publishes (FineWeb/Dolma-style
+    "documents remaining after each filter").
+
+    Stages, applied in pipeline order (each includes all earlier ones):
+
+    1. ``0_input`` — everything;
+    2. ``1_lang_en`` — the language-ID gate (the table's ``lang`` column is
+       the upstream language-ID output);
+    3. ``2_gopher`` — the Gopher/MassiveWeb document rules
+       (:func:`gopher_rules`, shared arithmetic via ``_gopher_terms``);
+    4. ``3_quality`` — composite quality (:func:`quality_score`'s score,
+       shared via ``_quality_col``) at least ``quality_threshold``;
+    5. ``4_exact_dedup`` — exact keep-first dedup *among stage-3
+       survivors*: a doc survives iff its ``doc_id`` is the smallest among
+       surviving docs with byte-identical text (dedup after filtering, the
+       order real pipelines use — a filtered-out early copy must not shadow
+       a surviving later one).
+
+    Scale shape at 100 TB: one corpus scan computes every per-doc flag in a
+    single codegen projection (all stages but dedup are row-local); the
+    dedup election is one hash Exchange on ``md5(text)`` — the exact-dedup
+    shuffle shape, carrying only ``(fp, doc_id, n_tokens, 3 booleans)``,
+    never text. The stage counters are then ONE map-side-combined global
+    aggregation (10 longs), and the 5-row stage table is a constant-size
+    projection of that single row. No per-stage corpus passes.
+
+    Output: ``stage_idx, stage, docs_kept, tokens_kept, docs_rate,
+    tokens_rate`` — 5 rows, rates round4 relative to ``0_input``.
+    """
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    c1 = F.col("lang") == "en"
+    c2 = c1 & _gopher_pass(stopwords, min_stop_hits)
+    c3 = c2 & (_quality_col() >= quality_threshold)
+    flags = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.md5("text").alias("fp"),
+        c1.alias("c1"),
+        c2.alias("c2"),
+        c3.alias("c3"),
+    )
+    keep_min = F.min(F.when(F.col("c3"), F.col("doc_id"))).over(
+        Window.partitionBy("fp")
+    )
+    staged = flags.select(
+        "*", (F.col("c3") & (F.col("doc_id") == keep_min)).alias("c4")
+    )
+
+    def d(c) -> F.Column:
+        return F.coalesce(
+            F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+        ).cast("bigint")
+
+    def t(c) -> F.Column:
+        return F.coalesce(
+            F.sum(F.when(c, F.col("n_tokens")).otherwise(F.lit(0))), F.lit(0)
+        ).cast("bigint")
+
+    agg = staged.agg(
+        F.count("*").cast("bigint").alias("d0"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("t0"),
+        *[d(F.col(f"c{i}")).alias(f"d{i}") for i in (1, 2, 3, 4)],
+        *[t(F.col(f"c{i}")).alias(f"t{i}") for i in (1, 2, 3, 4)],
+    )
+    stacked = agg.select(
+        F.expr(
+            "stack(5, "
+            + ", ".join(
+                f"{i}, '{name}', d{i}, t{i}"
+                for i, name in enumerate(ATTRITION_STAGES)
+            )
+            + ") AS (stage_idx, stage, docs_kept, tokens_kept)"
+        ),
+        "d0",
+        "t0",
+    )
+    return stacked.select(
+        "stage_idx",
+        "stage",
+        "docs_kept",
+        "tokens_kept",
+        round4(
+            F.when(F.col("d0") > 0, F.col("docs_kept") / F.col("d0")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("docs_rate"),
+        round4(
+            F.when(F.col("t0") > 0, F.col("tokens_kept") / F.col("t0")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("tokens_rate"),
+    )

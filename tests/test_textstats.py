@@ -416,3 +416,65 @@ def test_readability_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def _attrition_rows(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = textstats.filter_attrition(df, stopwords=("the", "a"), quality_threshold=0.0)
+    return {r["stage"]: r.asDict() for r in out.collect()}
+
+
+_PASSING = (
+    "the quick brown fox jumps over a lazy dog near the old river bank "
+    "and the small grey cat sleeps under a warm wooden table while the "
+    "young tall farmer walks along a narrow dusty road toward the quiet "
+    "green valley beyond a stone bridge over the clear stream today"
+)  # 50 words, all alpha, mean len in range, 'the'+'a' stop hits
+
+
+def test_attrition_funnel_monotone(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = textstats.filter_attrition(docs, stopwords=("the", "a"))
+    rows = sorted(out.collect(), key=lambda r: r["stage_idx"])
+    assert [r["stage"] for r in rows] == list(textstats.ATTRITION_STAGES)
+    docs_seq = [r["docs_kept"] for r in rows]
+    toks_seq = [r["tokens_kept"] for r in rows]
+    assert docs_seq == sorted(docs_seq, reverse=True)
+    assert toks_seq == sorted(toks_seq, reverse=True)
+    assert rows[0]["docs_rate"] == 1.0 and rows[0]["tokens_rate"] == 1.0
+
+
+def test_attrition_dedup_keeps_first_survivor_only(spark):
+    # doc 1 (non-en) is filtered at the lang gate; its byte-identical doc 2
+    # survives — dedup must NOT let the filtered-out earlier copy shadow it.
+    rows = [
+        (1, _PASSING, "fr"),
+        (2, _PASSING, "en"),
+        (3, _PASSING, "en"),  # true surviving duplicate of 2 — dropped
+    ]
+    s = _attrition_rows(spark, rows)
+    assert s["1_lang_en"]["docs_kept"] == 2
+    assert s["3_quality"]["docs_kept"] == 2
+    assert s["4_exact_dedup"]["docs_kept"] == 1
+
+
+def test_attrition_empty_input_all_zero_rates(spark):
+    df = spark.createDataFrame([], "doc_id long, text string, lang string")
+    out = textstats.filter_attrition(df)
+    rows = sorted(out.collect(), key=lambda r: r["stage_idx"])
+    assert len(rows) == len(textstats.ATTRITION_STAGES)
+    assert all(r["docs_kept"] == 0 and r["docs_rate"] == 0.0 for r in rows)
+
+
+def test_attrition_plan_single_fp_exchange(spark):
+    # One scan; the only data Exchange is the md5 window hash partitioning
+    # (plus the single-partition final-agg exchange). No per-stage passes.
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        textstats.filter_attrition(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
