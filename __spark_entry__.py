@@ -1685,6 +1685,27 @@ def _q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability_scores(_docs(spark, sf_dir))
 
 
+def _q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (aHash-banded) near-dup pairs over the synthesized PNG
+    corpus ∪ byte-identical copies of every 10th image (copied AFTER
+    synthesis so the copy keeps the original's pixels — guaranteed
+    Hamming-0 pairs; organic near pairs from the closed-form pixel
+    pattern join them). The oracle recomputes aHash from the closed form
+    and applies the same one-level banding + popcount verify."""
+    from readability_spark.operators.dedup import DUP_OFFSET
+    from readability_spark.operators.imaging import (
+        image_near_dup,
+        image_pixel_stats,
+        synthesize_images,
+    )
+
+    imgs = synthesize_images(_docs(spark, sf_dir))
+    copies = imgs.filter((F.col("doc_id") % 10) == 0).withColumn(
+        "doc_id", F.col("doc_id") + DUP_OFFSET
+    )
+    return image_near_dup(image_pixel_stats(imgs.unionByName(copies)))
+
+
 def _q_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation-funnel attrition over the injected-duplicates corpus:
     5 cumulative stages (input → lang gate → Gopher rules → quality
@@ -1854,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_repair": _q_mojibake_repair,
         "text_readability": _q_text_readability,
         "filter_attrition": _q_filter_attrition,
+        "image_near_dup": _q_image_near_dup,
         "url_features": _q_url_features,
         "quality_calibrate": _q_quality_calibrate,
         "lm_ppl_adaptive": _q_lm_ppl_adaptive,
@@ -4325,6 +4347,62 @@ FROM stats s JOIN ah USING (doc_id)
 """
 
 
+def _image_near_dup_oracle(max_w: int = 40, max_h: int = 30) -> str:
+    """Mirror of imaging.image_near_dup over the synthesized PNGs ∪ exact
+    copies of every 10th image: aHash recomputed from the closed-form pixel
+    (the same ah CTE as _image_pixel_stats_oracle), copies injected at the
+    signature level (byte-identical payload ⇒ identical aHash), then the
+    one-level 4×16-bit banding + popcount(hamming)<=3 verify — exactly the
+    _simhash64_pairs_oracle join shape. The Spark side's hot-bucket
+    refinement is candidate-pruning only (exact for hamming<=3), so the
+    plain banding here is the correct oracle."""
+    band_rows = " UNION ALL ".join(
+        [
+            "SELECT doc_id, sim_hi, sim_lo, 0 AS band, sim_hi // 65536 AS key FROM sims",
+            "SELECT doc_id, sim_hi, sim_lo, 1 AS band, sim_hi % 65536 AS key FROM sims",
+            "SELECT doc_id, sim_hi, sim_lo, 2 AS band, sim_lo // 65536 AS key FROM sims",
+            "SELECT doc_id, sim_hi, sim_lo, 3 AS band, sim_lo % 65536 AS key FROM sims",
+        ]
+    )
+    ham = "bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))"
+    return f"""
+WITH dims AS (
+  SELECT doc_id, doc_id % {max_w} + 1 AS w, doc_id % {max_h} + 1 AS h FROM documents
+),
+pxy AS (SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS y FROM dims),
+px AS (SELECT doc_id, w, h, y, unnest(generate_series(0, w - 1)) AS x FROM pxy),
+v AS (SELECT doc_id, w, h, x, y, (doc_id * 7 + x * 3 + y * 5) % 256 AS v FROM px),
+stats AS (
+  SELECT doc_id, sum(v)::double / count(*) AS m FROM v GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, ((y * 8) // h) * 8 + (x * 8) // w AS b,
+         sum(v)::double / count(*) AS bm
+  FROM v GROUP BY doc_id, ((y * 8) // h) * 8 + (x * 8) // w
+),
+ah AS (
+  SELECT b.doc_id,
+         sum(CASE WHEN b.b >= 32 AND b.bm > s.m THEN (1::bigint << (b.b - 32)) ELSE 0 END) AS sim_hi,
+         sum(CASE WHEN b.b < 32 AND b.bm > s.m THEN (1::bigint << b.b) ELSE 0 END) AS sim_lo
+  FROM blocks b JOIN stats s USING (doc_id) GROUP BY b.doc_id
+),
+sims AS (
+  SELECT * FROM ah
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, sim_hi, sim_lo FROM ah WHERE doc_id % 10 = 0
+),
+bands AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sim_hi AS hi_a, a.sim_lo AS lo_a, b.sim_hi AS hi_b, b.sim_lo AS lo_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, cast({ham} as int) AS hamming
+FROM cands WHERE {ham} <= 3
+"""
+
+
 def _corpus_mix_oracle(weights=None, total: int = _MIX_TOTAL) -> str:
     """Mirror of sampling.mix_corpus: per-source counts → epoch rate w*T/n →
     floor copies + one fractional copy iff the doc's unit hash falls below
@@ -5850,6 +5928,7 @@ def oracle_sql() -> dict[str, str]:
         "mojibake_repair": _mojibake_repair_oracle(),
         "text_readability": _text_readability_oracle(),
         "filter_attrition": _filter_attrition_oracle(),
+        "image_near_dup": _image_near_dup_oracle(),
         "url_features": _url_features_oracle(),
         "quality_calibrate": f"""
 WITH q AS (

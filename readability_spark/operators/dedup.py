@@ -432,15 +432,37 @@ def simhash64_near_pairs(
     (map-side combined, (long,long,long) rows), then cold/hot split —
     two joins instead of one, both on bounded buckets.
     """
+    return hash64_near_pairs(
+        simhash64(docs, use_xxhash64=use_xxhash64),
+        max_hamming=max_hamming,
+        bucket_cap=bucket_cap,
+        _stages=_stages,
+    )
+
+
+def hash64_near_pairs(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    bucket_cap: int = 64,
+    _stages: "dict | None" = None,
+) -> DataFrame:
+    """Banded Hamming near-pair join over ANY 64-bit signature split into
+    two 32-bit halves ``(doc_id, sim_hi, sim_lo)`` — the machinery behind
+    :func:`simhash64_near_pairs` (text simhash) and
+    :func:`~readability_spark.operators.imaging.image_near_dup`
+    (perceptual aHash). Same banding, hot-bucket refinement, and popcount
+    verify; see :func:`simhash64_near_pairs` for the scale analysis.
+    """
     if max_hamming > 3:
         # both pigeonhole arguments (4 bands of 16; 4 sub-bands of 12 on the
         # hot path) are sound only up to 3 differing bits
-        raise ValueError("simhash64_near_pairs supports max_hamming <= 3")
+        raise ValueError("hash64_near_pairs supports max_hamming <= 3")
     # The signature table is 3 longs/doc but feeds five branches (bucket
     # counts, cold a/b, hot a/b) and self-join aliasing defeats exchange
-    # reuse — without the cut, the token-explode + 64-vote aggregation runs
-    # once per branch. Lazy local checkpoint = compute once on first action.
-    sh = simhash64(docs, use_xxhash64=use_xxhash64).localCheckpoint(eager=False)
+    # reuse — without the cut, the signature computation (token-explode +
+    # 64-vote aggregation, or an Arrow image decode) runs once per branch.
+    # Lazy local checkpoint = compute once on first action.
+    sh = sig.localCheckpoint(eager=False)
     band_structs = [
         F.struct(F.lit(0).alias("band"), (F.col("sim_hi") / F.lit(65536)).cast("long").alias("key")),
         F.struct(F.lit(1).alias("band"), (F.col("sim_hi") % 65536).alias("key")),

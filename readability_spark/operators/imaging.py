@@ -43,6 +43,7 @@ import zlib
 from typing import Iterator, Tuple
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -375,3 +376,31 @@ def image_pixel_stats(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return images.mapInPandas(batches, PIXEL_STATS_SCHEMA)
+
+
+def image_near_dup(
+    stats: DataFrame, max_hamming: int = 3, bucket_cap: int = 64
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs over the aHash column pair of
+    :func:`image_pixel_stats` output — the image-side counterpart of text
+    simhash dedup (re-encoded thumbnails, recompressed logos, and pixel-level
+    mirror copies land within a few aHash bits of each other).
+
+    Rows with ``ok = false`` (undecodable payloads) are excluded; the rest
+    feed :func:`~readability_spark.operators.dedup.hash64_near_pairs` — the
+    same 4×16-bit banding, hot-bucket 12-bit refinement (exact for
+    ``max_hamming <= 3``), and popcount verify as text simhash, so the
+    scale/cardinality analysis in BENCH/CARDINALITY.md carries over. The
+    signature table is localCheckpointed inside, so the Arrow PNG decode
+    runs once, not once per join branch.
+
+    Output: ``id_a, id_b, hamming`` (``id_a < id_b``).
+    """
+    from readability_spark.operators.dedup import hash64_near_pairs
+
+    sig = stats.filter(F.col("ok")).select(
+        "doc_id",
+        F.col("ahash_hi").alias("sim_hi"),
+        F.col("ahash_lo").alias("sim_lo"),
+    )
+    return hash64_near_pairs(sig, max_hamming=max_hamming, bucket_cap=bucket_cap)

@@ -223,3 +223,42 @@ def test_zero_area_png_rejected_everywhere(spark):
     rs = {r.doc_id: r for r in image_resize(df).collect()}
     assert rs[1].ok and not rs[2].ok and not rs[3].ok
     assert rs[2].payload is None and rs[3].payload is None
+
+
+def test_image_near_dup_finds_injected_copies(spark):
+    # Byte-identical copies (doc_id + offset, same payload) must come back
+    # as hamming-0 pairs; a brute-force popcount over all signature pairs
+    # must agree exactly with the banded join (pigeonhole: hamming<=3 ⇒
+    # at least one 16-bit band equal — verify the implementation honors it).
+    from pyspark.sql import functions as F
+
+    from readability_spark.operators.imaging import image_near_dup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    imgs = synthesize_images(docs)
+    copies = imgs.filter((F.col("doc_id") % 10) == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    stats = image_pixel_stats(imgs.unionByName(copies)).localCheckpoint()
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup(stats).collect()
+    }
+    sigs = [
+        (r["doc_id"], r["ahash_hi"], r["ahash_lo"])
+        for r in stats.select("doc_id", "ahash_hi", "ahash_lo").collect()
+    ]
+    brute = {}
+    for i in range(len(sigs)):
+        for j in range(len(sigs)):
+            (ia, hi_a, lo_a), (ib, hi_b, lo_b) = sigs[i], sigs[j]
+            if ia >= ib:
+                continue
+            ham = bin(hi_a ^ hi_b).count("1") + bin(lo_a ^ lo_b).count("1")
+            if ham <= 3:
+                brute[(ia, ib)] = ham
+    assert got == brute
+    copy_ids = [d for d, _, _ in sigs if d >= 1000000]
+    assert copy_ids and all(
+        got.get((d - 1000000, d)) == 0 for d in copy_ids
+    )
