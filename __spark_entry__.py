@@ -1706,6 +1706,28 @@ def _q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup(image_pixel_stats(imgs.unionByName(copies)))
 
 
+def _q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-dup pairs over the synthesized WAV corpus ∪
+    byte-identical copies of every 10th clip (copied AFTER synthesis so
+    the copy keeps the original's PCM bytes — guaranteed Hamming-0
+    pairs), completing the text/image/audio near-dup triple over the one
+    shared banded Hamming join. The oracle recomputes the 64-bit
+    sign-of-energy-delta fingerprint from the closed-form waveform and
+    applies the same one-level banding + popcount verify."""
+    from readability_spark.operators.audio import (
+        audio_fingerprint,
+        audio_near_dup,
+        synthesize_audio,
+    )
+    from readability_spark.operators.dedup import DUP_OFFSET
+
+    wavs = synthesize_audio(_docs(spark, sf_dir))
+    copies = wavs.filter((F.col("doc_id") % 10) == 0).withColumn(
+        "doc_id", F.col("doc_id") + DUP_OFFSET
+    )
+    return audio_near_dup(audio_fingerprint(wavs.unionByName(copies)))
+
+
 def _q_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation-funnel attrition over the injected-duplicates corpus:
     5 cumulative stages (input → lang gate → Gopher rules → quality
@@ -1876,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": _q_text_readability,
         "filter_attrition": _q_filter_attrition,
         "image_near_dup": _q_image_near_dup,
+        "audio_near_dup": _q_audio_near_dup,
         "url_features": _q_url_features,
         "quality_calibrate": _q_quality_calibrate,
         "lm_ppl_adaptive": _q_lm_ppl_adaptive,
@@ -4536,6 +4559,69 @@ FROM w GROUP BY doc_id
 """
 
 
+def _audio_near_dup_oracle(max_n: int = 400) -> str:
+    """Mirror of audio.audio_near_dup over the synthesized WAVs ∪ exact
+    copies of every 10th clip: the 64-bit sign-of-energy-delta fingerprint
+    recomputed from the closed-form sample (frame of sample i is
+    (i*65)//n, frames a doc is too short to reach stay at energy 0, bit b
+    set iff E[b+1] > E[b]), copies injected at the signature level
+    (byte-identical PCM ⇒ identical fingerprint), then the one-level
+    4×16-bit banding + popcount(hamming)<=3 verify — the same join shape
+    as _image_near_dup_oracle / _simhash64_pairs_oracle. The Spark side's
+    hot-bucket refinement is candidate-pruning only (exact for
+    hamming<=3), so the plain banding here is the correct oracle."""
+    band_rows = " UNION ALL ".join(
+        [
+            "SELECT doc_id, sim_hi, sim_lo, 0 AS band, sim_hi // 65536 AS key FROM sims",
+            "SELECT doc_id, sim_hi, sim_lo, 1 AS band, sim_hi % 65536 AS key FROM sims",
+            "SELECT doc_id, sim_hi, sim_lo, 2 AS band, sim_lo // 65536 AS key FROM sims",
+            "SELECT doc_id, sim_hi, sim_lo, 3 AS band, sim_lo % 65536 AS key FROM sims",
+        ]
+    )
+    ham = "bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))"
+    return f"""
+WITH params AS (SELECT doc_id, doc_id % {max_n} + 50 AS n FROM documents),
+idx AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM params),
+en AS (
+  SELECT doc_id, (i * 65) // n AS f,
+         sum(((doc_id * 31 + i * 17) % 65536 - 32768)
+             * ((doc_id * 31 + i * 17) % 65536 - 32768))::bigint AS e
+  FROM idx GROUP BY doc_id, (i * 65) // n
+),
+grid AS (SELECT doc_id, unnest(generate_series(0, 64)) AS f FROM params),
+fe AS (
+  SELECT g.doc_id, g.f, coalesce(en.e, 0) AS e
+  FROM grid g LEFT JOIN en ON g.doc_id = en.doc_id AND g.f = en.f
+),
+bits AS (
+  SELECT doc_id, f - 1 AS b,
+         CASE WHEN e > lag(e) OVER (PARTITION BY doc_id ORDER BY f)
+              THEN 1 ELSE 0 END AS bit
+  FROM fe
+),
+ah AS (
+  SELECT doc_id,
+         sum(CASE WHEN b >= 32 AND bit = 1 THEN 1::bigint << (b - 32) ELSE 0 END) AS sim_hi,
+         sum(CASE WHEN b < 32 AND bit = 1 THEN 1::bigint << b ELSE 0 END) AS sim_lo
+  FROM bits WHERE b >= 0 GROUP BY doc_id
+),
+sims AS (
+  SELECT * FROM ah
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, sim_hi, sim_lo FROM ah WHERE doc_id % 10 = 0
+),
+bands AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sim_hi AS hi_a, a.sim_lo AS lo_a, b.sim_hi AS hi_b, b.sim_lo AS lo_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, cast({ham} as int) AS hamming
+FROM cands WHERE {ham} <= 3
+"""
+
+
 _EN = "['the','a','of','and','to','in','is','it','on','for']"
 _ES = "['el','la','de','los','las','y','en','es','un','una']"
 _EN_HITS = f"len(list_filter(string_split(text,' '), x -> list_contains({_EN}, x)))"
@@ -5929,6 +6015,7 @@ def oracle_sql() -> dict[str, str]:
         "text_readability": _text_readability_oracle(),
         "filter_attrition": _filter_attrition_oracle(),
         "image_near_dup": _image_near_dup_oracle(),
+        "audio_near_dup": _audio_near_dup_oracle(),
         "url_features": _url_features_oracle(),
         "quality_calibrate": f"""
 WITH q AS (

@@ -217,6 +217,9 @@ def main() -> int:
         "encoding_damage",
         "mojibake_repair",
         "text_readability",
+        "filter_attrition",
+        "image_near_dup",
+        "audio_near_dup",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

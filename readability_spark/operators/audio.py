@@ -249,3 +249,95 @@ def audio_sample_stats(audio: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return audio.mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("fp_hi", LongType(), True),
+        StructField("fp_lo", LongType(), True),
+        StructField("ok", BooleanType(), True),
+    ]
+)
+
+#: Fingerprint frame count — 65 frames give 64 energy-delta bits.
+FP_FRAMES = 65
+
+
+def audio_fingerprint(audio: DataFrame) -> DataFrame:
+    """64-bit acoustic fingerprint per WAV: sample ``i`` lands in frame
+    ``(i * 65) // n``, frame energy is the exact integer sum of squared
+    samples, and bit ``b`` is set iff ``E[b+1] > E[b]`` — the
+    sign-of-energy-delta scheme (a Haitsma–Kalker–style robust hash reduced
+    to its time axis). Re-encoded or slightly renoised audio keeps most
+    delta signs, so near copies land within a few bits — the audio analogue
+    of the image aHash.
+
+    Returned as two 32-bit halves ``(fp_hi, fp_lo)`` (bits 32-63 / 0-31,
+    the simhash64/aHash convention) so the banded Hamming machinery applies
+    unchanged. Energies stay < 2^39 for any WAV this decoder accepts, so
+    the arithmetic is integer-exact on both engines. Docs shorter than 65
+    samples leave the skipped frames at energy 0 (deterministic); malformed
+    or empty payloads yield ``ok=False``.
+
+    Scale shape: one mapInPandas projection, zero shuffles — the same
+    execution contract as the decode/stats operators.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = [f.name for f in AUDIO_FP_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(
+                pdf["doc_id"].to_numpy(), pdf["payload"].to_numpy()
+            ):
+                d = int(doc_id)
+                row = dict.fromkeys(cols)
+                row["doc_id"], row["ok"] = d, False
+                try:
+                    _rate, samples = decode_wav_pcm16(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    arr = np.asarray(samples, dtype=np.int64)
+                    n = len(arr)
+                    if n == 0:
+                        raise ValueError("empty data chunk")
+                    frames = (np.arange(n, dtype=np.int64) * FP_FRAMES) // n
+                    energy = np.zeros(FP_FRAMES, dtype=np.int64)
+                    np.add.at(energy, frames, arr * arr)
+                    bits = energy[1:] > energy[:-1]  # 64 bools
+                    lo = sum(1 << j for j in range(32) if bits[j])
+                    hi = sum(1 << j for j in range(32) if bits[32 + j])
+                    row.update(fp_hi=int(hi), fp_lo=int(lo), ok=True)
+                except (ValueError, struct.error, zlib.error):
+                    pass
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return audio.mapInPandas(batches, AUDIO_FP_SCHEMA)
+
+
+def audio_near_dup(
+    fp: DataFrame, max_hamming: int = 3, bucket_cap: int = 64
+) -> DataFrame:
+    """Near-duplicate audio pairs over :func:`audio_fingerprint` output —
+    the audio leg of the text/image/audio near-dup triple, all through
+    :func:`~readability_spark.operators.dedup.hash64_near_pairs` (4×16-bit
+    banding, hot-bucket refinement, popcount verify; scale analysis in
+    BENCH/CARDINALITY.md). ``ok=false`` rows are excluded.
+
+    Output: ``id_a, id_b, hamming`` (``id_a < id_b``).
+    """
+    from pyspark.sql import functions as F
+
+    from readability_spark.operators.dedup import hash64_near_pairs
+
+    sig = fp.filter(F.col("ok")).select(
+        "doc_id",
+        F.col("fp_hi").alias("sim_hi"),
+        F.col("fp_lo").alias("sim_lo"),
+    )
+    return hash64_near_pairs(sig, max_hamming=max_hamming, bucket_cap=bucket_cap)

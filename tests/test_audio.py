@@ -164,3 +164,84 @@ def test_audio_stats_zero_sample_wav_is_isolated(spark):
     rows = {r.doc_id: r for r in audio_sample_stats(df).collect()}
     assert not rows[1].ok and rows[1].n_samples is None
     assert rows[2].ok and rows[2].n_samples == 2
+
+
+def _py_fingerprint(doc_id):
+    """Pure-python reference of the 64-bit sign-of-energy-delta hash."""
+    _rate, n = synth_audio_params(doc_id)
+    energy = [0] * 65
+    for i in range(n):
+        s = synth_sample(doc_id, i)
+        energy[(i * 65) // n] += s * s
+    bits = [energy[b + 1] > energy[b] for b in range(64)]
+    lo = sum(1 << j for j in range(32) if bits[j])
+    hi = sum(1 << j for j in range(32) if bits[32 + j])
+    return hi, lo
+
+
+def test_audio_fingerprint_matches_formula(spark):
+    from readability_spark.operators.audio import audio_fingerprint
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    rows = {r.doc_id: r for r in audio_fingerprint(synthesize_audio(docs)).collect()}
+    assert len(rows) == 40
+    for d, r in rows.items():
+        assert r.ok
+        assert (r.fp_hi, r.fp_lo) == _py_fingerprint(d)
+
+
+def test_audio_fingerprint_failure_isolation(spark):
+    import pandas as pd
+
+    from readability_spark.operators.audio import audio_fingerprint
+
+    rate, n = synth_audio_params(5)
+    pcm = struct.pack(f"<{n}h", *(synth_sample(5, i) for i in range(n)))
+    good = build_wav(rate, n, data=pcm)
+    empty = build_wav(8000, 0, data=b"")  # zero samples: no deltas to sign
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "payload": [good, b"notwav", empty]})
+    )
+    rows = {r.doc_id: r for r in audio_fingerprint(df).collect()}
+    assert rows[1].ok and rows[1].fp_hi is not None
+    assert not rows[2].ok and rows[2].fp_hi is None
+    assert not rows[3].ok and rows[3].fp_hi is None
+
+
+def test_audio_near_dup_finds_injected_copies(spark):
+    # Byte-identical WAV copies (doc_id + offset, same payload) must come
+    # back as hamming-0 pairs, and the banded join must agree exactly with
+    # a brute-force popcount over all fingerprint pairs (pigeonhole:
+    # hamming<=3 ⇒ at least one 16-bit band equal).
+    from pyspark.sql import functions as F
+
+    from readability_spark.operators.audio import audio_fingerprint, audio_near_dup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    wavs = synthesize_audio(docs)
+    copies = wavs.filter((F.col("doc_id") % 10) == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    fp = audio_fingerprint(wavs.unionByName(copies)).localCheckpoint()
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_near_dup(fp).collect()
+    }
+    sigs = [
+        (r["doc_id"], r["fp_hi"], r["fp_lo"])
+        for r in fp.select("doc_id", "fp_hi", "fp_lo").collect()
+    ]
+    brute = {}
+    for i in range(len(sigs)):
+        for j in range(len(sigs)):
+            (ia, hi_a, lo_a), (ib, hi_b, lo_b) = sigs[i], sigs[j]
+            if ia >= ib:
+                continue
+            ham = bin(hi_a ^ hi_b).count("1") + bin(lo_a ^ lo_b).count("1")
+            if ham <= 3:
+                brute[(ia, ib)] = ham
+    assert got == brute
+    copy_ids = [d for d, _, _ in sigs if d >= 1000000]
+    assert copy_ids and all(
+        got.get((d - 1000000, d)) == 0 for d in copy_ids
+    )
