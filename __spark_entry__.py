@@ -1728,6 +1728,35 @@ def _q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_near_dup(audio_fingerprint(wavs.unionByName(copies)))
 
 
+def _q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint image-text near-dup over the SAME injected-copy corpus on
+    both modalities: caption simhash64 pairs ∩ image aHash pairs (a pair
+    must be near on BOTH to count — the LAION-style drop criterion).
+    Every 10th doc is copied byte-identically in both modalities, so the
+    joint graph provably contains those (text 0, image 0) pairs; organic
+    single-modality matches are correctly excluded by the join."""
+    from readability_spark.operators.dedup import (
+        DUP_OFFSET,
+        joint_near_dup,
+        simhash64_near_pairs,
+        with_injected_duplicates,
+    )
+    from readability_spark.operators.imaging import (
+        image_near_dup,
+        image_pixel_stats,
+        synthesize_images,
+    )
+
+    docs = _docs(spark, sf_dir)
+    text_pairs = simhash64_near_pairs(with_injected_duplicates(docs))
+    imgs = synthesize_images(docs)
+    copies = imgs.filter((F.col("doc_id") % 10) == 0).withColumn(
+        "doc_id", F.col("doc_id") + DUP_OFFSET
+    )
+    image_pairs = image_near_dup(image_pixel_stats(imgs.unionByName(copies)))
+    return joint_near_dup(text_pairs, image_pairs)
+
+
 def _q_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation-funnel attrition over the injected-duplicates corpus:
     5 cumulative stages (input → lang gate → Gopher rules → quality
@@ -1899,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_attrition": _q_filter_attrition,
         "image_near_dup": _q_image_near_dup,
         "audio_near_dup": _q_audio_near_dup,
+        "multimodal_near_dup": _q_multimodal_near_dup,
         "url_features": _q_url_features,
         "quality_calibrate": _q_quality_calibrate,
         "lm_ppl_adaptive": _q_lm_ppl_adaptive,
@@ -4559,6 +4589,20 @@ FROM w GROUP BY doc_id
 """
 
 
+def _multimodal_near_dup_oracle() -> str:
+    """Mirror of dedup.joint_near_dup: the full text-pairs oracle and the
+    full image-pairs oracle (each with its own nested WITH scope — DuckDB
+    scopes CTE names per subquery, so the shared `sims`/`bands`/`cands`
+    names don't collide) joined on the composite pair key."""
+    return f"""
+WITH tp AS ({_simhash64_pairs_oracle()}),
+ip AS ({_image_near_dup_oracle()})
+SELECT tp.id_a, tp.id_b,
+       tp.hamming AS text_hamming, ip.hamming AS media_hamming
+FROM tp JOIN ip USING (id_a, id_b)
+"""
+
+
 def _audio_near_dup_oracle(max_n: int = 400) -> str:
     """Mirror of audio.audio_near_dup over the synthesized WAVs ∪ exact
     copies of every 10th clip: the 64-bit sign-of-energy-delta fingerprint
@@ -6016,6 +6060,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_attrition": _filter_attrition_oracle(),
         "image_near_dup": _image_near_dup_oracle(),
         "audio_near_dup": _audio_near_dup_oracle(),
+        "multimodal_near_dup": _multimodal_near_dup_oracle(),
         "url_features": _url_features_oracle(),
         "quality_calibrate": f"""
 WITH q AS (

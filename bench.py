@@ -220,6 +220,7 @@ def main() -> int:
         "filter_attrition",
         "image_near_dup",
         "audio_near_dup",
+        "multimodal_near_dup",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

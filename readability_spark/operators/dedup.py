@@ -541,6 +541,34 @@ def hash64_near_pairs(
     )
 
 
+def joint_near_dup(text_pairs: DataFrame, media_pairs: DataFrame) -> DataFrame:
+    """Joint multimodal near-dup: pairs that are near-duplicate in BOTH
+    modalities — the image-text-dataset dedup criterion (LAION-style
+    curation drops a pair only when the caption AND the image both match;
+    matching on one modality alone is legitimate reuse — stock photos
+    under different captions, syndicated text with fresh art).
+
+    Inputs are two verified near-pair sets from the shared banded Hamming
+    machinery — :func:`simhash64_near_pairs` on caption text and
+    :func:`~readability_spark.operators.imaging.image_near_dup` (or the
+    audio analogue) on the media fingerprint. Output:
+    ``id_a, id_b, text_hamming, media_hamming``.
+
+    Scale shape: each input is output-sensitive near-linear (banded +
+    capped, BENCH/CARDINALITY.md), and the composition is one equi-join
+    on the composite pair key ``(id_a, id_b)`` — keys are unique within
+    each side, so the join is skew-free by construction and never larger
+    than the smaller pair set.
+    """
+    t = text_pairs.select(
+        "id_a", "id_b", F.col("hamming").alias("text_hamming")
+    )
+    m = media_pairs.select(
+        "id_a", "id_b", F.col("hamming").alias("media_hamming")
+    )
+    return t.join(m, ["id_a", "id_b"])
+
+
 # ---------------------------------------------------------------------------
 # 3c. Connected components over the near-dup pair graph → dedup clusters
 # ---------------------------------------------------------------------------

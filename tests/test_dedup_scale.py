@@ -409,3 +409,33 @@ def test_source_matrix_aggregates_pairs_exactly(spark):
         )
     # injected copies share their parent's source: the diagonal is hot
     assert any(lo == hi for lo, hi in got)
+
+
+def test_joint_near_dup_is_pair_intersection(spark, docs):
+    # Joint multimodal near-dup must equal the exact dict-intersection of
+    # the two modality pair sets, and every injected byte-identical copy
+    # (identical in BOTH modalities) must appear with both hammings 0.
+    from readability_spark.operators.dedup import DUP_OFFSET, joint_near_dup
+    from readability_spark.operators.imaging import (
+        image_near_dup,
+        image_pixel_stats,
+        synthesize_images,
+    )
+
+    small = docs.limit(80)
+    text_pairs = simhash64_near_pairs(with_injected_duplicates(small))
+    imgs = synthesize_images(small)
+    copies = imgs.filter((F.col("doc_id") % 10) == 0).withColumn(
+        "doc_id", F.col("doc_id") + DUP_OFFSET
+    )
+    image_pairs = image_near_dup(image_pixel_stats(imgs.unionByName(copies)))
+    tmap = {(r.id_a, r.id_b): r.hamming for r in text_pairs.collect()}
+    imap = {(r.id_a, r.id_b): r.hamming for r in image_pairs.collect()}
+    got = {
+        (r.id_a, r.id_b): (r.text_hamming, r.media_hamming)
+        for r in joint_near_dup(text_pairs, image_pairs).collect()
+    }
+    expect = {k: (tmap[k], imap[k]) for k in tmap.keys() & imap.keys()}
+    assert got == expect and expect
+    copy_keys = [k for k in expect if k[1] - k[0] == DUP_OFFSET]
+    assert copy_keys and all(got[k] == (0, 0) for k in copy_keys)
