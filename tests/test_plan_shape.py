@@ -448,3 +448,31 @@ def test_calibration_plan_single_aggregation(spark):
     plan = plan_of(calibration_report(scored))
     assert plan.count("Exchange") == 1, plan
     assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_audio_fingerprint_plan_no_shuffle(spark):
+    """The acoustic fingerprint is a pure mapInPandas projection over the
+    WAV payload — zero exchanges, same contract as the decode/stats ops."""
+    from readability_spark.operators.audio import audio_fingerprint, synthesize_audio
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(audio_fingerprint(synthesize_audio(docs)))
+    assert plan.count("Exchange") == 0, plan
+
+
+def test_joint_near_dup_single_pair_join(spark):
+    """The multimodal composition adds exactly ONE join above the two pair
+    plans (the composite-key equi-join), never a rejoin against the doc or
+    signature tables: the section of the plan above both near-dup verify
+    joins must contain one SortMergeJoin/ShuffledHashJoin and no scan."""
+    from readability_spark.operators.dedup import joint_near_dup
+
+    a = spark.createDataFrame(
+        [(1, 2, 0), (2, 3, 1)], "id_a long, id_b long, hamming int"
+    )
+    b = spark.createDataFrame(
+        [(1, 2, 0), (9, 10, 2)], "id_a long, id_b long, hamming int"
+    )
+    plan = plan_of(joint_near_dup(a, b))
+    joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count("BroadcastHashJoin")
+    assert joins == 1, plan
