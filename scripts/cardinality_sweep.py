@@ -134,7 +134,8 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    dup = with_injected_duplicates(expanded_docs(spark, SF_DIR, REPS)).persist()
+    expanded = expanded_docs(spark, SF_DIR, REPS)
+    dup = with_injected_duplicates(expanded).persist()
     n_docs = dup.count()
     out: dict = {"sf_dir": SF_DIR, "reps": REPS, "dedup_input_docs": n_docs}
 
@@ -172,6 +173,56 @@ def main() -> int:
             "verified_pairs": verified,
             "wall_sec": round(time.time() - t0, 1),
         }
+
+    # Media fingerprints share hash64_near_pairs with text simhash64; this
+    # leg measures whether the SYNTHETIC media corpora (closed-form pixel /
+    # waveform patterns) concentrate into band buckets the way the
+    # low-entropy synthetic text does — candidate volume and hot-bucket
+    # spill are the numbers that predict 100x behavior. Duplicates are
+    # injected at the payload level (byte-identical copies of every 10th
+    # item), matching the registry queries. Text-only real-text mode skips
+    # it (fixtures have no media payloads).
+    if ONLY in (None, "media") and SF_DIR != "fixtures:real-text":
+        from pyspark.sql import functions as F
+
+        from readability_spark.operators.audio import (
+            audio_fingerprint,
+            synthesize_audio,
+        )
+        from readability_spark.operators.dedup import DUP_OFFSET, hash64_near_pairs
+        from readability_spark.operators.imaging import (
+            image_pixel_stats,
+            synthesize_images,
+        )
+
+        ids = expanded.select("doc_id")
+        for name, synth, fp, hi, lo in (
+            ("image_ahash", synthesize_images, image_pixel_stats, "ahash_hi", "ahash_lo"),
+            ("audio_fp", synthesize_audio, audio_fingerprint, "fp_hi", "fp_lo"),
+        ):
+            t0 = time.time()
+            media = synth(ids)
+            copies = media.filter((F.col("doc_id") % 10) == 0).withColumn(
+                "doc_id", F.col("doc_id") + DUP_OFFSET
+            )
+            sig = (
+                fp(media.unionByName(copies))
+                .filter(F.col("ok"))
+                .select(
+                    "doc_id",
+                    F.col(hi).alias("sim_hi"),
+                    F.col(lo).alias("sim_lo"),
+                )
+            )  # hash64_near_pairs localCheckpoints internally: decode runs once
+            st = {}
+            verified = hash64_near_pairs(sig, _stages=st).count()
+            out[name] = {
+                "candidate_pairs": st["candidate_pairs"].count(),
+                "verified_pairs": verified,
+                "hot_band_keys": st["hot_band_keys"].count(),
+                "hot_rows": st["hot_rows"].count(),
+                "wall_sec": round(time.time() - t0, 1),
+            }
 
     dup.unpersist()
     print(json.dumps(out))
