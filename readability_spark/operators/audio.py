@@ -264,6 +264,26 @@ AUDIO_FP_SCHEMA = StructType(
 FP_FRAMES = 65
 
 
+def fingerprint_pcm16(samples) -> Tuple[int, int]:
+    """(fp_hi, fp_lo) of a PCM16 sample sequence — the pure bit math of
+    :func:`audio_fingerprint`, shared by the Arrow batch closure and the
+    property tests. Raises ValueError on an empty sequence (no deltas to
+    sign)."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    n = len(arr)
+    if n == 0:
+        raise ValueError("empty sample sequence")
+    frames = (np.arange(n, dtype=np.int64) * FP_FRAMES) // n
+    energy = np.zeros(FP_FRAMES, dtype=np.int64)
+    np.add.at(energy, frames, arr * arr)
+    bits = energy[1:] > energy[:-1]  # 64 bools
+    lo = sum(1 << j for j in range(32) if bits[j])
+    hi = sum(1 << j for j in range(32) if bits[32 + j])
+    return int(hi), int(lo)
+
+
 def audio_fingerprint(audio: DataFrame) -> DataFrame:
     """64-bit acoustic fingerprint per WAV: sample ``i`` lands in frame
     ``(i * 65) // n``, frame energy is the exact integer sum of squared
@@ -285,7 +305,6 @@ def audio_fingerprint(audio: DataFrame) -> DataFrame:
     """
 
     def batches(it: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         cols = [f.name for f in AUDIO_FP_SCHEMA.fields]
@@ -301,17 +320,8 @@ def audio_fingerprint(audio: DataFrame) -> DataFrame:
                     _rate, samples = decode_wav_pcm16(
                         bytes(payload) if payload is not None else b""
                     )
-                    arr = np.asarray(samples, dtype=np.int64)
-                    n = len(arr)
-                    if n == 0:
-                        raise ValueError("empty data chunk")
-                    frames = (np.arange(n, dtype=np.int64) * FP_FRAMES) // n
-                    energy = np.zeros(FP_FRAMES, dtype=np.int64)
-                    np.add.at(energy, frames, arr * arr)
-                    bits = energy[1:] > energy[:-1]  # 64 bools
-                    lo = sum(1 << j for j in range(32) if bits[j])
-                    hi = sum(1 << j for j in range(32) if bits[32 + j])
-                    row.update(fp_hi=int(hi), fp_lo=int(lo), ok=True)
+                    hi, lo = fingerprint_pcm16(samples)
+                    row.update(fp_hi=hi, fp_lo=lo, ok=True)
                 except (ValueError, struct.error, zlib.error):
                     pass
                 rows.append(row)

@@ -245,3 +245,44 @@ def test_audio_near_dup_finds_injected_copies(spark):
     assert copy_ids and all(
         got.get((d - 1000000, d)) == 0 for d in copy_ids
     )
+
+
+def test_fingerprint_property_arbitrary_pcm():
+    """Property: for ANY non-empty int16 sequence, the shared bit-math
+    helper agrees with a naive per-sample reference (frame of sample i is
+    (i*65)//n, bit b = E[b+1] > E[b]), halves stay in [0, 2^32), and a
+    WAV round trip through the real codec preserves the fingerprint."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from readability_spark.operators.audio import FP_FRAMES, fingerprint_pcm16
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=300))
+    def check(samples):
+        n = len(samples)
+        energy = [0] * FP_FRAMES
+        for i, s in enumerate(samples):
+            energy[(i * FP_FRAMES) // n] += s * s
+        bits = [energy[b + 1] > energy[b] for b in range(64)]
+        want = (
+            sum(1 << j for j in range(32) if bits[32 + j]),
+            sum(1 << j for j in range(32) if bits[j]),
+        )
+        got = fingerprint_pcm16(samples)
+        assert got == want
+        assert 0 <= got[0] < 2**32 and 0 <= got[1] < 2**32
+        blob = build_wav(8000, n, data=struct.pack(f"<{n}h", *samples))
+        _rate, decoded = decode_wav_pcm16(blob)
+        assert fingerprint_pcm16(decoded) == got
+
+    check()
+
+
+def test_fingerprint_rejects_empty():
+    import pytest as _pytest
+
+    from readability_spark.operators.audio import fingerprint_pcm16
+
+    with _pytest.raises(ValueError):
+        fingerprint_pcm16([])
