@@ -2157,9 +2157,14 @@ SELECT doc_id, sim_hi, sim_lo FROM sims
 """
 
 
-def _simhash64_pairs_oracle() -> str:
-    """Mirror of dedup.simhash64_near_pairs: 4×16-bit banding over the
-    dup-injected table, distinct self-join, popcount(hamming)<=3 verify."""
+def _hash64_band_join_sql(max_hamming: int = 3) -> str:
+    """Shared tail of EVERY 64-bit banded-Hamming oracle (text simhash64,
+    image aHash, audio fingerprint — the one dedup.hash64_near_pairs join on
+    the Spark side gets the one SQL mirror here): expects a
+    ``sims(doc_id, sim_hi, sim_lo)`` CTE in scope and emits the 4×16-bit
+    banding, the distinct self-join, and the popcount verify. The Spark
+    side's hot-bucket 12-bit refinement is candidate-pruning only (exact
+    for hamming<=3, pigeonhole), so plain banding is the correct mirror."""
     band_rows = " UNION ALL ".join(
         [
             "SELECT doc_id, sim_hi, sim_lo, 0 AS band, sim_hi // 65536 AS key FROM sims",
@@ -2169,10 +2174,7 @@ def _simhash64_pairs_oracle() -> str:
         ]
     )
     ham = "bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))"
-    return f"""
-WITH dup AS ({_DUP_DOCS}),
-{_simhash64_core_sql('dup')},
-bands AS ({band_rows}),
+    return f"""bands AS ({band_rows}),
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          a.sim_hi AS hi_a, a.sim_lo AS lo_a, b.sim_hi AS hi_b, b.sim_lo AS lo_b
@@ -2180,7 +2182,16 @@ cands AS (
   WHERE a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, cast({ham} as int) AS hamming
-FROM cands WHERE {ham} <= 3
+FROM cands WHERE {ham} <= {max_hamming}"""
+
+
+def _simhash64_pairs_oracle() -> str:
+    """Mirror of dedup.simhash64_near_pairs: 4×16-bit banding over the
+    dup-injected table, distinct self-join, popcount(hamming)<=3 verify."""
+    return f"""
+WITH dup AS ({_DUP_DOCS}),
+{_simhash64_core_sql('dup')},
+{_hash64_band_join_sql()}
 """
 
 
@@ -4405,19 +4416,8 @@ def _image_near_dup_oracle(max_w: int = 40, max_h: int = 30) -> str:
     copies of every 10th image: aHash recomputed from the closed-form pixel
     (the same ah CTE as _image_pixel_stats_oracle), copies injected at the
     signature level (byte-identical payload ⇒ identical aHash), then the
-    one-level 4×16-bit banding + popcount(hamming)<=3 verify — exactly the
-    _simhash64_pairs_oracle join shape. The Spark side's hot-bucket
-    refinement is candidate-pruning only (exact for hamming<=3), so the
-    plain banding here is the correct oracle."""
-    band_rows = " UNION ALL ".join(
-        [
-            "SELECT doc_id, sim_hi, sim_lo, 0 AS band, sim_hi // 65536 AS key FROM sims",
-            "SELECT doc_id, sim_hi, sim_lo, 1 AS band, sim_hi % 65536 AS key FROM sims",
-            "SELECT doc_id, sim_hi, sim_lo, 2 AS band, sim_lo // 65536 AS key FROM sims",
-            "SELECT doc_id, sim_hi, sim_lo, 3 AS band, sim_lo % 65536 AS key FROM sims",
-        ]
-    )
-    ham = "bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))"
+    shared _hash64_band_join_sql tail (the one SQL mirror of the one
+    Spark-side hash64_near_pairs join)."""
     return f"""
 WITH dims AS (
   SELECT doc_id, doc_id % {max_w} + 1 AS w, doc_id % {max_h} + 1 AS h FROM documents
@@ -4444,15 +4444,7 @@ sims AS (
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, sim_hi, sim_lo FROM ah WHERE doc_id % 10 = 0
 ),
-bands AS ({band_rows}),
-cands AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.sim_hi AS hi_a, a.sim_lo AS lo_a, b.sim_hi AS hi_b, b.sim_lo AS lo_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-  WHERE a.doc_id < b.doc_id
-)
-SELECT id_a, id_b, cast({ham} as int) AS hamming
-FROM cands WHERE {ham} <= 3
+{_hash64_band_join_sql()}
 """
 
 
@@ -4609,20 +4601,9 @@ def _audio_near_dup_oracle(max_n: int = 400) -> str:
     recomputed from the closed-form sample (frame of sample i is
     (i*65)//n, frames a doc is too short to reach stay at energy 0, bit b
     set iff E[b+1] > E[b]), copies injected at the signature level
-    (byte-identical PCM ⇒ identical fingerprint), then the one-level
-    4×16-bit banding + popcount(hamming)<=3 verify — the same join shape
-    as _image_near_dup_oracle / _simhash64_pairs_oracle. The Spark side's
-    hot-bucket refinement is candidate-pruning only (exact for
-    hamming<=3), so the plain banding here is the correct oracle."""
-    band_rows = " UNION ALL ".join(
-        [
-            "SELECT doc_id, sim_hi, sim_lo, 0 AS band, sim_hi // 65536 AS key FROM sims",
-            "SELECT doc_id, sim_hi, sim_lo, 1 AS band, sim_hi % 65536 AS key FROM sims",
-            "SELECT doc_id, sim_hi, sim_lo, 2 AS band, sim_lo // 65536 AS key FROM sims",
-            "SELECT doc_id, sim_hi, sim_lo, 3 AS band, sim_lo % 65536 AS key FROM sims",
-        ]
-    )
-    ham = "bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))"
+    (byte-identical PCM ⇒ identical fingerprint), then the shared
+    _hash64_band_join_sql tail (the one SQL mirror of the one Spark-side
+    hash64_near_pairs join)."""
     return f"""
 WITH params AS (SELECT doc_id, doc_id % {max_n} + 50 AS n FROM documents),
 idx AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM params),
@@ -4654,15 +4635,7 @@ sims AS (
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, sim_hi, sim_lo FROM ah WHERE doc_id % 10 = 0
 ),
-bands AS ({band_rows}),
-cands AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.sim_hi AS hi_a, a.sim_lo AS lo_a, b.sim_hi AS hi_b, b.sim_lo AS lo_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-  WHERE a.doc_id < b.doc_id
-)
-SELECT id_a, id_b, cast({ham} as int) AS hamming
-FROM cands WHERE {ham} <= 3
+{_hash64_band_join_sql()}
 """
 
 
