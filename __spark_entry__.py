@@ -1692,18 +1692,15 @@ def _q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming-0 pairs; organic near pairs from the closed-form pixel
     pattern join them). The oracle recomputes aHash from the closed form
     and applies the same one-level banding + popcount verify."""
-    from readability_spark.operators.dedup import DUP_OFFSET
+    from readability_spark.operators.dedup import with_injected_duplicates
     from readability_spark.operators.imaging import (
         image_near_dup,
         image_pixel_stats,
         synthesize_images,
     )
 
-    imgs = synthesize_images(_docs(spark, sf_dir))
-    copies = imgs.filter((F.col("doc_id") % 10) == 0).withColumn(
-        "doc_id", F.col("doc_id") + DUP_OFFSET
-    )
-    return image_near_dup(image_pixel_stats(imgs.unionByName(copies)))
+    imgs = with_injected_duplicates(synthesize_images(_docs(spark, sf_dir)))
+    return image_near_dup(image_pixel_stats(imgs))
 
 
 def _q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1719,13 +1716,10 @@ def _q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_near_dup,
         synthesize_audio,
     )
-    from readability_spark.operators.dedup import DUP_OFFSET
+    from readability_spark.operators.dedup import with_injected_duplicates
 
-    wavs = synthesize_audio(_docs(spark, sf_dir))
-    copies = wavs.filter((F.col("doc_id") % 10) == 0).withColumn(
-        "doc_id", F.col("doc_id") + DUP_OFFSET
-    )
-    return audio_near_dup(audio_fingerprint(wavs.unionByName(copies)))
+    wavs = with_injected_duplicates(synthesize_audio(_docs(spark, sf_dir)))
+    return audio_near_dup(audio_fingerprint(wavs))
 
 
 def _q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1736,25 +1730,13 @@ def _q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     joint graph provably contains those (text 0, image 0) pairs; organic
     single-modality matches are correctly excluded by the join."""
     from readability_spark.operators.dedup import (
-        DUP_OFFSET,
         joint_near_dup,
         simhash64_near_pairs,
         with_injected_duplicates,
     )
-    from readability_spark.operators.imaging import (
-        image_near_dup,
-        image_pixel_stats,
-        synthesize_images,
-    )
 
-    docs = _docs(spark, sf_dir)
-    text_pairs = simhash64_near_pairs(with_injected_duplicates(docs))
-    imgs = synthesize_images(docs)
-    copies = imgs.filter((F.col("doc_id") % 10) == 0).withColumn(
-        "doc_id", F.col("doc_id") + DUP_OFFSET
-    )
-    image_pairs = image_near_dup(image_pixel_stats(imgs.unionByName(copies)))
-    return joint_near_dup(text_pairs, image_pairs)
+    text_pairs = simhash64_near_pairs(with_injected_duplicates(_docs(spark, sf_dir)))
+    return joint_near_dup(text_pairs, _q_image_near_dup(spark, sf_dir))
 
 
 def _q_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -189,7 +189,10 @@ def main() -> int:
             audio_fingerprint,
             synthesize_audio,
         )
-        from readability_spark.operators.dedup import DUP_OFFSET, hash64_near_pairs
+        from readability_spark.operators.dedup import (
+            hash64_near_pairs,
+            with_injected_duplicates,
+        )
         from readability_spark.operators.imaging import (
             image_pixel_stats,
             synthesize_images,
@@ -201,12 +204,9 @@ def main() -> int:
             ("audio_fp", synthesize_audio, audio_fingerprint, "fp_hi", "fp_lo"),
         ):
             t0 = time.time()
-            media = synth(ids)
-            copies = media.filter((F.col("doc_id") % 10) == 0).withColumn(
-                "doc_id", F.col("doc_id") + DUP_OFFSET
-            )
+            media = with_injected_duplicates(synth(ids))
             sig = (
-                fp(media.unionByName(copies))
+                fp(media)
                 .filter(F.col("ok"))
                 .select(
                     "doc_id",

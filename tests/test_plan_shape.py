@@ -461,10 +461,10 @@ def test_audio_fingerprint_plan_no_shuffle(spark):
 
 
 def test_joint_near_dup_single_pair_join(spark):
-    """The multimodal composition adds exactly ONE join above the two pair
-    plans (the composite-key equi-join), never a rejoin against the doc or
-    signature tables: the section of the plan above both near-dup verify
-    joins must contain one SortMergeJoin/ShuffledHashJoin and no scan."""
+    """The multimodal composition adds exactly ONE join over its two pair
+    inputs — the composite-key equi-join. (Pinned on synthetic pair tables:
+    the assert is the join count; a rejoin against doc/signature tables
+    inside joint_near_dup would show up as a second join here.)"""
     from readability_spark.operators.dedup import joint_near_dup
 
     a = spark.createDataFrame(
