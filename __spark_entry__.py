@@ -1739,6 +1739,30 @@ def _q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joint_near_dup(text_pairs, _q_image_near_dup(spark, sf_dir))
 
 
+def _q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination over the embeddings table: the
+    benchmark is vec_id % 17 == 3 (the same membership rule the n-gram
+    decontaminate uses on documents), and every benchmark vector is also
+    injected verbatim into the training pool at vec_id + 2,000,000 —
+    known cosine-1.0 leakage the pass provably must flag; organic random
+    64-d vectors sit far below tau."""
+    from readability_spark.operators.decontam import (
+        BENCH_MOD,
+        BENCH_REM,
+        SEM_INJECT_OFFSET,
+        semantic_decontaminate,
+    )
+    from readability_spark.operators.similarity import load_embeddings
+
+    emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    is_bench = (F.col("vec_id") % BENCH_MOD) == BENCH_REM
+    bench = emb.filter(is_bench)
+    train = emb.filter(~is_bench).unionByName(
+        bench.withColumn("vec_id", F.col("vec_id") + SEM_INJECT_OFFSET)
+    )
+    return semantic_decontaminate(train, bench)
+
+
 def _q_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation-funnel attrition over the injected-duplicates corpus:
     5 cumulative stages (input → lang gate → Gopher rules → quality
@@ -1911,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": _q_image_near_dup,
         "audio_near_dup": _q_audio_near_dup,
         "multimodal_near_dup": _q_multimodal_near_dup,
+        "semantic_decontam": _q_semantic_decontam,
         "url_features": _q_url_features,
         "quality_calibrate": _q_quality_calibrate,
         "lm_ppl_adaptive": _q_lm_ppl_adaptive,
@@ -4563,6 +4588,41 @@ FROM w GROUP BY doc_id
 """
 
 
+def _semantic_decontam_oracle() -> str:
+    """Mirror of decontam.semantic_decontaminate over the embeddings table:
+    bench = vec_id % 17 == 3, train = rest ∪ bench copies at +2,000,000,
+    per-pair round4 cosine, argmax per training vector with ties to the
+    smallest bench id, keep iff max cosine < 0.9."""
+    cos_tb = (
+        "floor((list_sum(list_transform(generate_series(1, len(t.embedding)), "
+        "i -> t.embedding[i]::double * b.embedding[i]::double)) / "
+        "(sqrt(list_sum(list_transform(t.embedding, x -> x::double * x::double))) * "
+        "sqrt(list_sum(list_transform(b.embedding, x -> x::double * x::double))))) "
+        "* 10000.0 + 0.5) / 10000.0"
+    )
+    return f"""
+WITH bench AS (
+  SELECT vec_id AS bench_id, embedding FROM embeddings WHERE vec_id % 17 = 3
+),
+train AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 != 3
+  UNION ALL
+  SELECT bench_id + 2000000 AS vec_id, embedding FROM bench
+),
+scored AS (
+  SELECT t.vec_id, b.bench_id, {cos_tb} AS cosine FROM train t, bench b
+),
+ranked AS (
+  SELECT vec_id, bench_id, cosine,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, bench_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, bench_id AS nearest_bench_id, cosine AS max_cosine,
+       cosine < 0.9 AS keep
+FROM ranked WHERE rn = 1
+"""
+
+
 def _multimodal_near_dup_oracle() -> str:
     """Mirror of dedup.joint_near_dup: the full text-pairs oracle and the
     full image-pairs oracle (each with its own nested WITH scope — DuckDB
@@ -6016,6 +6076,7 @@ def oracle_sql() -> dict[str, str]:
         "image_near_dup": _image_near_dup_oracle(),
         "audio_near_dup": _audio_near_dup_oracle(),
         "multimodal_near_dup": _multimodal_near_dup_oracle(),
+        "semantic_decontam": _semantic_decontam_oracle(),
         "url_features": _url_features_oracle(),
         "quality_calibrate": f"""
 WITH q AS (

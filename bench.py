@@ -221,6 +221,7 @@ def main() -> int:
         "image_near_dup",
         "audio_near_dup",
         "multimodal_near_dup",
+        "semantic_decontam",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

@@ -179,3 +179,57 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 16) -> DataFrame:
             F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
         )
     )
+
+
+#: Injected semantic-contamination id offset (mirrored in the oracle).
+SEM_INJECT_OFFSET = 2_000_000
+#: Cosine at or above this flags a training vector as benchmark leakage.
+SEM_TAU = 0.9
+
+
+def semantic_decontaminate(
+    train: DataFrame, bench: DataFrame, tau: float = SEM_TAU
+) -> DataFrame:
+    """Embedding-level decontamination: flag training vectors whose cosine
+    to ANY benchmark vector reaches ``tau`` — the semantic companion of
+    the n-gram :func:`decontaminate` (paraphrased or re-templated eval
+    questions share no exact n-grams but land next to the benchmark in
+    embedding space; this is the embedding-dedup-for-decontamination pass
+    described alongside SemDeDup-style curation).
+
+    Inputs are embedding tables ``(vec_id, embedding)``. Returns one row
+    per training vector: ``vec_id, nearest_bench_id, max_cosine, keep``
+    (ties on the round4 cosine resolve to the smallest bench id, matching
+    the SQL oracle's ``ORDER BY cosine DESC, bench_id``).
+
+    Scale shape (100 TB): eval suites are at most ~10^5 vectors, so the
+    benchmark side is broadcast and scored map-side against one scan of
+    the corpus; the only shuffle carries one (cosine, bench_id) struct per
+    training vector into a map-side-combined max. Cost is |bench| dot
+    products per corpus row — embarrassingly parallel; if the benchmark
+    ever outgrows broadcast, pre-bucket both sides with
+    :func:`~readability_spark.operators.similarity.lsh_table_keys` and
+    score per bucket (the embedding_near_dup_pairs shape).
+    """
+    from readability_spark.operators.similarity import _dot, _norm
+
+    b = bench.select(
+        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("b_emb")
+    )
+    scored = train.crossJoin(F.broadcast(b)).select(
+        "vec_id",
+        "bench_id",
+        round4(
+            _dot(F.col("embedding"), F.col("b_emb"))
+            / (_norm(F.col("embedding")) * _norm(F.col("b_emb")))
+        ).alias("cosine"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cosine"), (-F.col("bench_id")).alias("neg_id"))).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("m.neg_id")).alias("nearest_bench_id"),
+        F.col("m.cosine").alias("max_cosine"),
+        (F.col("m.cosine") < tau).alias("keep"),
+    )

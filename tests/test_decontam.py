@@ -121,3 +121,40 @@ def test_corpus_build_composite_gates(spark, docs):
     assert all(r.n_words >= 50 for r in rows)
     # contamination gate
     assert all(r.contamination_frac <= 0.05 for r in rows)
+
+
+def test_semantic_decontaminate_flags_injected_vectors(spark):
+    """Every benchmark vector injected verbatim into the training pool must
+    come back keep=False with max_cosine 1.0 and its own source as the
+    nearest benchmark id; organic random 64-d vectors stay well below tau
+    (all kept). The benchmark side must be broadcast in the plan."""
+    from readability_spark.operators.decontam import (
+        BENCH_MOD,
+        BENCH_REM,
+        SEM_INJECT_OFFSET,
+        semantic_decontaminate,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(200)
+    )
+    is_bench = (F.col("vec_id") % BENCH_MOD) == BENCH_REM
+    bench = emb.filter(is_bench)
+    train = emb.filter(~is_bench).unionByName(
+        bench.withColumn("vec_id", F.col("vec_id") + SEM_INJECT_OFFSET)
+    )
+    out = semantic_decontaminate(train, bench)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    rows = {r.vec_id: r for r in out.collect()}
+    n_bench = bench.count()
+    injected = [r for v, r in rows.items() if v >= SEM_INJECT_OFFSET]
+    assert len(injected) == n_bench and n_bench > 0
+    for r in injected:
+        assert not r.keep
+        assert r.max_cosine == 1.0
+        assert r.nearest_bench_id == r.vec_id - SEM_INJECT_OFFSET
+    organic = [r for v, r in rows.items() if v < SEM_INJECT_OFFSET]
+    assert organic and all(r.keep for r in organic)
