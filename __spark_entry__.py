@@ -57,6 +57,9 @@ def _extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_extract_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full Readability extraction per page (url, metadata, text,
+    length) — byte-identical text vs the reference fixtures; the throughput
+    row BENCH/BASELINE.md is graded on."""
     out = _extract(spark, sf_dir)
     return out.select(
         "url",
@@ -72,6 +75,8 @@ def _q_extract_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language extraction rollup (n_docs, total extracted chars) —
+    the lineage/metrics view over the extraction pass."""
     out = _extract(spark, sf_dir)
     return out.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -80,6 +85,8 @@ def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_extract_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of extracted article lengths in 500-char buckets — the
+    score/size-distribution observability view."""
     out = _extract(spark, sf_dir)
     return (
         out.withColumn("len_bucket", F.floor(F.col("length") / 500))
@@ -1109,6 +1116,9 @@ def _q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_resume_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume protocol: buckets NOT yet in the manifest via a
+    broadcast anti-join — the pending-work query a restarted job runs
+    first (job.py runs the xxhash64 production form)."""
     # resume protocol demo with a portable bucket key (prod uses xxhash64;
     # doc_id % N keeps the oracle engine-independent)
     docs = _docs(spark, sf_dir).withColumn("bucket", F.col("doc_id") % 32)
@@ -1118,6 +1128,8 @@ def _q_resume_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: one scan of lineitem, map-side
+    partial aggregation into 4 group keys."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -1134,6 +1146,8 @@ def _q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_tpch_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation: fact-fact join on orderkey, customer and nation
+    dimensions broadcast (pinned in test_plan_shape)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
