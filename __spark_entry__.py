@@ -1777,6 +1777,18 @@ def _q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_decontaminate(train, bench)
 
 
+def _q_pii_cc_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated credit-card detection over the injected corpus:
+    doc_id % 7 == 2 carries a checksum-valid 16-digit number, % 7 == 5
+    the same base with the check digit off by one — the validator must
+    accept exactly the former. Both the injection's check-digit
+    construction and the validation run the exact integer Luhn fold on
+    both engines."""
+    from readability_spark.operators.pii import cc_luhn_flags, with_injected_cc
+
+    return cc_luhn_flags(with_injected_cc(_docs(spark, sf_dir)))
+
+
 def _q_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation-funnel attrition over the injected-duplicates corpus:
     5 cumulative stages (input → lang gate → Gopher rules → quality
@@ -1950,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dup": _q_audio_near_dup,
         "multimodal_near_dup": _q_multimodal_near_dup,
         "semantic_decontam": _q_semantic_decontam,
+        "pii_cc_luhn": _q_pii_cc_luhn,
         "url_features": _q_url_features,
         "quality_calibrate": _q_quality_calibrate,
         "lm_ppl_adaptive": _q_lm_ppl_adaptive,
@@ -4602,6 +4615,59 @@ FROM w GROUP BY doc_id
 """
 
 
+def _luhn_sum_sql(s: str, parity: int) -> str:
+    """DuckDB mirror of pii.luhn_sum: right position p doubled (and
+    digit-folded) iff p % 2 == parity; exact integer arithmetic."""
+    d = f"substr({s}, length({s}) - p + 1, 1)::int"
+    return (
+        f"list_sum(list_transform(generate_series(1, length({s})), "
+        f"p -> CASE WHEN p % 2 = {parity} THEN "
+        f"CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END "
+        f"ELSE {d} END))"
+    )
+
+
+def _pii_cc_luhn_oracle() -> str:
+    """Mirror of pii.cc_luhn_flags over pii.with_injected_cc: the 15-digit
+    base from doc_id, check digit via the parity-1 Luhn sum, valid/invalid
+    injection by doc_id % 7, then candidate extraction (\\b-bounded 13-16
+    digit runs — identical match sets under Java regex and RE2) and the
+    parity-0 validation fold."""
+    cc_re = r"\b\d{13,16}\b"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         lpad(((doc_id * 2654435761) % 1000000000000000)::varchar, 15, '0') AS b15
+  FROM documents
+),
+chk AS (
+  SELECT doc_id, text, b15,
+         (10 - ({_luhn_sum_sql('b15', 1)} % 10)) % 10 AS c
+  FROM base
+),
+injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 2
+              THEN text || ' card ' || b15 || c::varchar || ' on file'
+              WHEN doc_id % 7 = 5
+              THEN text || ' card ' || b15 || ((c + 1) % 10)::varchar || ' on file'
+              ELSE text END AS text
+  FROM chk
+),
+cand AS (
+  SELECT doc_id, regexp_extract_all(text, '{cc_re}') AS cs FROM injected
+),
+v AS (
+  SELECT doc_id, cs,
+         list_filter(cs, s -> ({_luhn_sum_sql('s', 0)} % 10) = 0) AS vs
+  FROM cand
+)
+SELECT doc_id, len(cs)::int AS n_candidates, len(vs)::int AS n_valid,
+       len(vs) > 0 AS has_valid_cc
+FROM v
+"""
+
+
 def _semantic_decontam_oracle() -> str:
     """Mirror of decontam.semantic_decontaminate over the embeddings table:
     bench = vec_id % 17 == 3, train = rest ∪ bench copies at +2,000,000,
@@ -6091,6 +6157,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_near_dup": _audio_near_dup_oracle(),
         "multimodal_near_dup": _multimodal_near_dup_oracle(),
         "semantic_decontam": _semantic_decontam_oracle(),
+        "pii_cc_luhn": _pii_cc_luhn_oracle(),
         "url_features": _url_features_oracle(),
         "quality_calibrate": f"""
 WITH q AS (

@@ -222,6 +222,7 @@ def main() -> int:
         "audio_near_dup",
         "multimodal_near_dup",
         "semantic_decontam",
+        "pii_cc_luhn",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

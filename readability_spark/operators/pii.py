@@ -124,3 +124,72 @@ def pii_density_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "n_ips",
         round4(total * F.lit(1000.0) / F.col("n_tokens")).alias("hits_per_1k_tokens"),
     )
+
+
+# 13-16 digit runs with word boundaries — the Java-regex / RE2 shared
+# subset; runs longer than 16 digits match in NEITHER engine (no \b inside
+# a digit run), so both sides see the identical candidate list.
+CC_RE = r"\b\d{13,16}\b"
+#: Multiplier spreading doc_id into a deterministic 15-digit base (Knuth).
+CC_BASE_MULT = 2654435761
+
+
+def _luhn_fold(x):
+    return F.when(x > 9, x - 9).otherwise(x)
+
+
+def luhn_sum(s_col, parity: int):
+    """Luhn checksum of a digit-string column: right position p (1-based
+    from the right end) is doubled (and digit-folded) iff p % 2 == parity.
+    parity=0 validates a full number (check digit at p=1 not doubled);
+    parity=1 computes the sum of a 15-digit base whose digits shift one
+    position left once the check digit is appended. Pure integer column
+    expressions — exact on both engines."""
+    n = F.length(s_col)
+
+    def term(p):
+        d = s_col.substr(n - p + 1, F.lit(1)).cast("int")
+        return F.when((p % 2) == parity, _luhn_fold(d * 2)).otherwise(d)
+
+    return F.aggregate(
+        F.transform(F.sequence(F.lit(1), n), term), F.lit(0), lambda a, x: a + x
+    )
+
+
+def with_injected_cc(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministically append a 16-digit card-shaped number: doc_id % 7
+    == 2 gets a Luhn-VALID number (check digit computed from the 15-digit
+    base), % 7 == 5 the SAME base with the check digit off by one
+    (invalid — the half the validator must reject), others unchanged."""
+    did = F.col("doc_id")
+    base15 = F.lpad(((did * CC_BASE_MULT) % (10**15)).cast("string"), 15, "0")
+    check = (10 - (luhn_sum(base15, parity=1) % 10)) % 10
+    tail = F.concat(F.lit(" card "), base15, F.lit(""))
+    valid_cc = F.concat(tail, check.cast("string"), F.lit(" on file"))
+    invalid_cc = F.concat(tail, ((check + 1) % 10).cast("string"), F.lit(" on file"))
+    new_text = (
+        F.when(did % 7 == 2, F.concat(F.col(text_col), valid_cc))
+        .when(did % 7 == 5, F.concat(F.col(text_col), invalid_cc))
+        .otherwise(F.col(text_col))
+    )
+    return docs.withColumn(text_col, new_text)
+
+
+def cc_luhn_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Luhn-validated credit-card detection: extract 13-16 digit runs,
+    validate each with the exact integer Luhn checksum, and report
+    ``doc_id, n_candidates, n_valid, has_valid_cc`` per document. The
+    regex alone is not a PII signal (order ids, timestamps); the checksum
+    is what separates card-shaped noise from redaction-worthy hits.
+
+    Scale shape: zero shuffles — one codegen projection (regexp extract +
+    higher-order integer fold per candidate), same contract as pii_scrub.
+    """
+    cands = F.regexp_extract_all(F.col(text_col), F.lit(CC_RE), F.lit(0))
+    valid = F.filter(cands, lambda s: (luhn_sum(s, parity=0) % 10) == 0)
+    return docs.select(
+        "doc_id",
+        F.size(cands).cast("int").alias("n_candidates"),
+        F.size(valid).cast("int").alias("n_valid"),
+        (F.size(valid) > 0).alias("has_valid_cc"),
+    )

@@ -119,3 +119,36 @@ def test_pii_density_report_consistent_with_scrub_counts(spark):
         ) / 10000.0
         # every doc carries exactly one injected PII item by construction
         assert r.n_docs_with_pii == r.n_docs
+
+
+def test_cc_luhn_validation_pure_python_parity(spark):
+    """The Spark Luhn fold must agree with a naive per-digit reference on
+    the injected corpus: % 7 == 2 docs carry exactly one valid card,
+    % 7 == 5 docs a checksum-broken one, and the plan has no shuffle."""
+    from readability_spark.operators.pii import cc_luhn_flags, with_injected_cc
+
+    def luhn_ok(s):
+        total = 0
+        for p, ch in enumerate(reversed(s), 1):
+            d = int(ch)
+            total += (d * 2 - 9 if d * 2 > 9 else d * 2) if p % 2 == 0 else d
+        return total % 10 == 0
+
+    assert luhn_ok("4111111111111111") and not luhn_ok("4111111111111112")
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    out = cc_luhn_flags(with_injected_cc(docs))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    for r in out.collect():
+        if r.doc_id % 7 == 2:
+            assert r.n_candidates >= 1 and r.n_valid >= 1 and r.has_valid_cc
+        elif r.doc_id % 7 == 5:
+            assert r.n_candidates >= 1 and r.n_valid == 0 and not r.has_valid_cc
+    # spot-check the injected digits against the naive reference
+    from readability_spark.operators.pii import CC_BASE_MULT
+
+    for d in (2, 9, 16, 23):
+        base = str((d * CC_BASE_MULT) % 10**15).zfill(15)
+        cands = [base + str(c) for c in range(10) if luhn_ok(base + str(c))]
+        assert len(cands) == 1  # exactly one valid check digit exists
