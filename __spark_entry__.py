@@ -1789,6 +1789,17 @@ def _q_pii_cc_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc_luhn_flags(with_injected_cc(_docs(spark, sf_dir)))
 
 
+def _q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS over the image aHash pair graph — the same
+    log-round connected-components + size rejoin the text minhash path
+    uses, applied unchanged to a media modality (pair_graph_clusters is
+    modality-agnostic). The oracle nests the image pair oracle inside the
+    recursive-CTE transitive closure."""
+    from readability_spark.operators.dedup import pair_graph_clusters
+
+    return pair_graph_clusters(_q_image_near_dup(spark, sf_dir))
+
+
 def _q_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation-funnel attrition over the injected-duplicates corpus:
     5 cumulative stages (input → lang gate → Gopher rules → quality
@@ -1963,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_near_dup": _q_multimodal_near_dup,
         "semantic_decontam": _q_semantic_decontam,
         "pii_cc_luhn": _q_pii_cc_luhn,
+        "image_dup_clusters": _q_image_dup_clusters,
         "url_features": _q_url_features,
         "quality_calibrate": _q_quality_calibrate,
         "lm_ppl_adaptive": _q_lm_ppl_adaptive,
@@ -4703,6 +4715,31 @@ FROM ranked WHERE rn = 1
 """
 
 
+def _image_dup_clusters_oracle() -> str:
+    """Mirror of pair_graph_clusters over the image pair graph: the image
+    near-dup oracle as a nested CTE, then the same recursive transitive
+    closure + min-reachable-id labeling as _clusters_oracle (a node
+    reaches itself through any neighbor since edges carry both
+    directions, so the label min includes self)."""
+    return f"""
+WITH RECURSIVE ip AS ({_image_near_dup_oracle()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM ip
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM ip
+),
+walk(v, n) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT w.v, e.dst FROM walk w JOIN edges e ON e.src = w.n
+),
+lbl AS (SELECT v AS doc_id, min(n) AS cluster_id FROM walk GROUP BY v),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, sz.cluster_size::int AS cluster_size
+FROM lbl l JOIN sz USING (cluster_id)
+"""
+
+
 def _multimodal_near_dup_oracle() -> str:
     """Mirror of dedup.joint_near_dup: the full text-pairs oracle and the
     full image-pairs oracle (each with its own nested WITH scope — DuckDB
@@ -6158,6 +6195,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_near_dup": _multimodal_near_dup_oracle(),
         "semantic_decontam": _semantic_decontam_oracle(),
         "pii_cc_luhn": _pii_cc_luhn_oracle(),
+        "image_dup_clusters": _image_dup_clusters_oracle(),
         "url_features": _url_features_oracle(),
         "quality_calibrate": f"""
 WITH q AS (

@@ -223,6 +223,7 @@ def main() -> int:
         "multimodal_near_dup",
         "semantic_decontam",
         "pii_cc_luhn",
+        "image_dup_clusters",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

@@ -632,18 +632,28 @@ def connected_components(
     return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
-def near_dup_clusters(docs: DataFrame) -> DataFrame:
-    """MinHash-LSH near-dup clusters: (doc_id, cluster_id, cluster_size) for
-    every doc that has at least one verified near-duplicate. ``cluster_id``
-    is the smallest doc_id in the component — the canonical survivor; every
-    other member is a drop candidate. Cluster size rides along via one
-    map-side-combined count + broadcast-sized rejoin (the cluster table is
-    tiny relative to the corpus — only docs with near-dups appear)."""
-    labels = connected_components(minhash_lsh_pairs(docs))
+def pair_graph_clusters(pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) over ANY verified near-dup pair
+    graph — the modality-agnostic clustering layer: the same
+    :func:`connected_components` + size rejoin serves the text minhash
+    graph (:func:`near_dup_clusters`), the image aHash graph, and the
+    audio fingerprint graph unchanged. ``cluster_id`` is the smallest
+    doc_id in the component — the canonical survivor. Cluster size rides
+    along via one map-side-combined count + broadcast-sized rejoin (the
+    cluster table is tiny relative to the corpus — only docs with
+    near-dups appear)."""
+    labels = connected_components(pairs)
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", F.col("cluster_size").cast("int").alias("cluster_size")
     )
+
+
+def near_dup_clusters(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH near-dup clusters: (doc_id, cluster_id, cluster_size) for
+    every doc that has at least one verified near-duplicate — the text
+    instantiation of :func:`pair_graph_clusters`."""
+    return pair_graph_clusters(minhash_lsh_pairs(docs))
 
 
 def canonical_survivors(docs: DataFrame) -> DataFrame:

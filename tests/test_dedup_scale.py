@@ -439,3 +439,42 @@ def test_joint_near_dup_is_pair_intersection(spark, docs):
     assert got == expect and expect
     copy_keys = [k for k in expect if k[1] - k[0] == DUP_OFFSET]
     assert copy_keys and all(got[k] == (0, 0) for k in copy_keys)
+
+
+def test_pair_graph_clusters_union_find_parity(spark, docs):
+    # The modality-agnostic cluster layer must agree with a pure-python
+    # union-find over the collected image pair graph: same membership,
+    # same min-id labels, same sizes.
+    from readability_spark.operators.dedup import DUP_OFFSET, pair_graph_clusters
+    from readability_spark.operators.imaging import (
+        image_near_dup,
+        image_pixel_stats,
+        synthesize_images,
+    )
+
+    small = docs.limit(60)
+    imgs = synthesize_images(small)
+    copies = imgs.filter((F.col("doc_id") % 10) == 0).withColumn(
+        "doc_id", F.col("doc_id") + DUP_OFFSET
+    )
+    pairs = image_near_dup(image_pixel_stats(imgs.unionByName(copies))).localCheckpoint()
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_label = {v: find(v) for v in parent}
+    sizes = {}
+    for v, c in want_label.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    got = {r.doc_id: (r.cluster_id, r.cluster_size)
+           for r in pair_graph_clusters(pairs).collect()}
+    assert got == {v: (c, sizes[c]) for v, c in want_label.items()} and got
