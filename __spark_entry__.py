@@ -1800,6 +1800,16 @@ def _q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_graph_clusters(_q_image_near_dup(spark, sf_dir))
 
 
+def _q_audio_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over the audio fingerprint pair graph — the third
+    modality through the one pair_graph_clusters layer (text minhash,
+    image aHash, audio energy-delta: one components implementation, one
+    recursive-CTE oracle shape)."""
+    from readability_spark.operators.dedup import pair_graph_clusters
+
+    return pair_graph_clusters(_q_audio_near_dup(spark, sf_dir))
+
+
 def _q_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation-funnel attrition over the injected-duplicates corpus:
     5 cumulative stages (input → lang gate → Gopher rules → quality
@@ -1975,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam": _q_semantic_decontam,
         "pii_cc_luhn": _q_pii_cc_luhn,
         "image_dup_clusters": _q_image_dup_clusters,
+        "audio_dup_clusters": _q_audio_dup_clusters,
         "url_features": _q_url_features,
         "quality_calibrate": _q_quality_calibrate,
         "lm_ppl_adaptive": _q_lm_ppl_adaptive,
@@ -4740,6 +4751,29 @@ FROM lbl l JOIN sz USING (cluster_id)
 """
 
 
+def _audio_dup_clusters_oracle() -> str:
+    """Mirror of pair_graph_clusters over the audio pair graph — the same
+    recursive closure as _image_dup_clusters_oracle with the audio pair
+    oracle nested."""
+    return f"""
+WITH RECURSIVE ap AS ({_audio_near_dup_oracle()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM ap
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM ap
+),
+walk(v, n) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT w.v, e.dst FROM walk w JOIN edges e ON e.src = w.n
+),
+lbl AS (SELECT v AS doc_id, min(n) AS cluster_id FROM walk GROUP BY v),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, sz.cluster_size::int AS cluster_size
+FROM lbl l JOIN sz USING (cluster_id)
+"""
+
+
 def _multimodal_near_dup_oracle() -> str:
     """Mirror of dedup.joint_near_dup: the full text-pairs oracle and the
     full image-pairs oracle (each with its own nested WITH scope — DuckDB
@@ -6196,6 +6230,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_decontam": _semantic_decontam_oracle(),
         "pii_cc_luhn": _pii_cc_luhn_oracle(),
         "image_dup_clusters": _image_dup_clusters_oracle(),
+        "audio_dup_clusters": _audio_dup_clusters_oracle(),
         "url_features": _url_features_oracle(),
         "quality_calibrate": f"""
 WITH q AS (

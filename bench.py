@@ -224,6 +224,7 @@ def main() -> int:
         "semantic_decontam",
         "pii_cc_luhn",
         "image_dup_clusters",
+        "audio_dup_clusters",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1
