@@ -1869,6 +1869,95 @@ def _q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_threshold_calibrate(_docs(spark, sf_dir), keep_rate=0.4)
 
 
+def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised spam/ham label propagation over the deterministic
+    97-node doc graph (same edge synthesis as `_pagerank_edges`): nodes
+    with node % 10 < 2 are seeds ('spam' when node % 3 == 0, else 'ham');
+    3 rounds of clamped-seed majority vote, ties to the smaller label.
+    Integer votes + total-order argmax -> byte-stable; the oracle unrolls
+    the identical 3 rounds as CTEs."""
+    from readability_spark.operators.graph import label_propagation
+
+    edges = _pagerank_edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    seeds = nodes.filter(F.col("node") % 10 < 2).select(
+        "node",
+        F.when(F.col("node") % 3 == 0, F.lit("spam")).otherwise(F.lit("ham")).alias(
+            "label"
+        ),
+    )
+    return label_propagation(edges, seeds, n_iter=3)
+
+
+def _q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type hourly burst detection over the events table: each
+    bucket's count z-scored against its 6 trailing observed buckets
+    (integer sums -> exact trailing moments; z floor-rounded at 1e-4 with
+    the identical IEEE expression tree in the oracle)."""
+    from readability_spark.operators.temporal import detect_bursts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return detect_bursts(events, trail=6, z_thresh=2.5)
+
+
+def _with_repeated_lines(docs: DataFrame) -> DataFrame:
+    """Inject deterministic within-doc repeats into the lined corpus: doc d
+    re-appends its line 1 when d % 3 == 0 and its line 2 when d % 5 == 0
+    (skipped when absent), so `dedup_doc_lines` provably has work."""
+    from readability_spark.operators.cleaning import with_synthetic_lines
+
+    lined = with_synthetic_lines(docs)
+    lines = F.split(F.col("text"), "\n")
+    d = F.col("doc_id")
+    extras = F.filter(
+        F.array(
+            F.when(d % 3 == 0, F.get(lines, 0)),
+            F.when(d % 5 == 0, F.get(lines, 1)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return lined.withColumn(
+        "text", F.concat_ws("\n", F.concat(F.array(F.col("text")), extras))
+    )
+
+
+def _q_doc_self_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line removal (first occurrence kept) over the
+    lined corpus with injected within-doc repeats — zero-shuffle
+    higher-order-function plan (tests/test_plan_shape.py pins it)."""
+    from readability_spark.operators.cleaning import dedup_doc_lines
+
+    return dedup_doc_lines(_with_repeated_lines(_docs(spark, sf_dir)))
+
+
+def _q_url_variant_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mobile/AMP/www host-variant folding over a synthesized 4-variant url
+    mix: page key = doc_id % 200 on host site{doc_id % 40}.com, served
+    through ['', 'www.', 'm.', 'amp.'][(doc_id // 200) % 4]. One
+    map-side-combined groupBy; representative election = min(struct(rank,
+    url)) preferring the desktop origin."""
+    from readability_spark.operators.urltools import fold_host_variants
+
+    d = F.col("doc_id")
+    prefix = F.element_at(
+        F.array(F.lit(""), F.lit("www."), F.lit("m."), F.lit("amp.")),
+        (F.floor(d / 200) % 4 + 1).cast("int"),
+    )
+    urls = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("http://"),
+            prefix,
+            F.lit("site"),
+            (d % 40).cast("string"),
+            F.lit(".com/p"),
+            (d % 200).cast("string"),
+        ).alias("url")
+    )
+    return fold_host_variants(urls)
+
+
 def _q_reshard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous-hash resharding plan for growing 8 -> 12 corpus shards
     over the synthesized url keys: per-new-shard key counts, moved-in
@@ -1968,6 +2057,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": _q_duplicate_spans,
         "corpus_mix": _q_corpus_mix,
         # -- new in r4 (no driver row yet) -----------------------------------
+        "label_propagation": _q_label_propagation,
+        "event_bursts": _q_event_bursts,
+        "doc_self_dedup": _q_doc_self_dedup,
+        "url_variant_fold": _q_url_variant_fold,
         "reshard_plan": _q_reshard_plan,
         "typosquat_hosts": _q_typosquat_hosts,
         "classifier_calibration": _q_classifier_calibration,
@@ -6095,6 +6188,138 @@ CASE doc_id % 4
 END"""
 
 
+def _label_propagation_oracle(n_iter: int = 3) -> str:
+    """Mirror of graph.label_propagation on the doc-derived 97-node graph:
+    the same clamped-seed majority-vote rounds unrolled as CTEs; argmax =
+    row_number over (votes DESC, label ASC) — the total order matching the
+    Spark side's min(struct(-votes, label))."""
+    rounds = []
+    for t in range(n_iter):
+        rounds.append(
+            f"""v{t + 1} AS (
+  SELECT e.d AS node, l.label, count(*) AS votes
+  FROM e JOIN l{t} l ON l.node = e.s GROUP BY 1, 2),
+c{t + 1} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY votes DESC, label ASC) AS rn
+    FROM v{t + 1}) WHERE rn = 1),
+l{t + 1} AS (
+  SELECT * FROM seeds
+  UNION ALL
+  SELECT c.node, c.label FROM c{t + 1} c
+  WHERE c.node NOT IN (SELECT node FROM seeds))"""
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id % 97 AS src, (doc_id * doc_id + 1) % 97 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id % 97 AS src, (doc_id + 1) % 97 AS dst FROM documents)
+),
+e AS (SELECT DISTINCT s, d FROM (
+  SELECT src AS s, dst AS d FROM e0 UNION ALL SELECT dst, src FROM e0)),
+nodes AS (SELECT DISTINCT s AS node FROM e),
+seeds AS (
+  SELECT node, CASE WHEN node % 3 = 0 THEN 'spam' ELSE 'ham' END AS label
+  FROM nodes WHERE node % 10 < 2),
+l0 AS (SELECT * FROM seeds),
+{chain}
+SELECT n.node, l.label FROM nodes n LEFT JOIN l{n_iter} l ON l.node = n.node
+"""
+
+
+def _event_bursts_oracle(trail: int = 6, z_thresh: float = 2.5) -> str:
+    """Mirror of temporal.detect_bursts: hourly buckets, trailing-{trail}
+    moments from exact integer sums, then the token-identical IEEE
+    mean/variance/z expression tree, floor-rounded at 1e-4."""
+    var = "(ss::double - s::double * s::double / tn::double) / (tn::double - 1.0)"
+    z = f"(cnt::double - s::double / tn::double) / sqrt({var})"
+    return f"""
+WITH b AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS bucket_start,
+         count(*)::bigint AS cnt
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT key, bucket_start, cnt,
+         sum(cnt) OVER tw AS s,
+         sum(cnt * cnt) OVER tw AS ss,
+         count(cnt) OVER tw AS tn
+  FROM b
+  WINDOW tw AS (PARTITION BY key ORDER BY bucket_start
+                ROWS BETWEEN {trail} PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT key, strftime(bucket_start, '%Y-%m-%d %H:%M:%S') AS bucket_start, cnt,
+         tn::bigint AS trail_n,
+         CASE WHEN tn >= 2 AND {var} > 0
+              THEN floor({z} * 10000.0 + 0.5) / 10000.0 END AS z
+  FROM w)
+SELECT key, bucket_start, cnt, trail_n, z,
+       coalesce(z >= {z_thresh}, false) AS is_burst
+FROM z
+"""
+
+
+def _doc_self_dedup_oracle(width: int = 8) -> str:
+    """Mirror of _with_repeated_lines + cleaning.dedup_doc_lines over the
+    shared lined CTE: re-append line 1 (d%3==0) / line 2 (d%5==0) when
+    present, then keep each line's first occurrence via the same
+    position-over-prefix filter."""
+    return f"""
+WITH {_lined_cte(width)},
+rep AS (
+  SELECT doc_id,
+    array_to_string(list_concat([text],
+      list_filter([
+        CASE WHEN doc_id % 3 = 0 THEN string_split(text, chr(10))[1] END,
+        CASE WHEN doc_id % 5 = 0 THEN string_split(text, chr(10))[2] END
+      ], x -> x IS NOT NULL)), chr(10)) AS text
+  FROM lined),
+m AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM rep),
+k AS (
+  SELECT doc_id, lines,
+    list_filter(lines, (x, i) ->
+      coalesce(list_position(list_slice(lines, 1, i - 1), x), 0) = 0) AS kept
+  FROM m)
+SELECT doc_id, len(lines)::bigint AS n_lines, len(kept)::bigint AS n_kept,
+       array_to_string(kept, chr(10)) AS text_clean
+FROM k
+"""
+
+
+def _url_variant_fold_oracle() -> str:
+    """Mirror of urltools.fold_host_variants over the synthesized 4-variant
+    url mix: same host/path regexes, same fold, and the representative
+    election as min(rank-digit || url) — lexicographically identical to the
+    Spark side's min(struct(rank, url)) since rank is one digit."""
+    return r"""
+WITH u AS (
+  SELECT 'http://' || (['', 'www.', 'm.', 'amp.'])[((doc_id // 200) % 4 + 1)::int]
+         || 'site' || (doc_id % 40)::varchar || '.com/p'
+         || (doc_id % 200)::varchar AS url
+  FROM documents),
+p AS (
+  SELECT url,
+         lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS host,
+         regexp_extract(url, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) AS path
+  FROM u),
+f AS (
+  SELECT *, regexp_replace(host, '^(www|m|amp)\.', '') AS canon_host FROM p),
+r AS (
+  SELECT *, CASE WHEN host = canon_host THEN 0
+                 WHEN host = 'www.' || canon_host THEN 1
+                 WHEN host = 'm.' || canon_host THEN 2
+                 ELSE 3 END AS rnk
+  FROM f)
+SELECT canon_host, path,
+       count(DISTINCT host)::bigint AS n_variants,
+       count(*)::bigint AS n_urls,
+       substr(min(rnk::varchar || url), 2) AS rep_url
+FROM r GROUP BY 1, 2
+"""
+
+
 def _reshard_plan_oracle(n_old: int = 8, n_new: int = 12) -> str:
     """Mirror of shards.reshard_plan over the synthesized urls: the same
     md5-weight rendezvous argmax (weight hex || ':' || zero-padded shard,
@@ -6249,6 +6474,10 @@ SELECT th.lang, n_docs::bigint AS n_docs, threshold,
        floor(coalesce(n_kept, 0)::double / n_docs * 10000.0 + 0.5) / 10000.0 AS kept_rate
 FROM th LEFT JOIN k ON th.lang = k.lang
 """,
+        "label_propagation": _label_propagation_oracle(),
+        "event_bursts": _event_bursts_oracle(),
+        "doc_self_dedup": _doc_self_dedup_oracle(),
+        "url_variant_fold": _url_variant_fold_oracle(),
         "reshard_plan": _reshard_plan_oracle(),
         "typosquat_hosts": _typosquat_oracle(),
         "classifier_calibration": _classifier_calibration_oracle(),

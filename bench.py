@@ -225,6 +225,10 @@ def main() -> int:
         "pii_cc_luhn",
         "image_dup_clusters",
         "audio_dup_clusters",
+        "label_propagation",
+        "event_bursts",
+        "doc_self_dedup",
+        "url_variant_fold",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

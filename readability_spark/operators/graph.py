@@ -142,3 +142,71 @@ def pagerank(
     outdeg.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    label_col: str = "label",
+    n_iter: int = 3,
+    undirected: bool = True,
+) -> DataFrame:
+    """Semi-supervised label propagation over a (host) graph — the standard
+    spam/quality-seed spreading pass (Raghavan et al. 2007 LPA, restricted
+    to the clamped-seed variant used for webspam demotion): a small set of
+    hand-labeled hosts (``seeds``: node, label) spreads outward; each round
+    every non-seed node adopts the label with the MOST neighbor votes,
+    ties broken by lexicographically smallest label. Seed labels never
+    change. Nodes no wave has reached yet stay NULL.
+
+    Determinism: votes are integers and the (votes desc, label asc) argmax
+    is a total order, so the result is byte-stable under any partitioning
+    or executor count — which is also what makes the unrolled SQL oracle
+    exact (reference parity: vborovikov/readability has no graph layer;
+    this is LLM-pipeline surface, SURVEY.md §2-extension).
+
+    Scale shape at 100 TB: runs on the HOST graph (pages collapse 10^12 →
+    ~10^7 hosts via links.host_graph before any iteration). Each round is
+    one edges⋈labels shuffle join + one map-side-combined vote count + one
+    argmax agg; the labeled frontier only grows, rounds are fixed (K small),
+    and ``localCheckpoint`` truncates lineage per round exactly like
+    :func:`pagerank`. The vote rows are (node, label, long) — nothing
+    wider than the rank vector ever shuffles.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if undirected:
+        e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    e = e.distinct().persist()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(seeds.select(F.col("node")))
+        .distinct()
+        .persist()
+    )
+    sd = seeds.select("node", F.col(label_col).alias("label")).persist()
+    labels = sd.localCheckpoint()
+    for _ in range(n_iter):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("d").alias("node"), "label")
+            .agg(F.count("*").alias("votes"))
+        )
+        elected = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("votes")).alias("nv"), F.col("label").alias("l"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.l").alias("label"))
+        )
+        labels = sd.unionByName(
+            elected.join(sd.select("node"), "node", "left_anti")
+        ).localCheckpoint()
+    out = nodes.join(labels, "node", "left").select("node", "label")
+    e.unpersist()
+    sd.unpersist()
+    nodes.unpersist()
+    return out

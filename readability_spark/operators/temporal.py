@@ -225,3 +225,59 @@ def funnel_counts(
     return row.selectExpr(
         f"stack({k}, {stack}) as (stage_idx, stage, n_users, conversion)"
     )
+
+
+def detect_bursts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    bucket: str = "1 hour",
+    trail: int = 6,
+    z_thresh: float = 2.5,
+) -> DataFrame:
+    """Per-key traffic-burst detection: bucket events into fixed windows,
+    then z-score every bucket's count against the trailing ``trail``
+    *observed* buckets of the same key (Kleinberg-style burst flagging
+    reduced to its rolling-baseline form — what a crawl/ops pipeline runs
+    over fetch or error streams to catch hot spots and spam floods).
+
+    Output: (key, bucket_start, cnt, trail_n, z, is_burst) — one row per
+    observed (key, bucket); ``z`` is NULL when fewer than 2 trailing
+    buckets exist or their variance is 0, and ``is_burst`` is then false.
+
+    Determinism: counts are integers, so the trailing sum / sum-of-squares
+    are exact in any accumulation order; mean/variance/z are then a fixed
+    IEEE expression tree over exact inputs (mirrored token-for-token in the
+    SQL oracle), and z is rounded once at 1e-4.
+
+    Scale shape at 100 TB: ONE map-side-combined count per (key, bucket) —
+    the 10^12-event stream collapses to |keys|×|buckets| rows before the
+    window pass — then one window sort per key over its own buckets (tiny:
+    buckets-per-key, not events-per-key). No UDFs, all codegen; a hot key
+    costs its bucket count, never its event count.
+    """
+    b = (
+        events.groupBy(
+            F.col(key_col).alias("key"), F.window(ts_col, bucket).alias("w")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select("key", F.col("w.start").alias("bucket_start"), "cnt")
+    )
+    win = Window.partitionBy("key").orderBy("bucket_start").rowsBetween(-trail, -1)
+    s = F.sum("cnt").over(win).cast("double")
+    ss = F.sum(F.col("cnt") * F.col("cnt")).over(win).cast("double")
+    w = F.count("cnt").over(win).cast("double")
+    mean = s / w
+    var = (ss - s * s / w) / (w - F.lit(1.0))
+    z_raw = (F.col("cnt").cast("double") - mean) / F.sqrt(var)
+    z = F.when(
+        (w >= 2) & (var > 0), F.floor(z_raw * 10000.0 + 0.5) / 10000.0
+    )
+    return b.select(
+        "key",
+        "bucket_start",
+        "cnt",
+        w.cast("bigint").alias("trail_n"),
+        z.alias("z"),
+        F.coalesce(z >= z_thresh, F.lit(False)).alias("is_burst"),
+    )

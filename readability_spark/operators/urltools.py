@@ -242,3 +242,47 @@ def typosquat_candidates(
         )
         .select("host", "brand", dist.cast("int").alias("dist"), "docs")
     )
+
+
+def fold_host_variants(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Mobile/AMP/www host-variant folding: ``m.example.com/p1``,
+    ``amp.example.com/p1``, ``www.example.com/p1`` and ``example.com/p1``
+    are the same logical page served through different front-ends — a major
+    near-dup source in Common-Crawl-shaped corpora that URL *string*
+    canonicalization (:func:`canonical_url` — scheme/port/tracking-params)
+    does not touch. Folds the ``www.`` / ``m.`` / ``amp.`` first label off
+    the host, groups by (folded host, path), and elects one representative
+    per group preferring the desktop origin: bare host < www < m < amp,
+    then url ascending (a total order → byte-stable election).
+
+    Output: ``canon_host, path, n_variants, n_urls, rep_url`` where
+    ``n_variants`` counts distinct host spellings in the group.
+
+    Scale shape at 100 TB: pure column expressions + ONE map-side-combined
+    groupBy on the folded key; the variant-rank election rides the same
+    aggregation as a ``min(struct)`` — no window, no second shuffle, no
+    Python. Folded keys are at least as well-spread as raw hosts.
+    """
+    url = F.col(url_col)
+    host = host_of(url)
+    folded = F.regexp_replace(host, r"^(www|m|amp)\.", "")
+    rank = (
+        F.when(host == folded, 0)
+        .when(host == F.concat(F.lit("www."), folded), 1)
+        .when(host == F.concat(F.lit("m."), folded), 2)
+        .otherwise(3)
+    )
+    return (
+        pages.select(
+            folded.alias("canon_host"),
+            path_of(url).alias("path"),
+            host.alias("host"),
+            F.struct(rank.alias("r"), url.alias("u")).alias("cand"),
+        )
+        .groupBy("canon_host", "path")
+        .agg(
+            F.countDistinct("host").cast("bigint").alias("n_variants"),
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.min("cand").getField("u").alias("rep_url"),
+        )
+    )

@@ -255,3 +255,28 @@ def test_host_boilerplate_lines_are_group_local(spark):
            for r in host_boilerplate_lines(docs, min_docs=3).collect()}
     # within-doc repetition counts once; B's 2-doc footer stays below bar
     assert got == {("A", "shared footer line"): 3}
+
+
+def test_dedup_doc_lines_keeps_first_occurrence(spark):
+    from readability_spark.operators.cleaning import dedup_doc_lines
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb\na"), (2, "solo"), (3, "x\nx\nx"), (4, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup_doc_lines(df).collect()}
+    assert out[1]["text_clean"] == "a\nb\nc"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (6, 3)
+    assert out[2]["text_clean"] == "solo"
+    assert out[3]["text_clean"] == "x" and out[3]["n_kept"] == 1
+    # split('') -> [''] : one (empty) line, kept
+    assert (out[4]["n_lines"], out[4]["n_kept"]) == (1, 1)
+
+
+def test_dedup_doc_lines_zero_shuffle(spark):
+    """The intra-doc pass must stay row-local: no Exchange in the plan."""
+    from readability_spark.operators.cleaning import dedup_doc_lines
+
+    df = spark.createDataFrame([(1, "a\nb\na")], ["doc_id", "text"])
+    plan = dedup_doc_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -208,3 +208,50 @@ def test_crawl_budget_waterfill_matches_bisection(spark):
         # heavier hosts never get less than lighter ones
         allocs = [g.alloc_fetches for g in got]
         assert allocs == sorted(allocs, reverse=True)
+
+
+def test_label_propagation_clamped_majority(spark):
+    """Hand-checkable 6-node path/star: seeds clamp, majority wins, ties go
+    to the lexicographically smaller label, unreached nodes stay NULL."""
+    from readability_spark.operators.graph import label_propagation
+
+    # 1-2, 2-3, 3-4 chain; 5 isolated-ish node reachable only via 4-5;
+    # seeds: 1='spam', 4='ham'. Node 6 has no path to any seed.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1, "spam"), (4, "ham")], ["node", "label"])
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, seeds, n_iter=3).collect()
+    }
+    assert out[1] == "spam" and out[4] == "ham"  # clamped
+    assert out[5] == "ham"  # only neighbor is the ham seed
+    # round 1: 2<-spam(1), 3<-ham(4). round 2 onward both 2 and 3 hear one
+    # spam and one ham vote -> tie -> lexicographically smaller label wins
+    assert out[2] == "ham" and out[3] == "ham"
+    assert out[6] is None and out[7] is None  # no wave reaches them
+
+
+def test_label_propagation_partition_independent(spark):
+    from readability_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i % 23, (i * i + 1) % 23) for i in range(200)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame(
+        [(n, "spam" if n % 3 == 0 else "ham") for n in range(0, 23, 7)],
+        ["node", "label"],
+    )
+    a = sorted(
+        map(tuple, label_propagation(edges, seeds, n_iter=3).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            label_propagation(
+                edges.repartition(13), seeds.repartition(3), n_iter=3
+            ).collect(),
+        )
+    )
+    assert a == b

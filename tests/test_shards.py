@@ -96,3 +96,30 @@ def test_calibration_table_invariants(spark):
         assert ext[0].pos_rate <= 0.2
     if 9 in ext:
         assert ext[9].pos_rate >= 0.8
+
+
+def test_fold_host_variants_election_and_counts(spark):
+    """www/m/amp spellings of one page fold together; the representative
+    prefers bare host, then www, then m, then amp, then url order."""
+    from readability_spark.operators.urltools import fold_host_variants
+
+    urls = [
+        "http://www.example.com/p1",
+        "http://m.example.com/p1",
+        "http://amp.example.com/p1",
+        "http://example.com/p1",
+        "http://m.example.com/p2",
+        "http://amp.example.com/p2",
+        "http://other.org/p1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    out = {
+        (r["canon_host"], r["path"]): r for r in fold_host_variants(df).collect()
+    }
+    p1 = out[("example.com", "/p1")]
+    assert p1["n_variants"] == 4 and p1["n_urls"] == 4
+    assert p1["rep_url"] == "http://example.com/p1"  # bare beats www/m/amp
+    p2 = out[("example.com", "/p2")]
+    assert p2["n_variants"] == 2
+    assert p2["rep_url"] == "http://m.example.com/p2"  # m beats amp
+    assert out[("other.org", "/p1")]["n_variants"] == 1

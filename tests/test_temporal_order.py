@@ -240,3 +240,50 @@ def test_funnel_equal_timestamp_not_counted(spark):
     )
     got = {r["stage"]: r["n_users"] for r in funnel_counts(events, ("view", "click")).collect()}
     assert got == {"view": 1, "click": 0}
+
+
+def test_detect_bursts_flags_known_spike(spark):
+    """9 calm hourly buckets of 10±1 events then one 60-event bucket: only
+    the spike is flagged, with z computed from the trailing-6 moments."""
+    import datetime as dt
+    import math
+
+    from readability_spark.operators.temporal import detect_bursts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    counts = [10, 11, 9, 10, 11, 9, 10, 11, 9, 60]
+    for h, c in enumerate(counts):
+        for j in range(c):
+            rows.append(("fetch", base + dt.timedelta(hours=h, seconds=j)))
+    ev = spark.createDataFrame(rows, ["event_type", "ts"])
+    out = {
+        r["bucket_start"].hour: r
+        for r in detect_bursts(ev, trail=6, z_thresh=2.5).collect()
+    }
+    assert [h for h, r in sorted(out.items()) if r["is_burst"]] == [9]
+    # trailing window for hour 9 = hours 3..8 -> mean 10, sample var 1
+    tail = counts[3:9]
+    mean = sum(tail) / 6
+    var = (sum(c * c for c in tail) - sum(tail) ** 2 / 6) / 5
+    z = (60 - mean) / math.sqrt(var)
+    assert abs(out[9]["z"] - z) < 1e-3
+    assert out[0]["z"] is None and not out[0]["is_burst"]  # no trailing data
+    assert out[9]["trail_n"] == 6 and out[1]["trail_n"] == 1
+
+
+def test_detect_bursts_zero_variance_trailing_window(spark):
+    """A constant trailing window (variance 0) must yield NULL z and no
+    burst flag, not a division blow-up."""
+    import datetime as dt
+
+    from readability_spark.operators.temporal import detect_bursts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(5):
+        for j in range(7):  # identical count every bucket
+            rows.append(("err", base + dt.timedelta(hours=h, seconds=j)))
+    ev = spark.createDataFrame(rows, ["event_type", "ts"])
+    for r in detect_bursts(ev, trail=6).collect():
+        assert r["z"] is None and not r["is_burst"]
