@@ -1958,6 +1958,45 @@ def _q_url_variant_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fold_host_variants(urls)
 
 
+def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-descending, domain-interleaved global training order: shared
+    composite quality score (pre-rounded 1e-4), per-domain row_number, then
+    the two-phase global dense rank (no single-task sort — same machinery
+    as corpus_shuffle, pinned bit-identical to the naive global window)."""
+    from readability_spark.operators.ordering import curriculum_order
+    from readability_spark.operators.textstats import quality_score
+
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs).select("doc_id", "quality")
+    d = docs.select("doc_id", F.col("source").alias("domain"))
+    return curriculum_order(d.join(q, "doc_id"))
+
+
+def _q_crawl_trap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection over a synthesized 20-host url mix where hosts
+    h0-h3 serve every url from a 3-page content set (doc_id % 3) and the
+    rest serve the document corpus: distinct-url vs distinct-content
+    counts per host, ratio-flagged."""
+    from readability_spark.operators.urltools import crawl_trap_hosts
+
+    d = F.col("doc_id")
+    host_id = d % 20
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("http://h"),
+            host_id.cast("string"),
+            F.lit(".example/p"),
+            d.cast("string"),
+        ).alias("url"),
+        F.when(
+            host_id < 4, F.concat(F.lit("trap page "), (d % 3).cast("string"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return crawl_trap_hosts(pages, min_urls=10, min_urls_per_content=4.0)
+
+
 def _q_reshard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous-hash resharding plan for growing 8 -> 12 corpus shards
     over the synthesized url keys: per-new-shard key counts, moved-in
@@ -2061,6 +2100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_bursts": _q_event_bursts,
         "doc_self_dedup": _q_doc_self_dedup,
         "url_variant_fold": _q_url_variant_fold,
+        "curriculum_order": _q_curriculum_order,
+        "crawl_trap_hosts": _q_crawl_trap_hosts,
         "reshard_plan": _q_reshard_plan,
         "typosquat_hosts": _q_typosquat_hosts,
         "classifier_calibration": _q_classifier_calibration,
@@ -6320,6 +6361,66 @@ FROM r GROUP BY 1, 2
 """
 
 
+_QUALITY_SQL = (
+    "0.4::double * least(1.0::double, len(string_split(text, ' ')) / 64.0) "
+    f"+ 0.3::double * least(1.0::double, ({_EN_HITS} "
+    "/ len(string_split(text, ' '))::double) * 4) "
+    "+ 0.3::double * (len(list_distinct(string_split(text, ' '))) "
+    "/ len(string_split(text, ' '))::double)"
+)
+
+
+def _curriculum_order_oracle() -> str:
+    """Mirror of ordering.curriculum_order over the shared composite quality
+    score: per-domain row_number (quality DESC, doc_id), then the global
+    row_number over (rank, domain, doc_id) — the naive single-window form
+    the two-phase Spark plan is bit-identical to."""
+    return f"""
+WITH q AS (
+  SELECT doc_id, source AS domain, {_r4(_QUALITY_SQL)} AS quality
+  FROM documents),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY domain ORDER BY quality DESC, doc_id) AS domain_rank
+  FROM q)
+SELECT doc_id, domain, quality, domain_rank::bigint AS domain_rank,
+       (row_number() OVER (ORDER BY domain_rank, domain, doc_id) - 1)::bigint
+         AS position
+FROM r
+"""
+
+
+def _crawl_trap_hosts_oracle(
+    min_urls: int = 10, min_ratio: float = 4.0
+) -> str:
+    """Mirror of urltools.crawl_trap_hosts over the synthesized trap/normal
+    host mix: same url/text synthesis, distinct-url and distinct-md5 counts
+    per host, same rounded ratio and flag."""
+    return f"""
+WITH p AS (
+  SELECT 'http://h' || (doc_id % 20)::varchar || '.example/p'
+         || doc_id::varchar AS url,
+         CASE WHEN doc_id % 20 < 4
+              THEN 'trap page ' || (doc_id % 3)::varchar
+              ELSE text END AS text
+  FROM documents),
+b AS (
+  SELECT lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS host,
+         url, md5(text) AS fp
+  FROM p),
+c AS (
+  SELECT host, count(DISTINCT url)::bigint AS n_urls,
+         count(DISTINCT fp)::bigint AS n_contents
+  FROM b GROUP BY host)
+SELECT host, n_urls, n_contents,
+       floor(n_urls::double / n_contents::double * 10000.0 + 0.5) / 10000.0
+         AS urls_per_content,
+       (n_urls >= {min_urls}
+        AND n_urls::double / n_contents::double >= {min_ratio}) AS is_trap
+FROM c
+"""
+
+
 def _reshard_plan_oracle(n_old: int = 8, n_new: int = 12) -> str:
     """Mirror of shards.reshard_plan over the synthesized urls: the same
     md5-weight rendezvous argmax (weight hex || ':' || zero-padded shard,
@@ -6478,6 +6579,8 @@ FROM th LEFT JOIN k ON th.lang = k.lang
         "event_bursts": _event_bursts_oracle(),
         "doc_self_dedup": _doc_self_dedup_oracle(),
         "url_variant_fold": _url_variant_fold_oracle(),
+        "curriculum_order": _curriculum_order_oracle(),
+        "crawl_trap_hosts": _crawl_trap_hosts_oracle(),
         "reshard_plan": _reshard_plan_oracle(),
         "typosquat_hosts": _typosquat_oracle(),
         "classifier_calibration": _classifier_calibration_oracle(),

@@ -229,6 +229,8 @@ def main() -> int:
         "event_bursts",
         "doc_self_dedup",
         "url_variant_fold",
+        "curriculum_order",
+        "crawl_trap_hosts",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

@@ -111,3 +111,43 @@ def global_shuffle_index(
     return ranked.join(F.broadcast(offsets), "_bucket").select(
         id_col, (F.col("_off") + F.col("_rk")).cast("long").alias("shuffle_idx")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    domain_col: str = "domain",
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+    n_parts: int = 64,
+) -> DataFrame:
+    """Quality-descending, domain-interleaved global training order: every
+    domain ranks its own documents best-first, then rank-r documents of ALL
+    domains precede every rank-r+1 document (round-robin curriculum — early
+    training sees the best of each domain instead of draining the largest
+    domain first; the data-ordering half of curriculum learning, Bengio et
+    al. 2009, composed with mixture interleaving).
+
+    Two parallel phases, no single-task sort: a per-domain ``row_number``
+    window (each domain ranks only its own rows), then
+    :func:`dense_rank_global` over (rank, domain, id) — the key triple is
+    unique, so the global dense rank IS the contiguous 0-based position,
+    computed with the same 2-phase offset shift as
+    :func:`global_shuffle_index`. ``quality`` is expected pre-rounded
+    (1e-4) so float ulps can't flip a rank across engines.
+
+    Output: (id, domain, quality, domain_rank, position).
+    """
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    ranked = df.withColumn("domain_rank", F.row_number().over(w))
+    out = dense_rank_global(
+        ranked, ["domain_rank", domain_col, id_col], out="position", n_parts=n_parts
+    )
+    return out.select(
+        id_col,
+        domain_col,
+        quality_col,
+        F.col("domain_rank").cast("bigint").alias("domain_rank"),
+        (F.col("position") - 1).cast("bigint").alias("position"),
+    )

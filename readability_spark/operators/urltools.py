@@ -286,3 +286,55 @@ def fold_host_variants(pages: DataFrame, url_col: str = "url") -> DataFrame:
             F.min("cand").getField("u").alias("rep_url"),
         )
     )
+
+
+def crawl_trap_hosts(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_urls: int = 10,
+    min_urls_per_content: float = 4.0,
+) -> DataFrame:
+    """Crawl-trap detection: hosts that mint an unbounded URL space over a
+    tiny content set (calendar pagination, session-id path segments,
+    faceted listing permutations — the classic frontier sinks). Per host,
+    compare distinct URLs against distinct content fingerprints (md5 of
+    text); a host serving ``min_urls``+ URLs at ``min_urls_per_content``+
+    URLs per distinct content is flagged for frontier demotion.
+
+    Scale shape at 100 TB: two map-side-combined distinct pre-aggregations
+    — (host, url) and (host, fp) — each collapses within-partition repeats
+    before shuffling, then two tiny per-host counts join on host. No
+    multi-distinct expand, no host ever funnels its raw page list through
+    one task, and the output is one row per host (~10^7).
+
+    Output: (host, n_urls, n_contents, urls_per_content, is_trap).
+    """
+    base = pages.select(
+        host_of(F.col(url_col)).alias("host"),
+        F.col(url_col).alias("u"),
+        F.md5(text_col).alias("fp"),
+    )
+    nu = (
+        base.select("host", "u")
+        .distinct()
+        .groupBy("host")
+        .agg(F.count("*").cast("bigint").alias("n_urls"))
+    )
+    nc = (
+        base.select("host", "fp")
+        .distinct()
+        .groupBy("host")
+        .agg(F.count("*").cast("bigint").alias("n_contents"))
+    )
+    ratio = F.col("n_urls").cast("double") / F.col("n_contents").cast("double")
+    return nu.join(nc, "host").select(
+        "host",
+        "n_urls",
+        "n_contents",
+        (F.floor(ratio * 10000.0 + 0.5) / 10000.0).alias("urls_per_content"),
+        (
+            (F.col("n_urls") >= min_urls)
+            & (ratio >= min_urls_per_content)
+        ).alias("is_trap"),
+    )

@@ -390,3 +390,41 @@ def test_quota_sample_is_nested_under_quota_growth(spark):
     small = {r.doc_id for r in quota_sample(docs, {"en": 20}).collect()}
     big = {r.doc_id for r in quota_sample(docs, {"en": 60}).collect()}
     assert len(small) == 20 and small < big  # growing the quota only adds
+
+
+def test_curriculum_order_interleaves_domains(spark):
+    """All rank-1 docs (best of each domain) come first in domain order,
+    then rank-2, etc.; positions are contiguous 0..n-1."""
+    from readability_spark.operators.ordering import curriculum_order
+
+    rows = [
+        (1, "a", 0.9),
+        (2, "a", 0.5),
+        (3, "a", 0.7),
+        (4, "b", 0.8),
+        (5, "b", 0.95),
+        (6, "c", 0.1),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "domain", "quality"])
+    out = sorted(
+        curriculum_order(df, n_parts=4).collect(), key=lambda r: r["position"]
+    )
+    assert [r["position"] for r in out] == list(range(6))
+    # round 1: best of a (1), best of b (5), best of c (6); round 2: a's #2
+    # (3), b's #2 (4); round 3: a's #3 (2)
+    assert [r["doc_id"] for r in out] == [1, 5, 6, 3, 4, 2]
+    assert [r["domain_rank"] for r in out] == [1, 1, 1, 2, 2, 3]
+
+
+def test_curriculum_order_partition_independent(spark):
+    from readability_spark.operators.ordering import curriculum_order
+
+    rows = [
+        (i, "d%d" % (i % 5), float((i * 37) % 100) / 100.0) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "domain", "quality"])
+    a = sorted(map(tuple, curriculum_order(df, n_parts=8).collect()))
+    b = sorted(
+        map(tuple, curriculum_order(df.repartition(17), n_parts=3).collect())
+    )
+    assert a == b

@@ -123,3 +123,25 @@ def test_fold_host_variants_election_and_counts(spark):
     assert p2["n_variants"] == 2
     assert p2["rep_url"] == "http://m.example.com/p2"  # m beats amp
     assert out[("other.org", "/p1")]["n_variants"] == 1
+
+
+def test_crawl_trap_hosts_flags_low_content_hosts(spark):
+    from readability_spark.operators.urltools import crawl_trap_hosts
+
+    rows = []
+    # trap.example: 40 urls, 2 distinct contents -> ratio 20
+    for i in range(40):
+        rows.append((f"http://trap.example/p{i}", f"content {i % 2}"))
+    # ok.example: 40 urls, 40 distinct contents -> ratio 1
+    for i in range(40):
+        rows.append((f"http://ok.example/p{i}", f"unique text {i}"))
+    # small.example: 4 urls, 1 content -> ratio 4 but below min_urls
+    for i in range(4):
+        rows.append((f"http://small.example/p{i}", "same"))
+    df = spark.createDataFrame(rows, ["url", "text"])
+    out = {r["host"]: r for r in crawl_trap_hosts(df, min_urls=10).collect()}
+    assert out["trap.example"]["is_trap"]
+    assert out["trap.example"]["urls_per_content"] == 20.0
+    assert not out["ok.example"]["is_trap"]
+    assert not out["small.example"]["is_trap"]  # volume floor
+    assert out["small.example"]["urls_per_content"] == 4.0
