@@ -74,6 +74,47 @@ def _q_extract_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate-strip accounting over the REAL extraction
+    pass — the north rule's 'boilerplate bytes stripped' lineage metric as
+    a first-class query: raw html bytes in, extracted text chars out,
+    stripped = in - out, per source. The oracle reconstructs both sides
+    from the synthesis templates (pages.ORACLE_HTML byte length /
+    _ORACLE_LEN), so ANY drift in what extraction keeps breaks the match.
+    Plan: extraction (mapInPandas) joined to the page byte ledger on url,
+    doc_id parsed from the url, one broadcast dim join to documents for
+    source, one map-side-combined agg."""
+    pages = _pages(spark, sf_dir).select("url", F.length("html").alias("hb"))
+    ext = (
+        _extract(spark, sf_dir)
+        .filter(F.col("ok"))
+        .select("url", F.col("length").cast("long").alias("tc"))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    per = (
+        pages.join(ext, "url")
+        .withColumn(
+            "doc_id", F.regexp_extract("url", r"(\d+)\.html$", 1).cast("bigint")
+        )
+        .join(F.broadcast(docs), "doc_id")
+    )
+    agg = per.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("hb").cast("bigint").alias("html_bytes"),
+        F.sum("tc").cast("bigint").alias("text_chars"),
+    )
+    stripped = F.col("html_bytes") - F.col("text_chars")
+    ratio = stripped.cast("double") / F.col("html_bytes").cast("double")
+    return agg.select(
+        "source",
+        "n_docs",
+        "html_bytes",
+        "text_chars",
+        stripped.cast("bigint").alias("stripped_bytes"),
+        (F.floor(ratio * 10000.0 + 0.5) / 10000.0).alias("strip_ratio"),
+    )
+
+
 def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language extraction rollup (n_docs, total extracted chars) —
     the lineage/metrics view over the extraction pass."""
@@ -2102,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_variant_fold": _q_url_variant_fold,
         "curriculum_order": _q_curriculum_order,
         "crawl_trap_hosts": _q_crawl_trap_hosts,
+        "extract_boilerplate": _q_extract_boilerplate,
         "reshard_plan": _q_reshard_plan,
         "typosquat_hosts": _q_typosquat_hosts,
         "classifier_calibration": _q_classifier_calibration,
@@ -6390,6 +6432,26 @@ FROM r
 """
 
 
+def _extract_boilerplate_oracle() -> str:
+    """Mirror of _q_extract_boilerplate from first principles: html bytes
+    from the byte-exact template reconstruction (pages.ORACLE_HTML — pure
+    ASCII, so varchar length == byte length), extracted chars from
+    _ORACLE_LEN. Sums are exact integers; the ratio is one double division
+    floor-rounded at 1e-4 on both sides."""
+    from readability_spark.sources.pages import ORACLE_HTML
+
+    h = f"length({ORACLE_HTML})"
+    return f"""
+SELECT source, count(*)::bigint AS n_docs,
+       sum({h})::bigint AS html_bytes,
+       sum({_ORACLE_LEN})::bigint AS text_chars,
+       (sum({h}) - sum({_ORACLE_LEN}))::bigint AS stripped_bytes,
+       floor((sum({h}) - sum({_ORACLE_LEN}))::double / sum({h})::double
+             * 10000.0 + 0.5) / 10000.0 AS strip_ratio
+FROM documents GROUP BY source
+"""
+
+
 def _crawl_trap_hosts_oracle(
     min_urls: int = 10, min_ratio: float = 4.0
 ) -> str:
@@ -6581,6 +6643,7 @@ FROM th LEFT JOIN k ON th.lang = k.lang
         "url_variant_fold": _url_variant_fold_oracle(),
         "curriculum_order": _curriculum_order_oracle(),
         "crawl_trap_hosts": _crawl_trap_hosts_oracle(),
+        "extract_boilerplate": _extract_boilerplate_oracle(),
         "reshard_plan": _reshard_plan_oracle(),
         "typosquat_hosts": _typosquat_oracle(),
         "classifier_calibration": _classifier_calibration_oracle(),
