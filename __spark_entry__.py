@@ -1932,6 +1932,86 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, seeds, n_iter=3)
 
 
+def _q_trustrank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank over the deterministic 97-node doc graph: teleport vector
+    uniform over the 8 seed nodes (node % 13 == 0), 10 damped rounds —
+    trust stays exactly 0 outside the seed-reachable set (the webspam
+    property). No dangling nodes by construction (every node has
+    out-edges), mirrored by the dangling term's absence in the unrolled
+    oracle, exactly like `link_pagerank`."""
+    from readability_spark.operators.graph import trustrank
+
+    edges = _pagerank_edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    seeds = nodes.filter(F.col("node") % 13 == 0).select("node")
+    tr = trustrank(edges, seeds, n_iter=10)
+    return tr.select(
+        "node", (F.floor(F.col("trust") * 100000.0 + 0.5) / 100000.0).alias("trust")
+    )
+
+
+def _q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-<table> structure inventory + the reference IsDataTable verdict
+    (core/readability.py:1142, reference Readability.cs MarkDataTables)
+    over deterministically synthesized table-bearing pages: doc d (d%10==0)
+    carries 1+d%3 tables; table t has 2+(d+t)%9 rows × 1+(3d+t)%5 cols,
+    role=presentation when (d+t)%5==0, a caption when %4==0, a <th> header
+    row when %3==0. The Spark side builds the html with column expressions,
+    REALLY parses it (dom/parser via one mapInPandas), and walks the DOM;
+    the oracle recomputes every stat and the full verdict chain from the
+    same arithmetic — any parser/walk drift breaks the match."""
+    from readability_spark.operators.tables import table_stats
+
+    d = F.col("doc_id")
+
+    def tbl(t: int):
+        k = d + F.lit(t)
+        r = (k % 9 + 2).cast("int")
+        c = ((d * 3 + t) % 5 + 1).cast("int")
+        hdr = (k % 3 == 0)
+        open_tag = F.when(
+            k % 5 == 0, F.lit('<table role="presentation">')
+        ).otherwise(F.lit("<table>"))
+        caption = F.when(k % 4 == 0, F.lit("<caption>T</caption>")).otherwise(
+            F.lit("")
+        )
+        header_row = F.when(
+            hdr,
+            F.concat(F.lit("<tr>"), F.repeat(F.lit("<th>h</th>"), c), F.lit("</tr>")),
+        ).otherwise(F.lit(""))
+        body_n = F.when(hdr, r - 1).otherwise(r).cast("int")
+        body = F.repeat(
+            F.concat(F.lit("<tr>"), F.repeat(F.lit("<td>x</td>"), c), F.lit("</tr>")),
+            body_n,
+        )
+        seg = F.concat(open_tag, caption, header_row, body, F.lit("</table>"))
+        return F.when(F.lit(t) < d % 3 + 1, seg).otherwise(F.lit(""))
+
+    pages = (
+        _docs(spark, sf_dir)
+        .filter(d % 10 == 0)
+        .select(
+            d.cast("string").alias("url"),
+            F.concat(
+                F.lit("<html><body>"), tbl(0), tbl(1), tbl(2), F.lit("</body></html>")
+            ).alias("html"),
+        )
+    )
+    return table_stats(pages).select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "table_idx",
+        "n_rows",
+        "n_cols",
+        "has_caption",
+        "has_header",
+        "presentation",
+        "is_data_table",
+        "cell_chars",
+    )
+
+
 def _q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type hourly burst detection over the events table: each
     bucket's count z-scored against its 6 trailing observed buckets
@@ -2144,6 +2224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": _q_curriculum_order,
         "crawl_trap_hosts": _q_crawl_trap_hosts,
         "extract_boilerplate": _q_extract_boilerplate,
+        "trustrank_hosts": _q_trustrank_hosts,
+        "html_tables": _q_html_tables,
         "reshard_plan": _q_reshard_plan,
         "typosquat_hosts": _q_typosquat_hosts,
         "classifier_calibration": _q_classifier_calibration,
@@ -4200,6 +4282,81 @@ nn AS (SELECT count(*)::double AS n FROM nodes),
 r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
 {chain}
 SELECT node, floor(rank * 10000.0 + 0.5) / 10000.0 AS rank FROM r{n_iter}
+"""
+
+
+def _trustrank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Mirror of graph.trustrank on the 97-node doc graph with seeds
+    node % 13 == 0: the seed-biased power iteration unrolled as CTE rounds
+    (r0 = teleport vector; no dangling nodes by construction, same as the
+    pagerank oracle)."""
+    rounds = []
+    for t in range(n_iter):
+        rounds.append(
+            f"""r{t + 1} AS (
+  SELECT tp.node,
+         (1.0 - {damping}) * tp.s + {damping} * coalesce(c.contrib, 0.0) AS trust
+  FROM tp LEFT JOIN (
+    SELECT e.dst AS node, sum(r.trust / d.outdeg) AS contrib
+    FROM edges e
+    JOIN r{t} r ON r.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) c ON c.node = tp.node
+)"""
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id % 97 AS src, (doc_id * doc_id + 1) % 97 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id % 97 AS src, (doc_id + 1) % 97 AS dst FROM documents)
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*)::double AS outdeg FROM edges GROUP BY src),
+ns AS (SELECT count(*)::double AS n FROM nodes WHERE node % 13 = 0),
+tp AS (
+  SELECT node,
+         CASE WHEN node % 13 = 0 THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS s
+  FROM nodes
+),
+r0 AS (SELECT node, s AS trust FROM tp),
+{chain}
+SELECT node, floor(trust * 100000.0 + 0.5) / 100000.0 AS trust FROM r{n_iter}
+"""
+
+
+def _html_tables_oracle() -> str:
+    """Mirror of _q_html_tables from the synthesis arithmetic alone: per
+    (doc, t) the structural stats and the reference MarkDataTables decision
+    chain (presentation → caption/header → single-col → big → area>10).
+    n_cols counts td-per-row max, so the <th> header row contributes rows
+    but not columns; rows are always ≥2 so the rows==1 branch is
+    unreachable and cols==1 is the only small-table short-circuit."""
+    return """
+WITH tt AS (
+  SELECT doc_id, t
+  FROM documents, (VALUES (0), (1), (2)) ts(t)
+  WHERE doc_id % 10 = 0 AND t < 1 + doc_id % 3
+),
+s AS (
+  SELECT doc_id, t,
+         (2 + (doc_id + t) % 9)::int AS r,
+         (1 + (doc_id * 3 + t) % 5)::int AS c,
+         ((doc_id + t) % 5 = 0) AS pres,
+         ((doc_id + t) % 4 = 0) AS cap,
+         ((doc_id + t) % 3 = 0) AS hdr
+  FROM tt
+)
+SELECT doc_id, t::int AS table_idx, r AS n_rows, c AS n_cols,
+       cap AS has_caption, hdr AS has_header, pres AS presentation,
+       CASE WHEN pres THEN false
+            WHEN cap OR hdr THEN true
+            WHEN c = 1 THEN false
+            WHEN r >= 10 OR c > 4 THEN true
+            ELSE r * c > 10 END AS is_data_table,
+       ((r - CASE WHEN hdr THEN 1 ELSE 0 END) * c)::bigint AS cell_chars
+FROM s
 """
 
 
@@ -6644,6 +6801,8 @@ FROM th LEFT JOIN k ON th.lang = k.lang
         "curriculum_order": _curriculum_order_oracle(),
         "crawl_trap_hosts": _crawl_trap_hosts_oracle(),
         "extract_boilerplate": _extract_boilerplate_oracle(),
+        "trustrank_hosts": _trustrank_oracle(),
+        "html_tables": _html_tables_oracle(),
         "reshard_plan": _reshard_plan_oracle(),
         "typosquat_hosts": _typosquat_oracle(),
         "classifier_calibration": _classifier_calibration_oracle(),

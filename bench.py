@@ -231,6 +231,9 @@ def main() -> int:
         "url_variant_fold",
         "curriculum_order",
         "crawl_trap_hosts",
+        "extract_boilerplate",
+        "trustrank_hosts",
+        "html_tables",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

@@ -144,6 +144,91 @@ def pagerank(
     return ranks
 
 
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """TrustRank (Gyöngyi et al., VLDB 2004): PageRank with the teleport
+    vector biased to a trusted seed set instead of uniform — the standard
+    webspam-demotion ranking (trust flows out from hand-vetted hosts and
+    decays with link distance; spam farms unreachable from seeds get ~0).
+
+        r_{t+1}(v) = (1-d)·s(v) + d·( Σ_{u→v} r_t(u)/outdeg(u)
+                                       + dangling_t·s(v) )
+
+    with ``s`` uniform over ``seeds`` (node column) and ``r_0 = s``. Note
+    dangling mass teleports back to the SEEDS (not uniformly) — outside
+    the seed-reachable set trust stays exactly 0, the property that makes
+    the ranking spam-resistant.
+
+    Scale shape: identical to :func:`pagerank` — the teleport vector is a
+    per-node column computed once (nodes left-semi seeds), each round is
+    one edges⋈ranks join + map-side-combined sum + a scalar dangling
+    aggregate, ``localCheckpoint`` truncates lineage. Runs on the host
+    graph (10^7 nodes at 100 TB), never the page graph.
+
+    Reference parity: vborovikov/readability has no graph layer; this is
+    LLM-pipeline surface (SURVEY.md §2-extension) alongside pagerank/HITS.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .unionByName(seeds.select(F.col("node")))
+        .distinct()
+        .persist()
+    )
+    n_seeds = seeds.select("node").distinct().count()
+    tp = nodes.join(
+        seeds.select("node").distinct().withColumn("_s", F.lit(1.0 / n_seeds)),
+        "node",
+        "left",
+    ).select("node", F.coalesce(F.col("_s"), F.lit(0.0)).alias("s")).persist()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+
+    ranks = tp.select("node", F.col("s").alias("trust")).localCheckpoint()
+    for _ in range(n_iter):
+        dangling = (
+            ranks.join(outdeg.withColumnRenamed("src", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("trust"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", (F.col("trust") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            tp.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    (1.0 - damping) * F.col("s")
+                    + damping
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.lit(dangling) * F.col("s")
+                    )
+                ).alias("trust"),
+            )
+        ).localCheckpoint()
+    e.unpersist()
+    tp.unpersist()
+    outdeg.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
 def label_propagation(
     edges: DataFrame,
     seeds: DataFrame,

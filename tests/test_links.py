@@ -170,6 +170,68 @@ def test_hits_partition_independent(spark):
         assert ra[v][1] == pytest.approx(rb[v][1], abs=1e-12)
 
 
+def _numpy_trustrank(edges, seeds, n_iter=10, d=0.85):
+    nodes = sorted({u for e in edges for u in e} | set(seeds))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _t in edges:
+        out[idx[s]] += 1
+    tp = np.zeros(n)
+    for v in seeds:
+        tp[idx[v]] = 1.0 / len(seeds)
+    r = tp.copy()
+    for _ in range(n_iter):
+        dangling = r[out == 0].sum()
+        nxt = (1 - d) * tp + d * dangling * tp
+        for s, t in edges:
+            nxt[idx[t]] += d * r[idx[s]] / out[idx[s]]
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_trustrank_matches_numpy_with_dangling(spark):
+    from readability_spark.operators.graph import trustrank
+
+    # node 4 dangles; node 6→7 is unreachable from the seeds {1, 5}
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (5, 3), (6, 7)]
+    seeds = [1, 5]
+    want = _numpy_trustrank(edges, seeds)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sd = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {r.node: r.trust for r in trustrank(df, sd, n_iter=10).collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # the spam-resistance property: zero trust outside the seed-reachable set
+    assert got[6] == 0.0 and got[7] == 0.0
+    # mass conservation: dangling mass recycles to seeds, nothing leaks
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_trustrank_partition_independent(spark):
+    from readability_spark.operators.graph import trustrank
+
+    edges = [(i, (i * i + 1) % 23) for i in range(23)] + [
+        (i, (i + 1) % 23) for i in range(23)
+    ]
+    seeds = [(0,), (13,)]
+    a = trustrank(
+        spark.createDataFrame(edges, "src long, dst long").repartition(3),
+        spark.createDataFrame(seeds, "node long"),
+        n_iter=8,
+    )
+    b = trustrank(
+        spark.createDataFrame(edges, "src long, dst long").repartition(17),
+        spark.createDataFrame(seeds, "node long"),
+        n_iter=8,
+    )
+    ra = {r.node: r.trust for r in a.collect()}
+    rb = {r.node: r.trust for r in b.collect()}
+    for v in ra:
+        assert ra[v] == pytest.approx(rb[v], abs=1e-12)
+
+
 def _waterfill_weighted_bruteforce(weights, budget, cap):
     """Bisect lambda so sum(min(cap, w*lambda)) == budget (all capped when
     K*cap <= budget)."""
