@@ -2012,6 +2012,76 @@ def _q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME sniffing vs the declared Content-Type over
+    deterministically synthesized payloads: doc d carries payload kind
+    d % 6 (pdf / png / jpeg / gzip / whitespace-prefixed html / plain
+    text) but declares type (d // 6) % 6 — the routing matrix counts
+    where headers lie. The sniff is a pure codegen CASE chain over
+    hex(substring(payload)); the oracle recomputes the matrix from the
+    synthesis arithmetic alone, so the byte-pattern table is what's
+    under test."""
+    from readability_spark.operators.mime import mime_mismatch_report
+
+    d = F.col("doc_id")
+    kinds = [
+        F.concat(F.encode(F.lit("%PDF-1.4\n"), "UTF-8"), F.encode(F.col("text"), "UTF-8")),
+        F.concat(F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")), F.encode(F.col("text"), "UTF-8")),
+        F.concat(F.unhex(F.lit("FFD8FFE000104A464946")), F.encode(F.col("text"), "UTF-8")),
+        F.concat(F.unhex(F.lit("1F8B0800")), F.encode(F.col("text"), "UTF-8")),
+        F.encode(F.concat(F.lit("\n  <!doctype html><p>"), F.col("text")), "UTF-8"),
+        F.encode(F.concat(F.lit("hello "), F.col("text")), "UTF-8"),
+    ]
+    payload = kinds[0]
+    for i in range(5, 0, -1):
+        payload = F.when(d % 6 == i, kinds[i]).otherwise(payload)
+    declared = F.element_at(
+        F.array(*[F.lit(m) for m in _MIME_DECLARED]),
+        (F.floor(d / 6) % 6 + 1).cast("int"),
+    )
+    payloads = _docs(spark, sf_dir).select(
+        payload.alias("payload"), declared.alias("declared")
+    )
+    return mime_mismatch_report(payloads)
+
+
+_MIME_DECLARED = [
+    "text/html",
+    "text/plain",
+    "application/pdf",
+    "image/png",
+    "application/octet-stream",
+    "image/jpeg",
+]
+_MIME_SNIFFED = [
+    "application/pdf",
+    "image/png",
+    "image/jpeg",
+    "application/gzip",
+    "text/html",
+    "text/plain",
+]
+
+
+def _q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointer-doubling redirect-chain resolution over a synthesized
+    redirect map: doc-id groups of 8 form chains n → n-1 → … → root
+    (root = n - n%8); groups whose root % 40 == 0 additionally carry
+    root → root+1, turning the chain bottom into a 2-cycle so the WHOLE
+    group must come back looped. O(log hops) doubling joins on the Spark
+    side; the oracle walks the same map with a depth-bounded WITH
+    RECURSIVE and elects the terminal row."""
+    from readability_spark.operators.urltools import resolve_redirects
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir)
+    chain = docs.filter(d % 8 != 0).select(
+        d.alias("src"), (d - 1).alias("dst")
+    )
+    cyc = docs.filter(d % 40 == 0).select(d.alias("src"), (d + 1).alias("dst"))
+    return resolve_redirects(chain.unionByName(cyc), max_hops=16)
+
+
 def _q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type hourly burst detection over the events table: each
     bucket's count z-scored against its 6 trailing observed buckets
@@ -2226,6 +2296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_boilerplate": _q_extract_boilerplate,
         "trustrank_hosts": _q_trustrank_hosts,
         "html_tables": _q_html_tables,
+        "mime_sniff": _q_mime_sniff,
+        "redirect_resolve": _q_redirect_resolve,
         "reshard_plan": _q_reshard_plan,
         "typosquat_hosts": _q_typosquat_hosts,
         "classifier_calibration": _q_classifier_calibration,
@@ -4357,6 +4429,54 @@ SELECT doc_id, t::int AS table_idx, r AS n_rows, c AS n_cols,
             ELSE r * c > 10 END AS is_data_table,
        ((r - CASE WHEN hdr THEN 1 ELSE 0 END) * c)::bigint AS cell_chars
 FROM s
+"""
+
+
+def _mime_sniff_oracle() -> str:
+    """Mirror of _q_mime_sniff from the synthesis arithmetic alone:
+    declared = _MIME_DECLARED[(d//6)%6], sniffed = _MIME_SNIFFED[d%6]
+    (the Spark side must DERIVE the latter from the payload bytes)."""
+    dec = ", ".join(f"'{m}'" for m in _MIME_DECLARED)
+    sni = ", ".join(f"'{m}'" for m in _MIME_SNIFFED)
+    return f"""
+WITH m AS (
+  SELECT ([{dec}])[(doc_id // 6) % 6 + 1] AS declared,
+         ([{sni}])[doc_id % 6 + 1] AS sniffed
+  FROM documents
+)
+SELECT declared, sniffed, count(*)::bigint AS n,
+       sum(CASE WHEN declared <> sniffed THEN 1 ELSE 0 END)::bigint AS n_mismatch
+FROM m GROUP BY declared, sniffed
+"""
+
+
+def _redirect_resolve_oracle(max_hops: int = 16) -> str:
+    """Mirror of _q_redirect_resolve: the same redirect map walked with a
+    depth-bounded WITH RECURSIVE; a source resolves iff some step lands on
+    a node with no outgoing edge, else it's looped (2-cycles at the bottom
+    of the root%40==0 groups)."""
+    return f"""
+WITH RECURSIVE em AS (
+  SELECT src, min(dst) AS dst FROM (
+    SELECT doc_id AS src, doc_id - 1 AS dst FROM documents WHERE doc_id % 8 <> 0
+    UNION ALL
+    SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 40 = 0
+  ) GROUP BY src
+),
+walk(src, cur, hops) AS (
+  SELECT src, dst, 1::bigint FROM em
+  UNION ALL
+  SELECT w.src, m.dst, w.hops + 1 FROM walk w
+  JOIN em m ON m.src = w.cur WHERE w.hops < {max_hops}
+),
+resolved AS (
+  SELECT w.src, w.cur AS final, w.hops
+  FROM walk w LEFT JOIN em m ON m.src = w.cur
+  WHERE m.src IS NULL
+)
+SELECT em.src AS node, r.final, r.hops,
+       (r.src IS NULL) AS looped
+FROM em LEFT JOIN resolved r ON r.src = em.src
 """
 
 
@@ -6803,6 +6923,8 @@ FROM th LEFT JOIN k ON th.lang = k.lang
         "extract_boilerplate": _extract_boilerplate_oracle(),
         "trustrank_hosts": _trustrank_oracle(),
         "html_tables": _html_tables_oracle(),
+        "mime_sniff": _mime_sniff_oracle(),
+        "redirect_resolve": _redirect_resolve_oracle(),
         "reshard_plan": _reshard_plan_oracle(),
         "typosquat_hosts": _typosquat_oracle(),
         "classifier_calibration": _classifier_calibration_oracle(),

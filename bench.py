@@ -234,6 +234,8 @@ def main() -> int:
         "extract_boilerplate",
         "trustrank_hosts",
         "html_tables",
+        "mime_sniff",
+        "redirect_resolve",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

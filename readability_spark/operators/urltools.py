@@ -338,3 +338,74 @@ def crawl_trap_hosts(
             & (ratio >= min_urls_per_content)
         ).alias("is_trap"),
     )
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 16,
+) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling: each source url's
+    final landing url and exact hop count, with loop detection.
+
+    Crawl reality: 3xx chains (http→https, host folds, tracking hops) mean
+    the url you scheduled is rarely the url you stored; dedup and frontier
+    accounting need the TERMINAL url per source, and redirect loops must be
+    flagged, not followed forever. Input is the redirect map (one outgoing
+    edge per source; later duplicates are dropped deterministically by
+    min(dst)).
+
+    Scale shape — the O(log H) trick, same family as dedup.py's
+    cluster pointer-jumping: ``ceil(log2(max_hops))`` rounds, each ONE
+    self-equi-join of the (node, nxt, dist) state on ``nxt == node`` plus
+    ``localCheckpoint`` lineage truncation. A 10^9-row redirect map with
+    hop depth ≤ 16 resolves in 4 shuffle rounds of long-key joins — never
+    a per-hop sequential walk (max_hops joins) and never a driver loop.
+    Rows whose pointer lands on a terminal node stop advancing (the join
+    misses, dist freezes — exact hop counts, not 2^rounds overshoot);
+    rows still pointing at a redirecting node after the rounds are loops
+    (or chains past ``max_hops``) and come back ``looped=true``.
+
+    Reference parity: crawl-frontier surface, SURVEY.md §2-extension
+    (vborovikov/readability never fetches).
+    """
+    import math
+
+    e = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nxt"))
+        .groupBy("node")
+        .agg(F.min("nxt").alias("nxt"))
+        .persist()
+    )
+    heads = e.select(F.col("node").alias("t_node")).persist()
+
+    state = e.select("node", "nxt", F.lit(1).cast("long").alias("dist"))
+    state = state.localCheckpoint()
+    for _ in range(max(1, math.ceil(math.log2(max_hops)))):
+        j = state.select(
+            F.col("node").alias("j_node"),
+            F.col("nxt").alias("j_nxt"),
+            F.col("dist").alias("j_dist"),
+        )
+        state = (
+            state.join(j, state["nxt"] == j["j_node"], "left")
+            .select(
+                "node",
+                F.coalesce("j_nxt", "nxt").alias("nxt"),
+                F.when(
+                    F.col("j_nxt").isNotNull(), F.col("dist") + F.col("j_dist")
+                )
+                .otherwise(F.col("dist"))
+                .alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    out = state.join(heads, state["nxt"] == heads["t_node"], "left").select(
+        "node",
+        F.when(F.col("t_node").isNull(), F.col("nxt")).alias("final"),
+        F.when(F.col("t_node").isNull(), F.col("dist")).alias("hops"),
+        F.col("t_node").isNotNull().alias("looped"),
+    )
+    e.unpersist()
+    return out
