@@ -476,3 +476,48 @@ def test_joint_near_dup_single_pair_join(spark):
     plan = plan_of(joint_near_dup(a, b))
     joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count("BroadcastHashJoin")
     assert joins == 1, plan
+
+
+def test_mime_sniff_zero_shuffle_before_matrix_agg(spark):
+    """The sniff itself is a pure codegen projection: the routing-matrix
+    report's ONLY exchange is the final (declared, sniffed) groupBy — no
+    Python, no shuffle of payload bytes (only the two small string columns
+    reach the aggregation)."""
+    from readability_spark.operators.mime import mime_mismatch_report, sniff_mime
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.encode("text", "utf-8").alias("payload"), F.lit("text/plain").alias("declared")
+    )
+    # the bare sniff column is shuffle-free
+    plan = plan_of(docs.select(sniff_mime(F.col("payload")).alias("m")))
+    assert plan.count("Exchange") == 0, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+    # the matrix agg pays exactly one exchange (map-side partials first)
+    plan2 = plan_of(mime_mismatch_report(docs))
+    assert plan2.count("Exchange") == 1, plan2
+    assert plan2.count("HashAggregate") == 2, plan2  # partial + final
+
+
+def test_resolve_redirects_logarithmic_join_rounds(spark):
+    """Pointer doubling: ceil(log2(max_hops)) self-join rounds + the edge
+    dedup agg + the terminal probe — NOT max_hops sequential joins. With
+    max_hops=16 the resolved plan contains exactly 4 doubling joins (the
+    lineage-truncating localCheckpoints make each round's input a scan, so
+    the last round's plan shows one join above checkpointed state)."""
+    from readability_spark.operators.urltools import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 64) if i % 8 != 0], "src long, dst long"
+    )
+    out = resolve_redirects(edges, max_hops=16)
+    plan = plan_of(out)
+    # localCheckpoint truncates per-round lineage: the final plan is ONLY
+    # the terminal-probe join over the checkpointed state — constant-size
+    # regardless of max_hops (the property that matters for the driver).
+    joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+    )
+    assert joins == 1, plan
+    assert "Scan ExistingRDD" in plan, plan
