@@ -2082,6 +2082,118 @@ def _q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_redirects(chain.unionByName(cyc), max_hops=16)
 
 
+def _q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed-entry extraction via Spark-native from_xml over
+    synthesized feed payloads: doc d (d%7==0) publishes a feed of kind
+    rss (d even) / atom (d odd) carrying 1 + d%4 entries with
+    arithmetic-derived titles/links/dates. The Spark side must PARSE the
+    XML (dialect detection, attribute href for Atom, posexplode); the
+    oracle regenerates the rows from the synthesis arithmetic alone."""
+    from readability_spark.sources.feeds import parse_feed_entries
+
+    d = F.col("doc_id")
+    site = F.concat(F.lit("http://site"), (d % 40).cast("string"), F.lit(".com"))
+
+    def entry(j: int, atom: bool):
+        eid = (d * 4 + j).cast("string")
+        title = F.concat(
+            F.lit("Entry "), d.cast("string"), F.lit("-"), F.lit(str(j))
+        )
+        link = F.concat(site, F.lit("/p/"), eid)
+        pub = F.concat(
+            F.lit("2024-01-01T00:00:"),
+            F.lpad(((d + j) % 60).cast("string"), 2, "0"),
+            F.lit("Z"),
+        )
+        if atom:
+            seg = F.concat(
+                F.lit("<entry><title>"), title,
+                F.lit('</title><link href="'), link,
+                F.lit('"/><updated>'), pub,
+                F.lit("</updated><id>g"), eid, F.lit("</id></entry>"),
+            )
+        else:
+            seg = F.concat(
+                F.lit("<item><title>"), title,
+                F.lit("</title><link>"), link,
+                F.lit("</link><pubDate>"), pub,
+                F.lit("</pubDate><guid>g"), eid, F.lit("</guid></item>"),
+            )
+        return F.when(F.lit(j) <= d % 4, seg).otherwise(F.lit(""))
+
+    ftitle = F.concat(F.lit("Feed "), d.cast("string"))
+    rss = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel><title>'),
+        ftitle, F.lit("</title>"),
+        *[entry(j, False) for j in range(4)],
+        F.lit("</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<?xml version="1.0"?>'
+              '<feed xmlns="http://www.w3.org/2005/Atom"><title>'),
+        ftitle, F.lit("</title>"),
+        *[entry(j, True) for j in range(4)],
+        F.lit("</feed>"),
+    )
+    feeds = (
+        _docs(spark, sf_dir)
+        .filter(d % 7 == 0)
+        .select(
+            F.concat(site, F.lit("/feed"), d.cast("string"), F.lit(".xml")).alias(
+                "url"
+            ),
+            F.when(d % 2 == 0, rss).otherwise(atom).alias("xml"),
+        )
+    )
+    return parse_feed_entries(feeds)
+
+
+def _q_canonical_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical + meta-robots fold accounting over synthesized heads:
+    doc d (d%4==0) declares a canonical to url(d - d%5) when d%3==0 (both
+    attribute orders exercised: href-first when d%6==0) and a robots meta
+    when d%7<2 ('noindex, nofollow' at d%7==0). The Spark side extracts
+    with the codegen regexes and folds on the canonical key; the oracle
+    regenerates flags from the arithmetic."""
+    from readability_spark.operators.pagemeta import canonical_fold_groups, page_meta
+
+    d = F.col("doc_id")
+
+    def url_of(x):
+        return F.concat(
+            F.lit("http://site"), (x % 40).cast("string"), F.lit(".com/p/"),
+            x.cast("string"),
+        )
+
+    target = url_of(d - d % 5)
+    canon_tag = F.when(
+        d % 3 == 0,
+        F.when(
+            d % 6 == 0,
+            F.concat(F.lit('<link href="'), target, F.lit('" rel="canonical">')),
+        ).otherwise(
+            F.concat(F.lit('<link rel="canonical" href="'), target, F.lit('">'))
+        ),
+    ).otherwise(F.lit(""))
+    robots_tag = (
+        F.when(d % 7 == 0, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(d % 7 == 1, F.lit('<meta name="robots" content="index, follow">'))
+        .otherwise(F.lit(""))
+    )
+    pages = (
+        _docs(spark, sf_dir)
+        .filter(d % 4 == 0)
+        .select(
+            url_of(d).alias("url"),
+            F.concat(
+                F.lit("<html><head>"), canon_tag, robots_tag,
+                F.lit("<title>t</title></head><body><p>xyz</p></body></html>"),
+            ).alias("html"),
+        )
+    )
+    return canonical_fold_groups(page_meta(pages))
+
+
 def _q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type hourly burst detection over the events table: each
     bucket's count z-scored against its 6 trailing observed buckets
@@ -2297,6 +2409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank_hosts": _q_trustrank_hosts,
         "html_tables": _q_html_tables,
         "mime_sniff": _q_mime_sniff,
+        "feed_entries": _q_feed_entries,
+        "canonical_meta": _q_canonical_meta,
         "redirect_resolve": _q_redirect_resolve,
         "reshard_plan": _q_reshard_plan,
         "typosquat_hosts": _q_typosquat_hosts,
@@ -4477,6 +4591,54 @@ resolved AS (
 SELECT em.src AS node, r.final, r.hops,
        (r.src IS NULL) AS looped
 FROM em LEFT JOIN resolved r ON r.src = em.src
+"""
+
+
+def _feed_entries_oracle() -> str:
+    """Mirror of _q_feed_entries from the synthesis arithmetic: one row per
+    (doc d: d%7==0, j ≤ d%4) — the Spark side derives these from the XML."""
+    return """
+WITH f AS (
+  SELECT doc_id AS d, t.j
+  FROM documents, (VALUES (0), (1), (2), (3)) t(j)
+  WHERE doc_id % 7 = 0 AND t.j <= doc_id % 4
+)
+SELECT 'http://site' || (d % 40) || '.com/feed' || d || '.xml' AS feed_url,
+       CASE WHEN d % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+       'Feed ' || d AS feed_title,
+       j::int AS entry_idx,
+       'Entry ' || d || '-' || j AS title,
+       'http://site' || (d % 40) || '.com/p/' || (d * 4 + j) AS link,
+       '2024-01-01T00:00:' || lpad(((d + j) % 60)::varchar, 2, '0') || 'Z'
+         AS published
+FROM f
+"""
+
+
+def _canonical_meta_oracle() -> str:
+    """Mirror of _q_canonical_meta: canonical key, variant flag and
+    noindex flag regenerated from the d%3 / d%5 / d%7 arithmetic, folded
+    per canonical key."""
+    return """
+WITH m AS (
+  SELECT doc_id AS d,
+         'http://site' || (doc_id % 40) || '.com/p/' || doc_id AS url,
+         CASE WHEN doc_id % 3 = 0 THEN
+           'http://site' || ((doc_id - doc_id % 5) % 40) || '.com/p/'
+             || (doc_id - doc_id % 5) END AS canonical,
+         (doc_id % 7 = 0) AS noindex
+  FROM documents WHERE doc_id % 4 = 0
+),
+k AS (
+  SELECT coalesce(canonical, url) AS canonical_key,
+         (canonical IS NOT NULL AND canonical <> url) AS is_variant,
+         noindex
+  FROM m
+)
+SELECT canonical_key, count(*)::bigint AS n_pages,
+       sum(CASE WHEN is_variant THEN 1 ELSE 0 END)::bigint AS n_variants,
+       sum(CASE WHEN noindex THEN 0 ELSE 1 END)::bigint AS n_indexable
+FROM k GROUP BY canonical_key
 """
 
 
@@ -6924,6 +7086,8 @@ FROM th LEFT JOIN k ON th.lang = k.lang
         "trustrank_hosts": _trustrank_oracle(),
         "html_tables": _html_tables_oracle(),
         "mime_sniff": _mime_sniff_oracle(),
+        "feed_entries": _feed_entries_oracle(),
+        "canonical_meta": _canonical_meta_oracle(),
         "redirect_resolve": _redirect_resolve_oracle(),
         "reshard_plan": _reshard_plan_oracle(),
         "typosquat_hosts": _typosquat_oracle(),

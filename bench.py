@@ -236,6 +236,8 @@ def main() -> int:
         "html_tables",
         "mime_sniff",
         "redirect_resolve",
+        "feed_entries",
+        "canonical_meta",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

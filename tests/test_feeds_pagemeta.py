@@ -1,0 +1,125 @@
+"""Feed parsing (sources/feeds.py) and canonical/robots page meta
+(operators/pagemeta.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+RSS = (
+    '<?xml version="1.0"?><rss version="2.0"><channel><title>F</title>'
+    "<item><title>E1</title><link>http://a/1</link>"
+    "<pubDate>d1</pubDate><guid>g1</guid></item>"
+    "<item><title>E2</title><link>http://a/2</link>"
+    "<pubDate>d2</pubDate><guid>g2</guid></item></channel></rss>"
+)
+ATOM = (
+    '<feed xmlns="http://www.w3.org/2005/Atom"><title>G</title>'
+    '<entry><title>A1</title><link href="http://b/1"/>'
+    "<updated>u1</updated><id>i1</id></entry></feed>"
+)
+
+
+def test_parse_feed_entries_both_dialects(spark):
+    from readability_spark.sources.feeds import parse_feed_entries
+
+    df = spark.createDataFrame(
+        [("u1", RSS), ("u2", ATOM)], "url string, xml string"
+    )
+    got = sorted(
+        (tuple(r) for r in parse_feed_entries(df).collect()),
+    )
+    assert got == [
+        ("u1", "rss", "F", 0, "E1", "http://a/1", "d1"),
+        ("u1", "rss", "F", 1, "E2", "http://a/2", "d2"),
+        ("u2", "atom", "G", 0, "A1", "http://b/1", "u1"),
+    ]
+
+
+def test_parse_feed_entries_malformed_isolation(spark):
+    from readability_spark.sources.feeds import parse_feed_entries
+
+    df = spark.createDataFrame(
+        [("ok", RSS), ("trunc", "<rss><channel><title>x"), ("junk", "not xml")],
+        "url string, xml string",
+    )
+    got = parse_feed_entries(df).collect()
+    assert {r.feed_url for r in got} == {"ok"}
+    assert len(got) == 2
+
+
+def test_parse_feed_entries_empty_feed(spark):
+    from readability_spark.sources.feeds import parse_feed_entries
+
+    empty = '<rss version="2.0"><channel><title>E</title></channel></rss>'
+    df = spark.createDataFrame([("u", empty)], "url string, xml string")
+    assert parse_feed_entries(df).count() == 0
+
+
+CASES = [
+    # (html, canonical, noindex, nofollow)
+    ('<link rel="canonical" href="http://c/1">', "http://c/1", False, False),
+    ("<link rel=canonical href=http://c/2>", "http://c/2", False, False),
+    ('<link href="http://c/3" rel="canonical">', "http://c/3", False, False),
+    ('<LINK REL="CANONICAL" HREF="http://c/4">', "http://c/4", False, False),
+    ("", None, False, False),
+    ('<meta name="robots" content="noindex, nofollow">', None, True, True),
+    ('<meta name="robots" content="NOINDEX">', None, True, False),
+    ('<meta name="robots" content="index, follow">', None, False, False),
+    ('<meta content="noindex" name="robots">', None, False, False),  # order not matched: documented regex limit
+]
+
+
+def test_page_meta_extraction_table(spark):
+    from readability_spark.operators.pagemeta import page_meta
+
+    rows = [
+        (str(i), f"<html><head>{frag}<title>t</title></head><body></body></html>")
+        for i, (frag, *_ ) in enumerate(CASES)
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {r.url: r for r in page_meta(df).collect()}
+    for i, (_, canon, noindex, nofollow) in enumerate(CASES):
+        r = got[str(i)]
+        assert r.canonical == canon, f"case {i}"
+        assert r.noindex is noindex, f"case {i}"
+        assert r.nofollow is nofollow, f"case {i}"
+        assert r.canonical_key == (canon or str(i))
+        assert r.is_variant is (canon is not None)
+
+
+def test_canonical_fold_groups(spark):
+    from readability_spark.operators.pagemeta import canonical_fold_groups, page_meta
+
+    def pg(url, canon=None, robots=None):
+        head = ""
+        if canon:
+            head += f'<link rel="canonical" href="{canon}">'
+        if robots:
+            head += f'<meta name="robots" content="{robots}">'
+        return (url, f"<html><head>{head}</head><body></body></html>")
+
+    df = spark.createDataFrame(
+        [
+            pg("http://a/1"),                                  # self group
+            pg("http://a/2", canon="http://a/1"),              # variant of 1
+            pg("http://a/3", canon="http://a/1", robots="noindex"),
+            pg("http://a/4", canon="http://a/4"),              # self-canonical
+        ],
+        "url string, html string",
+    )
+    got = {
+        r.canonical_key: (r.n_pages, r.n_variants, r.n_indexable)
+        for r in canonical_fold_groups(page_meta(df)).collect()
+    }
+    assert got == {"http://a/1": (3, 2, 2), "http://a/4": (1, 0, 1)}
+
+
+def test_page_meta_plan_pure_projection(spark):
+    from readability_spark.operators.pagemeta import page_meta
+
+    df = spark.createDataFrame([("u", "<html></html>")], "url string, html string")
+    plan = page_meta(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
