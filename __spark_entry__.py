@@ -2194,6 +2194,81 @@ def _q_canonical_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_fold_groups(page_meta(pages))
 
 
+def _q_charset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-decision routing matrix over synthesized payload variants
+    (doc_id % 5): UTF-8 BOM / plain valid UTF-8 / latin-1 bytes with a
+    meta charset declaration / UTF-16LE BOM / undeclared invalid UTF-8.
+    The Spark side derives (bom, declared, decided) from the BYTES (hex
+    prefixes, is_valid_utf8, head regex — the JVM mirror of
+    dom.parser.decode_html_bytes' ladder); the oracle regenerates the
+    matrix from the variant arithmetic."""
+    from readability_spark.operators.mime import charset_report
+
+    d = F.col("doc_id")
+    txt = F.encode(F.col("text"), "UTF-8")
+    variants = [
+        F.concat(F.unhex(F.lit("EFBBBF")), txt),
+        F.concat(F.encode(F.lit("plain "), "UTF-8"), txt),
+        F.concat(
+            F.encode(F.lit('<html><head><meta charset="iso-8859-1"></head>'), "UTF-8"),
+            F.unhex(F.lit("E9")),
+            txt,
+        ),
+        F.concat(F.unhex(F.lit("FFFE")), txt),
+        F.concat(F.unhex(F.lit("FF00FE")), txt),
+    ]
+    payload = variants[0]
+    for i in range(4, 0, -1):
+        payload = F.when(d % 5 == i, variants[i]).otherwise(payload)
+    return charset_report(
+        _docs(spark, sf_dir).select(payload.alias("payload"))
+    )
+
+
+def _q_html_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-outline extraction (real DOM walk via one mapInPandas) over
+    synthesized pages: doc d (d%10==0) uses heading depth k = 1+(d/10)%6,
+    per-level counts 1+(d+L)%2; the d%20==10 family drops its <h2> block,
+    so skips_levels must flag exactly the k≥3 members. The oracle
+    regenerates all eleven columns from the arithmetic."""
+    from readability_spark.operators.tables import heading_outline
+
+    d = F.col("doc_id")
+    k = (F.floor(d / 10) % 6 + 1).cast("int")
+    skipfam = d % 20 == 10
+
+    def level(L: int):
+        cL = (1 + (d + L) % 2).cast("int")
+        h0 = F.concat(
+            F.lit(f"<h{L}>H{L}-"), d.cast("string"), F.lit(f"-0</h{L}>")
+        )
+        h1 = F.when(
+            cL == 2,
+            F.concat(F.lit(f"<h{L}>H{L}-"), d.cast("string"), F.lit(f"-1</h{L}>")),
+        ).otherwise(F.lit(""))
+        seg = F.concat(h0, h1)
+        include = (F.lit(L) <= k) & ~(skipfam & (F.lit(L) == 2))
+        return F.when(include, seg).otherwise(F.lit(""))
+
+    pages = (
+        _docs(spark, sf_dir)
+        .filter(d % 10 == 0)
+        .select(
+            d.cast("string").alias("url"),
+            F.concat(
+                F.lit("<html><body>"),
+                *[level(L) for L in range(1, 7)],
+                F.lit("<p>body</p></body></html>"),
+            ).alias("html"),
+        )
+    )
+    return heading_outline(pages).select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "n_h1", "n_h2", "n_h3", "n_h4", "n_h5", "n_h6",
+        "n_headings", "max_level", "first_h1", "skips_levels",
+    )
+
+
 def _q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type hourly burst detection over the events table: each
     bucket's count z-scored against its 6 trailing observed buckets
@@ -2410,6 +2485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tables": _q_html_tables,
         "mime_sniff": _q_mime_sniff,
         "feed_entries": _q_feed_entries,
+        "charset_report": _q_charset_report,
+        "html_outline": _q_html_outline,
         "canonical_meta": _q_canonical_meta,
         "redirect_resolve": _q_redirect_resolve,
         "reshard_plan": _q_reshard_plan,
@@ -4639,6 +4716,52 @@ SELECT canonical_key, count(*)::bigint AS n_pages,
        sum(CASE WHEN is_variant THEN 1 ELSE 0 END)::bigint AS n_variants,
        sum(CASE WHEN noindex THEN 0 ELSE 1 END)::bigint AS n_indexable
 FROM k GROUP BY canonical_key
+"""
+
+
+def _charset_report_oracle() -> str:
+    """Mirror of _q_charset_report from the doc_id % 5 variant arithmetic
+    (the Spark side must derive the same routing from payload bytes)."""
+    return """
+WITH m AS (
+  SELECT CASE doc_id % 5 WHEN 0 THEN 'utf-8-bom' WHEN 3 THEN 'utf-16le' END AS bom,
+         CASE doc_id % 5 WHEN 2 THEN 'iso-8859-1' END AS declared,
+         CASE doc_id % 5 WHEN 0 THEN 'utf-8-bom' WHEN 1 THEN 'utf-8'
+              WHEN 2 THEN 'iso-8859-1' WHEN 3 THEN 'utf-16le'
+              ELSE 'best-effort' END AS decided
+  FROM documents
+)
+SELECT bom, declared, decided, count(*)::bigint AS n
+FROM m GROUP BY bom, declared, decided
+"""
+
+
+def _html_outline_oracle() -> str:
+    """Mirror of _q_html_outline from the synthesis arithmetic: depth
+    k = 1+(d/10)%6, level counts 1+(d+L)%2 (h2 zeroed in the d%20==10
+    family), skips_levels = that family AND k ≥ 3."""
+    cs = ",\n         ".join(
+        f"CASE WHEN {L} <= k AND NOT (skipfam AND {L} = 2)"
+        f" THEN (1 + (d + {L}) % 2) ELSE 0 END::int AS n_h{L}"
+        for L in range(1, 7)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS d, (1 + (doc_id // 10) % 6)::int AS k,
+         (doc_id % 20 = 10) AS skipfam
+  FROM documents WHERE doc_id % 10 = 0
+),
+c AS (
+  SELECT d, k, skipfam,
+         {cs}
+  FROM base
+)
+SELECT d AS doc_id, n_h1, n_h2, n_h3, n_h4, n_h5, n_h6,
+       (n_h1 + n_h2 + n_h3 + n_h4 + n_h5 + n_h6)::int AS n_headings,
+       CASE WHEN skipfam AND k = 2 THEN 1 ELSE k END AS max_level,
+       'H1-' || d || '-0' AS first_h1,
+       (skipfam AND k >= 3) AS skips_levels
+FROM c
 """
 
 
@@ -7087,6 +7210,8 @@ FROM th LEFT JOIN k ON th.lang = k.lang
         "html_tables": _html_tables_oracle(),
         "mime_sniff": _mime_sniff_oracle(),
         "feed_entries": _feed_entries_oracle(),
+        "charset_report": _charset_report_oracle(),
+        "html_outline": _html_outline_oracle(),
         "canonical_meta": _canonical_meta_oracle(),
         "redirect_resolve": _redirect_resolve_oracle(),
         "reshard_plan": _reshard_plan_oracle(),

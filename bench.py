@@ -238,6 +238,8 @@ def main() -> int:
         "redirect_resolve",
         "feed_entries",
         "canonical_meta",
+        "charset_report",
+        "html_outline",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

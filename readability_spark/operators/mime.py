@@ -93,3 +93,51 @@ def mime_mismatch_report(
             ).cast("bigint").alias("n_mismatch"),
         )
     )
+
+
+# -- charset audit: the JVM-side mirror of dom/parser.decode_html_bytes ----
+
+_RX_META_CHARSET = (
+    r'(?i)<meta[^>]*\bcharset\s*=\s*["\']?([A-Za-z0-9_\-]+)'
+)
+
+
+def charset_report(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-payload charset-decision audit, whole-stage codegen.
+
+    Mirrors the decision ladder of ``dom.parser.decode_html_bytes``
+    (BOM → strict UTF-8 → <meta charset> sniff → best-effort), but as a
+    pure column expression so the 100-TB corpus can be profiled for
+    decode cost/risk WITHOUT running the Python decode: which pages have
+    BOMs, which declare a charset, which would take the strict-UTF-8
+    fast path, and which fall through to the expensive best-effort
+    detector. Output: one (bom, declared, decided) routing matrix row per
+    combination with counts — the prioritization input for transcode-at-
+    ingest decisions.
+
+    ``decided`` values: 'utf-8-bom' / 'utf-16le' / 'utf-16be' (BOM wins),
+    'utf-8' (validates strictly), the declared charset lowercased, or
+    'best-effort' (the fallback detector would run).
+    """
+    p = F.col(payload_col)
+    hx4 = F.hex(F.substring(p, 1, 4))
+    bom = (
+        F.when(hx4.startswith("EFBBBF"), F.lit("utf-8-bom"))
+        .when(hx4.startswith("FFFE"), F.lit("utf-16le"))
+        .when(hx4.startswith("FEFF"), F.lit("utf-16be"))
+    )
+    head = F.decode(F.substring(p, 1, 4096), "ISO-8859-1")
+    dec = F.lower(F.regexp_extract(head, _RX_META_CHARSET, 1))
+    declared = F.when(dec != "", dec)
+    valid_utf8 = F.is_valid_utf8(p)
+    decided = (
+        F.when(bom.isNotNull(), bom)
+        .when(valid_utf8, F.lit("utf-8"))
+        .when(declared.isNotNull(), declared)
+        .otherwise(F.lit("best-effort"))
+    )
+    return (
+        df.select(bom.alias("bom"), declared.alias("declared"), decided.alias("decided"))
+        .groupBy("bom", "declared", "decided")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )

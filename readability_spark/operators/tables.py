@@ -154,3 +154,82 @@ def table_stats(df: DataFrame, url_col: str = "url", html_col: str = "html") -> 
         df[url_col].alias("url"), df[html_col].alias("html")
     )
     return pruned.mapInPandas(batches, TABLE_SCHEMA)
+
+
+# -- heading outline: the second DOM-walk side channel ---------------------
+
+OUTLINE_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), True),
+        StructField("n_h1", IntegerType(), False),
+        StructField("n_h2", IntegerType(), False),
+        StructField("n_h3", IntegerType(), False),
+        StructField("n_h4", IntegerType(), False),
+        StructField("n_h5", IntegerType(), False),
+        StructField("n_h6", IntegerType(), False),
+        StructField("n_headings", IntegerType(), False),
+        StructField("max_level", IntegerType(), True),
+        StructField("first_h1", StringType(), True),
+        StructField("skips_levels", BooleanType(), False),
+    ]
+)
+
+_H_TAGS = ("h1", "h2", "h3", "h4", "h5", "h6")
+
+
+def _outline_one(url, html) -> Optional[dict]:
+    from readability_spark.dom.parser import decode_html_bytes, parse_html
+
+    try:
+        if html is None:
+            return None
+        html_s = (
+            decode_html_bytes(bytes(html))
+            if isinstance(html, (bytes, bytearray, memoryview))
+            else html
+        )
+        doc = parse_html(html_s, base_uri=url)
+        counts = [0] * 6
+        first_h1 = None
+        for h in doc.get_elements_by_tag_name(*_H_TAGS):
+            lvl = int(h.tag[1])
+            counts[lvl - 1] += 1
+            if lvl == 1 and first_h1 is None:
+                first_h1 = h.text_content
+        used = [i + 1 for i, c in enumerate(counts) if c > 0]
+        skips = any(
+            lvl > 1 and counts[lvl - 2] == 0 for lvl in used
+        )
+        return {
+            "url": url,
+            **{f"n_h{i + 1}": counts[i] for i in range(6)},
+            "n_headings": sum(counts),
+            "max_level": max(used) if used else None,
+            "first_h1": first_h1,
+            "skips_levels": skips,
+        }
+    except Exception:  # noqa: BLE001 — per-document failure isolation
+        return None
+
+
+def heading_outline(df: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """(url, html) → one outline row per document: per-level heading
+    counts, deepest level, first <h1> text, and whether the outline skips
+    levels (an h3 under no h2 — the accessibility/structure smell that
+    correlates with templated/spammy pages). Same mapInPandas contract as
+    :func:`table_stats`; in production both ride the extraction parse."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        names = [f.name for f in OUTLINE_SCHEMA.fields]
+        for pdf in it:
+            rows = [
+                r
+                for u, h in zip(pdf["url"].to_numpy(), pdf["html"].to_numpy())
+                if (r := _outline_one(u, h)) is not None
+            ]
+            yield pd.DataFrame(rows, columns=names)
+
+    pruned = df.select(df[url_col].alias("url"), df[html_col].alias("html"))
+    return pruned.mapInPandas(batches, OUTLINE_SCHEMA)

@@ -125,3 +125,51 @@ def test_resolve_redirects_partition_independent(spark):
     ra = {r.node: (r.final, r.hops, r.looped) for r in a.collect()}
     rb = {r.node: (r.final, r.hops, r.looped) for r in b.collect()}
     assert ra == rb
+
+
+def test_charset_report_routing(spark):
+    from readability_spark.operators.mime import charset_report
+
+    rows = [
+        (b"\xef\xbb\xbfhello",),                       # utf-8 BOM
+        (b"plain ascii",),                              # strict utf-8
+        ("héllo".encode("utf-8"),),                     # multibyte but valid
+        (b'<meta charset="iso-8859-1">\xe9tude',),      # declared, invalid utf-8
+        (b"\xff\xfeh\x00i\x00",),                       # utf-16le BOM
+        (b"\xfe\xffzz",),                               # utf-16be BOM
+        (b"\xff\x00\xfe",),                             # invalid, undeclared
+    ]
+    df = spark.createDataFrame(rows, "payload binary")
+    got = {
+        (r.bom, r.declared, r.decided): r.n for r in charset_report(df).collect()
+    }
+    assert got == {
+        ("utf-8-bom", None, "utf-8-bom"): 1,
+        (None, None, "utf-8"): 2,
+        (None, "iso-8859-1", "iso-8859-1"): 1,
+        ("utf-16le", None, "utf-16le"): 1,
+        ("utf-16be", None, "utf-16be"): 1,
+        (None, None, "best-effort"): 1,
+    }
+
+
+def test_heading_outline_walk(spark):
+    from readability_spark.operators.tables import heading_outline
+
+    df = spark.createDataFrame(
+        [
+            ("a", "<html><body><h1>T</h1><h2>S1</h2><h2>S2</h2><h3>x</h3></body></html>"),
+            ("b", "<html><body><h1>Only</h1><h3>skipped</h3></body></html>"),
+            ("c", "<html><body><p>no headings</p></body></html>"),
+        ],
+        "url string, html string",
+    )
+    got = {r.url: r for r in heading_outline(df).collect()}
+    a = got["a"]
+    assert (a.n_h1, a.n_h2, a.n_h3, a.n_headings) == (1, 2, 1, 4)
+    assert a.max_level == 3 and a.first_h1 == "T" and a.skips_levels is False
+    b = got["b"]
+    assert b.skips_levels is True and b.max_level == 3 and b.n_h2 == 0
+    c = got["c"]
+    assert c.n_headings == 0 and c.max_level is None and c.first_h1 is None
+    assert c.skips_levels is False
