@@ -2269,6 +2269,118 @@ def _q_html_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jsonld_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD inventory over synthesized pages: doc d carries a
+    ld+json block (except d%5==4) with @type = types[d%4], a headline when
+    d%3>0 and an author when d%2==0. The Spark side extracts the block and
+    parses it with JVM from_json; the oracle recomputes the per-type
+    coverage matrix from the arithmetic."""
+    from readability_spark.operators.pagemeta import jsonld_inventory
+
+    d = F.col("doc_id")
+    typ = F.element_at(
+        F.array(*[F.lit(t) for t in _JSONLD_TYPES]), (d % 4 + 1).cast("int")
+    )
+    headline = F.when(
+        d % 3 > 0,
+        F.concat(F.lit('"headline": "Doc '), d.cast("string"), F.lit('", ')),
+    ).otherwise(F.lit(""))
+    author = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit('"author": {"name": "Author '),
+            (d % 7).cast("string"),
+            F.lit('"}, '),
+        ),
+    ).otherwise(F.lit(""))
+    block = F.concat(
+        F.lit('<script type="application/ld+json">{'),
+        F.lit('"@context": "https://schema.org", '),
+        headline,
+        author,
+        F.lit('"@type": "'), typ, F.lit('"}</script>'),
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(d % 5 == 4, F.lit("")).otherwise(block),
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    return jsonld_inventory(_docs(spark, sf_dir).select(html.alias("html")))
+
+
+_JSONLD_TYPES = ["Article", "NewsArticle", "BlogPosting", "Product"]
+
+
+def _q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate-language reference counts over synthesized
+    clusters of 4 language variants (cluster c = d - d%4, member language
+    langs[d%4]): member d declares alternates only for languages j ≤ d%4,
+    so target (c, lang_j) is referenced by exactly 4-j members. A
+    stylesheet <link> with no hreflang is injected as noise the tag-wise
+    extractor must drop. Oracle regenerates the (hreflang, href, n_refs)
+    rows from the arithmetic."""
+    from readability_spark.operators.pagemeta import hreflang_pairs
+
+    d = F.col("doc_id")
+    c = (d - d % 4).cast("string")
+
+    def alt(j: int):
+        lang = _HREFLANG_LANGS[j]
+        seg = F.concat(
+            F.lit(f'<link rel="alternate" hreflang="{lang}" href="http://x.com/c/'),
+            c,
+            F.lit(f'/{lang}">'),
+        )
+        return F.when(F.lit(j) <= d % 4, seg).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/s.css">'),
+        *[alt(j) for j in range(4)],
+        F.lit("</head><body></body></html>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://x.com/c/"), c, F.lit("/"),
+                 F.element_at(F.array(*[F.lit(x) for x in _HREFLANG_LANGS]),
+                              (d % 4 + 1).cast("int"))).alias("url"),
+        html.alias("html"),
+    )
+    return (
+        hreflang_pairs(pages)
+        .groupBy("hreflang", "href")
+        .agg(F.count("*").cast("bigint").alias("n_refs"))
+    )
+
+
+_HREFLANG_LANGS = ["en", "de", "fr", "ja"]
+
+
+def _q_pagination_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=next pagination reassembly over synthesized multi-page articles:
+    article a (a%5==0) spans L = 1+(a/5)%5 pages; page d < a+L-1 declares
+    rel=next to page d+1. The Spark side extracts the links and resolves
+    chains with the pointer-doubling resolver; the oracle lists every
+    article with L ≥ 2 directly from the arithmetic."""
+    from readability_spark.operators.pagemeta import pagination_chains
+
+    d = F.col("doc_id")
+    a = d - d % 5
+    L = (F.floor(a / 5) % 5 + 1).cast("int")
+    nxt = F.when(
+        d % 5 < L - 1,
+        F.concat(
+            F.lit('<link rel="next" href="http://site.com/a/'),
+            (d + 1).cast("string"), F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://site.com/a/"), d.cast("string")).alias("url"),
+        F.concat(
+            F.lit("<html><head>"), nxt, F.lit("</head><body><p>x</p></body></html>")
+        ).alias("html"),
+    )
+    return pagination_chains(pages, max_hops=8)
+
+
 def _q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type hourly burst detection over the events table: each
     bucket's count z-scored against its 6 trailing observed buckets
@@ -2489,6 +2601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_outline": _q_html_outline,
         "canonical_meta": _q_canonical_meta,
         "redirect_resolve": _q_redirect_resolve,
+        "jsonld_inventory": _q_jsonld_inventory,
+        "hreflang_clusters": _q_hreflang_clusters,
+        "pagination_chains": _q_pagination_chains,
         "reshard_plan": _q_reshard_plan,
         "typosquat_hosts": _q_typosquat_hosts,
         "classifier_calibration": _q_classifier_calibration,
@@ -4762,6 +4877,58 @@ SELECT d AS doc_id, n_h1, n_h2, n_h3, n_h4, n_h5, n_h6,
        'H1-' || d || '-0' AS first_h1,
        (skipfam AND k >= 3) AS skips_levels
 FROM c
+"""
+
+
+def _jsonld_inventory_oracle() -> str:
+    """Mirror of _q_jsonld_inventory from the d%4 / d%3 / d%2 / d%5
+    arithmetic."""
+    types = ", ".join(f"'{t}'" for t in _JSONLD_TYPES)
+    return f"""
+WITH m AS (
+  SELECT ([{types}])[doc_id % 4 + 1] AS jsonld_type,
+         (doc_id % 3 > 0) AS has_headline,
+         (doc_id % 2 = 0) AS has_author
+  FROM documents WHERE doc_id % 5 <> 4
+)
+SELECT jsonld_type, count(*)::bigint AS n_pages,
+       sum(CASE WHEN has_headline THEN 1 ELSE 0 END)::bigint AS n_with_headline,
+       sum(CASE WHEN has_author THEN 1 ELSE 0 END)::bigint AS n_with_author
+FROM m GROUP BY jsonld_type
+"""
+
+
+def _hreflang_clusters_oracle() -> str:
+    """Mirror of _q_hreflang_clusters: target (cluster, lang_j) referenced
+    by the members with d%4 >= j — count regenerated per cluster from the
+    membership arithmetic (robust to a ragged final cluster)."""
+    langs = ", ".join(f"'{x}'" for x in _HREFLANG_LANGS)
+    return f"""
+WITH mem AS (
+  SELECT (doc_id - doc_id % 4) AS c, (doc_id % 4)::int AS m FROM documents
+),
+refs AS (
+  SELECT c, t.j
+  FROM mem, (VALUES (0), (1), (2), (3)) t(j)
+  WHERE t.j <= m
+)
+SELECT ([{langs}])[j + 1] AS hreflang,
+       'http://x.com/c/' || c || '/' || ([{langs}])[j + 1] AS href,
+       count(*)::bigint AS n_refs
+FROM refs GROUP BY c, j
+"""
+
+
+def _pagination_chains_oracle() -> str:
+    """Mirror of _q_pagination_chains: every article a (a%5==0) with
+    L = 1+(a//5)%5 ≥ 2 appears once with its arithmetic first/last urls."""
+    return """
+SELECT 'http://site.com/a/' || doc_id AS first_page,
+       'http://site.com/a/' || (doc_id + (1 + (doc_id // 5) % 5) - 1)
+         AS last_page,
+       (1 + (doc_id // 5) % 5)::bigint AS n_pages
+FROM documents
+WHERE doc_id % 5 = 0 AND (1 + (doc_id // 5) % 5) >= 2
 """
 
 
@@ -7214,6 +7381,9 @@ FROM th LEFT JOIN k ON th.lang = k.lang
         "html_outline": _html_outline_oracle(),
         "canonical_meta": _canonical_meta_oracle(),
         "redirect_resolve": _redirect_resolve_oracle(),
+        "jsonld_inventory": _jsonld_inventory_oracle(),
+        "hreflang_clusters": _hreflang_clusters_oracle(),
+        "pagination_chains": _pagination_chains_oracle(),
         "reshard_plan": _reshard_plan_oracle(),
         "typosquat_hosts": _typosquat_oracle(),
         "classifier_calibration": _classifier_calibration_oracle(),

@@ -240,6 +240,9 @@ def main() -> int:
         "canonical_meta",
         "charset_report",
         "html_outline",
+        "jsonld_inventory",
+        "hreflang_clusters",
+        "pagination_chains",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

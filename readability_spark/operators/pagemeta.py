@@ -85,3 +85,120 @@ def canonical_fold_groups(meta: DataFrame) -> DataFrame:
         F.sum(F.col("is_variant").cast("long")).cast("bigint").alias("n_variants"),
         F.sum((~F.col("noindex")).cast("long")).cast("bigint").alias("n_indexable"),
     )
+
+
+# -- structured data: JSON-LD inventory ------------------------------------
+
+_RX_JSONLD = (
+    r'(?is)<script[^>]*\btype\s*=\s*["\']application/ld\+json["\'][^>]*>(.*?)</script>'
+)
+
+JSONLD_DDL = "t STRING, headline STRING, author STRUCT<name: STRING>"
+
+
+def jsonld_of(html: Column) -> Column:
+    """First JSON-LD block's payload text, else null. The reference reads
+    the same block for metadata precedence (Readability.js
+    _getJSONLD / core/readability.py JSON-LD extractor); this exposes it
+    corpus-wide for schema.org inventory."""
+    j = F.regexp_extract(html, _RX_JSONLD, 1)
+    return F.when(j != "", j)
+
+
+def jsonld_inventory(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """html → per-@type schema.org inventory: page count, headline and
+    author coverage. Parse is Spark-native from_json (JVM Jackson, per-row
+    malformed tolerance → null struct); '@type' is aliased to 't' pre-parse
+    with one regexp_replace so the schema stays plain DDL. Zero Python;
+    one map-side-combined exchange."""
+    raw = jsonld_of(F.col(html_col))
+    # '"@type":' → '"t":' — cheaper than schema-escaping the @ and immune
+    # to from_json's DDL identifier rules
+    cooked = F.regexp_replace(raw, r'"@type"\s*:', '"t":')
+    parsed = F.from_json(cooked, JSONLD_DDL)
+    return (
+        df.select(parsed.alias("j"))
+        .filter(F.col("j").isNotNull() & F.col("j")["t"].isNotNull())
+        .groupBy(F.col("j")["t"].alias("jsonld_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pages"),
+            F.sum(F.col("j")["headline"].isNotNull().cast("long"))
+            .cast("bigint")
+            .alias("n_with_headline"),
+            F.sum(F.col("j")["author"]["name"].isNotNull().cast("long"))
+            .cast("bigint")
+            .alias("n_with_author"),
+        )
+    )
+
+
+# -- hreflang alternates: the cross-language page cluster source ------------
+
+_RX_LINK_TAGS = r"(?i)<link\b[^>]*>"
+_RX_HREFLANG = r'(?i)\bhreflang\s*=\s*["\']?([A-Za-z\-]+)'
+_RX_HREF = r'(?i)\bhref\s*=\s*["\']?([^"\'>\s]+)'
+
+
+def hreflang_pairs(df: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """(url, html) → one row per rel=alternate hreflang declaration:
+    (url, hreflang, href). Tag-at-a-time extraction (regexp_extract_all of
+    whole <link> tags, then per-tag attribute pulls inside transform) so a
+    tag missing either attribute drops out instead of misaligning a
+    parallel-arrays zip. Pure codegen; the explode is a generator, not a
+    join. hreflang clusters are the standard bitext-mining seed (the
+    publisher says these urls are translations of each other)."""
+    html = F.col(html_col)
+    tags = F.regexp_extract_all(html, F.lit(_RX_LINK_TAGS), 0)
+    pairs = F.filter(
+        F.transform(
+            tags,
+            lambda t: F.struct(
+                F.lower(F.regexp_extract(t, _RX_HREFLANG, 1)).alias("hreflang"),
+                F.regexp_extract(t, _RX_HREF, 1).alias("href"),
+            ),
+        ),
+        lambda s: (s["hreflang"] != "") & (s["href"] != ""),
+    )
+    ex = df.select(F.col(url_col).alias("url"), F.explode(pairs).alias("p"))
+    return ex.select(
+        "url", F.col("p")["hreflang"].alias("hreflang"), F.col("p")["href"].alias("href")
+    )
+
+
+# -- pagination: rel=next chain sequencing ----------------------------------
+
+_RX_REL_NEXT = (
+    r'(?i)<link[^>]*\brel\s*=\s*["\']?next["\']?[^>]*\bhref\s*=\s*["\']?([^"\'>\s]+)'
+)
+
+
+def rel_next_of(html: Column) -> Column:
+    """First rel=next href, else null."""
+    n = F.regexp_extract(html, _RX_REL_NEXT, 1)
+    return F.when(n != "", n)
+
+
+def pagination_chains(
+    df: DataFrame, url_col: str = "url", html_col: str = "html", max_hops: int = 64
+) -> DataFrame:
+    """(url, html) → one row per multi-page article: (first_page,
+    last_page, n_pages). rel=next links form chains; chains are resolved
+    with the O(log hops) pointer-doubling resolver
+    (urltools.resolve_redirects) and grouped by their terminal page —
+    multi-page articles reassemble into one logical document before
+    extraction/dedup instead of being N near-dup fragments. Loops
+    (misconfigured templates pointing back) are excluded the same way
+    redirect loops are."""
+    from readability_spark.operators.urltools import resolve_redirects
+
+    edges = (
+        df.select(
+            F.col(url_col).alias("src"), rel_next_of(F.col(html_col)).alias("dst")
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    resolved = resolve_redirects(edges, max_hops=max_hops).filter(~F.col("looped"))
+    return resolved.groupBy(F.col("final").alias("last_page")).agg(
+        F.max(F.struct(F.col("hops"), F.col("node")))["node"].alias("first_page"),
+        (F.count("*") + 1).cast("bigint").alias("n_pages"),
+    ).select("first_page", "last_page", "n_pages")

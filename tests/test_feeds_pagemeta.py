@@ -123,3 +123,66 @@ def test_page_meta_plan_pure_projection(spark):
     plan = page_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_jsonld_inventory_parse_and_tolerance(spark):
+    from readability_spark.operators.pagemeta import jsonld_inventory
+
+    def pg(block):
+        return (f'<html><head><script type="application/ld+json">{block}'
+                "</script></head><body></body></html>",)
+
+    df = spark.createDataFrame(
+        [
+            pg('{"@type": "Article", "headline": "H", "author": {"name": "A"}}'),
+            pg('{"@type": "Article"}'),
+            pg('{"@context": "x", "@type": "Product", "headline": "P"}'),
+            pg('{not json at all'),                      # malformed → dropped
+            ("<html><head></head><body>no block</body></html>",),
+        ],
+        "html string",
+    )
+    got = {
+        r.jsonld_type: (r.n_pages, r.n_with_headline, r.n_with_author)
+        for r in jsonld_inventory(df).collect()
+    }
+    assert got == {"Article": (2, 1, 1), "Product": (1, 1, 0)}
+
+
+def test_hreflang_pairs_tagwise_no_misalignment(spark):
+    from readability_spark.operators.pagemeta import hreflang_pairs
+
+    html = (
+        '<html><head>'
+        '<link rel="alternate" hreflang="en" href="http://x/en">'
+        '<link rel="alternate" hreflang="de">'          # no href → dropped
+        '<link rel="stylesheet" href="/s.css">'          # no hreflang → dropped
+        '<link hreflang="FR" href="http://x/fr">'
+        "</head></html>"
+    )
+    df = spark.createDataFrame([("u", html)], "url string, html string")
+    got = sorted((r.hreflang, r.href) for r in hreflang_pairs(df).collect())
+    assert got == [("en", "http://x/en"), ("fr", "http://x/fr")]
+
+
+def test_pagination_chains_reassembly(spark):
+    from readability_spark.operators.pagemeta import pagination_chains
+
+    def pg(url, nxt=None):
+        head = f'<link rel="next" href="{nxt}">' if nxt else ""
+        return (url, f"<html><head>{head}</head><body></body></html>")
+
+    df = spark.createDataFrame(
+        [
+            pg("a1", "a2"), pg("a2", "a3"), pg("a3"),      # 3-page article
+            pg("b1", "b2"), pg("b2"),                      # 2-page article
+            pg("solo"),                                     # no chain
+            pg("l1", "l2"), pg("l2", "l1"),                 # loop → excluded
+        ],
+        "url string, html string",
+    )
+    got = {
+        r.last_page: (r.first_page, r.n_pages)
+        for r in pagination_chains(df, max_hops=8).collect()
+    }
+    assert got == {"a3": ("a1", 3), "b2": ("b1", 2)}
