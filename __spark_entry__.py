@@ -2381,6 +2381,73 @@ def _q_pagination_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagination_chains(pages, max_hops=8)
 
 
+def _q_rare_ngram_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk audit over the dup-injected corpus: per-doc count
+    and fraction of corpus-unique 3-grams. Injected copies force their
+    originals' shingles to df=2, so duplicated docs must come back with
+    n_rare=0 while singletons sit near rare_frac=1 — the oracle recomputes
+    the exact postings arithmetic from the same union."""
+    from readability_spark.operators.dedup import with_injected_duplicates
+    from readability_spark.operators.pii import rare_ngram_report
+
+    return rare_ngram_report(with_injected_duplicates(_docs(spark, sf_dir)))
+
+
+def _q_license_optout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data governance matrix over synthesized heads: doc d
+    declares a rel=license link when d%3==0 — target is a non-CC url when
+    d%8==2 ('other'), the CC0 public-domain mark when d%8==4, else a CC
+    license with code by/by-sa/by-nc/by-nd via d%4 — plus a meta-robots
+    noai directive when d%5==0 and a tdm-reservation meta when d%5==1.
+    The Spark side classifies from the BYTES; the oracle from the
+    arithmetic."""
+    from readability_spark.operators.pagemeta import governance_report
+
+    d = F.col("doc_id")
+    code = F.element_at(
+        F.array(*[F.lit(c) for c in _CC_CODES]), (d % 4 + 1).cast("int")
+    )
+    lic = F.when(
+        d % 3 == 0,
+        F.when(
+            d % 8 == 2,
+            F.lit('<a rel="license" href="http://example.com/terms">T</a>'),
+        )
+        .when(
+            d % 8 == 4,
+            F.lit(
+                '<a rel="license" '
+                'href="https://creativecommons.org/publicdomain/zero/1.0/">cc0</a>'
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<link rel="license" href="https://creativecommons.org/licenses/'),
+                code,
+                F.lit('/4.0/">'),
+            )
+        ),
+    ).otherwise(F.lit(""))
+    robots = (
+        F.when(
+            d % 5 == 0,
+            F.lit('<meta name="robots" content="noai, noimageai">'),
+        )
+        .when(d % 5 == 1, F.lit('<meta name="tdm-reservation" content="1">'))
+        .otherwise(F.lit(""))
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("<html><head>"), lic, robots,
+            F.lit("<title>t</title></head><body><p>x</p></body></html>"),
+        ).alias("html")
+    )
+    return governance_report(pages)
+
+
+_CC_CODES = ["by", "by-sa", "by-nc", "by-nd"]
+
+
 def _q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type hourly burst detection over the events table: each
     bucket's count z-scored against its 6 trailing observed buckets
@@ -2604,6 +2671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_inventory": _q_jsonld_inventory,
         "hreflang_clusters": _q_hreflang_clusters,
         "pagination_chains": _q_pagination_chains,
+        "rare_ngram_risk": _q_rare_ngram_risk,
+        "license_optout": _q_license_optout,
         "reshard_plan": _q_reshard_plan,
         "typosquat_hosts": _q_typosquat_hosts,
         "classifier_calibration": _q_classifier_calibration,
@@ -4929,6 +4998,47 @@ SELECT 'http://site.com/a/' || doc_id AS first_page,
        (1 + (doc_id // 5) % 5)::bigint AS n_pages
 FROM documents
 WHERE doc_id % 5 = 0 AND (1 + (doc_id // 5) % 5) >= 2
+"""
+
+
+def _rare_ngram_oracle(rare_df: int = 1) -> str:
+    """Mirror of pii.rare_ngram_report over the dup-injected corpus: the
+    same distinct-3-gram construction (_SHINGLES) and DF≤{rare_df} postings
+    arithmetic."""
+    return f"""
+WITH dup AS ({_DUP_DOCS}),
+sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM dup),
+ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= {rare_df}),
+rc AS (SELECT e.doc_id, count(*) AS n_rare FROM ex e JOIN rare USING (g)
+       GROUP BY e.doc_id),
+sizes AS (SELECT doc_id, len(sh)::bigint AS n_ngrams FROM sh)
+SELECT s.doc_id, s.n_ngrams,
+       coalesce(rc.n_rare, 0)::bigint AS n_rare,
+       floor(coalesce(rc.n_rare, 0)::double / s.n_ngrams * 10000.0 + 0.5)
+         / 10000.0 AS rare_frac
+FROM sizes s LEFT JOIN rc ON rc.doc_id = s.doc_id
+"""
+
+
+def _license_optout_oracle() -> str:
+    """Mirror of _q_license_optout from the d%3 / d%8 / d%4 / d%5
+    arithmetic."""
+    codes = ", ".join(f"'{c}'" for c in _CC_CODES)
+    return f"""
+WITH m AS (
+  SELECT CASE
+           WHEN doc_id % 3 <> 0 THEN 'none'
+           WHEN doc_id % 8 = 2 THEN 'other'
+           WHEN doc_id % 8 = 4 THEN 'cc0'
+           ELSE 'cc-' || ([{codes}])[doc_id % 4 + 1]
+         END AS license,
+         (doc_id % 5 = 0) AS noai,
+         (doc_id % 5 = 1) AS tdm_reserved
+  FROM documents
+)
+SELECT license, noai, tdm_reserved, count(*)::bigint AS n
+FROM m GROUP BY license, noai, tdm_reserved
 """
 
 
@@ -7384,6 +7494,8 @@ FROM th LEFT JOIN k ON th.lang = k.lang
         "jsonld_inventory": _jsonld_inventory_oracle(),
         "hreflang_clusters": _hreflang_clusters_oracle(),
         "pagination_chains": _pagination_chains_oracle(),
+        "rare_ngram_risk": _rare_ngram_oracle(),
+        "license_optout": _license_optout_oracle(),
         "reshard_plan": _reshard_plan_oracle(),
         "typosquat_hosts": _typosquat_oracle(),
         "classifier_calibration": _classifier_calibration_oracle(),

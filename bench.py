@@ -243,6 +243,8 @@ def main() -> int:
         "jsonld_inventory",
         "hreflang_clusters",
         "pagination_chains",
+        "rare_ngram_risk",
+        "license_optout",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

@@ -202,3 +202,64 @@ def pagination_chains(
         F.max(F.struct(F.col("hops"), F.col("node")))["node"].alias("first_page"),
         (F.count("*") + 1).cast("bigint").alias("n_pages"),
     ).select("first_page", "last_page", "n_pages")
+
+
+# -- governance: license declarations and AI-training opt-outs ---------------
+
+_RX_LICENSE_HREF = (
+    r'(?i)<(?:link|a)\b[^>]*\brel\s*=\s*["\']?license["\']?[^>]*'
+    r'\bhref\s*=\s*["\']?([^"\'>\s]+)'
+)
+_RX_CC_CODE = r"(?i)creativecommons\.org/licenses/([a-z\-]+)/"
+_RX_CC_ZERO = r"(?i)creativecommons\.org/publicdomain/zero"
+_RX_TDM = (
+    r'(?i)<meta[^>]*\bname\s*=\s*["\']?tdm-reservation["\']?[^>]*'
+    r'\bcontent\s*=\s*["\']?1'
+)
+
+
+def license_of(html: Column) -> Column:
+    """Declared license class from the first rel=license link: 'cc-<code>'
+    for creativecommons.org licenses, 'cc0' for the publicdomain/zero
+    mark, 'other' for any other rel=license target, null when
+    undeclared."""
+    href = F.regexp_extract(html, _RX_LICENSE_HREF, 1)
+    cc = F.lower(F.regexp_extract(href, _RX_CC_CODE, 1))
+    return (
+        F.when(href == "", F.lit(None).cast("string"))
+        .when(cc != "", F.concat(F.lit("cc-"), cc))
+        .when(href.rlike(_RX_CC_ZERO), F.lit("cc0"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def ai_optout_flags(html: Column) -> Column:
+    """struct(noai, noimageai, tdm_reserved) from the emerging opt-out
+    vocabulary: 'noai'/'noimageai' tokens in the meta-robots directive
+    list, and the TDM Reservation Protocol meta (tdm-reservation=1).
+    A training pipeline treats any of these as do-not-train."""
+    robots = F.lower(F.coalesce(robots_content(html), F.lit("")))
+    directives = F.transform(F.split(robots, ","), lambda x: F.trim(x))
+    return F.struct(
+        F.array_contains(directives, "noai").alias("noai"),
+        F.array_contains(directives, "noimageai").alias("noimageai"),
+        html.rlike(_RX_TDM).alias("tdm_reserved"),
+    )
+
+
+def governance_report(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """html → (license, noai, tdm_reserved, n) compliance routing matrix —
+    the do-not-train / attribution-required accounting a pipeline must
+    produce before selection. Pure codegen extraction + one
+    map-side-combined exchange of three short columns."""
+    html = F.col(html_col)
+    flags = ai_optout_flags(html)
+    return (
+        df.select(
+            F.coalesce(license_of(html), F.lit("none")).alias("license"),
+            flags["noai"].alias("noai"),
+            flags["tdm_reserved"].alias("tdm_reserved"),
+        )
+        .groupBy("license", "noai", "tdm_reserved")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )

@@ -193,3 +193,56 @@ def cc_luhn_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(valid).cast("int").alias("n_valid"),
         (F.size(valid) > 0).alias("has_valid_cc"),
     )
+
+
+def rare_ngram_report(docs: DataFrame, rare_df: int = 1) -> DataFrame:
+    """Memorization-risk audit: per-document density of corpus-unique
+    n-grams.
+
+    A document whose 3-grams appear nowhere else in the corpus is the kind
+    of document a model can only emit by memorizing it (Carlini et al.'s
+    extraction work keys on exactly this duplication/uniqueness axis);
+    documents that share all their n-grams are safe-to-memorize
+    boilerplate. Output per doc: total distinct 3-grams, how many have
+    corpus document-frequency ≤ ``rare_df``, and the rare fraction —
+    the triage signal for privacy review / dedup-before-train decisions.
+
+    Scale shape: the same postings discipline as the n-gram dedup family
+    (dedup._ngram_pair_common): shingle explode → map-side-combined DF
+    count → the join back is FILTERED TO RARE KEYS FIRST, so every join
+    key has ≤ ``rare_df`` postings by construction — skew-free without a
+    cap, shuffles carry short strings and longs only.
+    """
+    from readability_spark.operators.dedup import _shingles
+
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh")).localCheckpoint(
+        eager=False
+    )
+    exploded = sh.select("doc_id", F.explode("sh").alias("g"))
+    rare_keys = (
+        exploded.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= rare_df)
+        .select("g")
+    )
+    rare_counts = (
+        exploded.join(rare_keys, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_rare"))
+    )
+    sizes = sh.select("doc_id", F.size("sh").cast("bigint").alias("n_ngrams"))
+    out = sizes.join(rare_counts, "doc_id", "left").select(
+        "doc_id",
+        "n_ngrams",
+        F.coalesce(F.col("n_rare"), F.lit(0)).cast("bigint").alias("n_rare"),
+        (
+            F.floor(
+                F.coalesce(F.col("n_rare"), F.lit(0))
+                / F.col("n_ngrams")
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("rare_frac"),
+    )
+    return out

@@ -186,3 +186,47 @@ def test_pagination_chains_reassembly(spark):
         for r in pagination_chains(df, max_hops=8).collect()
     }
     assert got == {"a3": ("a1", 3), "b2": ("b1", 2)}
+
+
+def test_license_classification(spark):
+    from readability_spark.operators.pagemeta import license_of
+
+    cases = [
+        ('<link rel="license" href="https://creativecommons.org/licenses/by-sa/4.0/">', "cc-by-sa"),
+        ('<a rel="license" href="http://creativecommons.org/licenses/by/3.0/">x</a>', "cc-by"),
+        ('<a rel="license" href="https://creativecommons.org/publicdomain/zero/1.0/">0</a>', "cc0"),
+        ('<link rel="license" href="http://example.com/tos">', "other"),
+        ("<p>no license</p>", None),
+    ]
+    df = spark.createDataFrame(
+        [(str(i), f"<html><head>{h}</head></html>") for i, (h, _) in enumerate(cases)],
+        "i string, html string",
+    )
+    got = {
+        r.i: r.lic
+        for r in df.select("i", license_of(F.col("html")).alias("lic")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[str(i)] == want, f"case {i}"
+
+
+def test_ai_optout_flags(spark):
+    from readability_spark.operators.pagemeta import ai_optout_flags
+
+    cases = [
+        ('<meta name="robots" content="noai, noimageai">', (True, True, False)),
+        ('<meta name="robots" content="NOAI">', (True, False, False)),
+        ('<meta name="robots" content="noindex">', (False, False, False)),
+        ('<meta name="tdm-reservation" content="1">', (False, False, True)),
+        ("", (False, False, False)),
+    ]
+    df = spark.createDataFrame(
+        [(str(i), f"<html><head>{h}</head></html>") for i, (h, _) in enumerate(cases)],
+        "i string, html string",
+    )
+    got = {
+        r.i: (r.f.noai, r.f.noimageai, r.f.tdm_reserved)
+        for r in df.select("i", ai_optout_flags(F.col("html")).alias("f")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[str(i)] == want, f"case {i}"

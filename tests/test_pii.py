@@ -152,3 +152,22 @@ def test_cc_luhn_validation_pure_python_parity(spark):
         base = str((d * CC_BASE_MULT) % 10**15).zfill(15)
         cands = [base + str(c) for c in range(10) if luhn_ok(base + str(c))]
         assert len(cands) == 1  # exactly one valid check digit exists
+
+
+def test_rare_ngram_report_duplicates_have_no_rare_ngrams(spark):
+    from readability_spark.operators.pii import rare_ngram_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # exact copy of 1
+            (3, "one two three four five six seven"),     # unique
+            (4, "tiny"),                                   # single shingle, unique
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_ngrams, r.n_rare, r.rare_frac) for r in rare_ngram_report(docs).collect()}
+    assert got[1][1] == 0 and got[2][1] == 0          # copies share every 3-gram
+    assert got[3] == (5, 5, 1.0)                       # 7 tokens → 5 shingles, all unique
+    assert got[4] == (1, 1, 1.0)
+    assert got[1][0] == 4                              # 6 tokens → 4 shingles
