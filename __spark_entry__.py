@@ -2381,6 +2381,36 @@ def _q_pagination_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagination_chains(pages, max_hops=8)
 
 
+def _q_cc_large_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al.) over the SAME verified minhash pair graph as
+    `dedup_clusters` — the independently-derived second clustering
+    algorithm; the oracle is the same recursive-CTE transitive closure,
+    so the driver check cross-validates both implementations against
+    ground truth (and tests/test_links.py pins them equal to each other
+    and to union-find)."""
+    from readability_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        with_injected_duplicates,
+    )
+    from readability_spark.operators.graph import cc_large_small_star
+
+    pairs = minhash_lsh_pairs(with_injected_duplicates(_docs(spark, sf_dir)))
+    return cc_large_small_star(pairs)
+
+
+def _q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup over the dup-injected corpus: boundaries
+    where md5 of the trailing 8-char window ends in '0', chunks re-align
+    across shifted copies. The oracle recomputes the identical md5
+    boundary rule, slicing, and fingerprint aggregation in SQL — chunking
+    drift of a single character breaks the match."""
+    from readability_spark.operators.cdc import cdc_chunk_dedup
+    from readability_spark.operators.dedup import with_injected_duplicates
+
+    return cdc_chunk_dedup(with_injected_duplicates(_docs(spark, sf_dir)))
+
+
 def _q_rare_ngram_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memorization-risk audit over the dup-injected corpus: per-doc count
     and fraction of corpus-unique 3-grams. Injected copies force their
@@ -2672,6 +2702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_clusters": _q_hreflang_clusters,
         "pagination_chains": _q_pagination_chains,
         "rare_ngram_risk": _q_rare_ngram_risk,
+        "cc_large_star": _q_cc_large_star,
+        "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         "license_optout": _q_license_optout,
         "reshard_plan": _q_reshard_plan,
         "typosquat_hosts": _q_typosquat_hosts,
@@ -4998,6 +5030,58 @@ SELECT 'http://site.com/a/' || doc_id AS first_page,
        (1 + (doc_id // 5) % 5)::bigint AS n_pages
 FROM documents
 WHERE doc_id % 5 = 0 AND (1 + (doc_id // 5) % 5) >= 2
+"""
+
+
+def _cc_large_star_oracle() -> str:
+    """Same transitive-closure ground truth as _clusters_oracle, labels
+    only — cc_large_small_star must reproduce it exactly."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(v, n) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT w.v, e.dst FROM walk w JOIN edges e ON e.src = w.n
+)
+SELECT v AS doc_id, least(min(n), v) AS cluster_id FROM walk GROUP BY v
+"""
+
+
+def _cdc_chunk_oracle(window: int = 8, max_chars: int = 2000, min_copies: int = 2) -> str:
+    """Mirror of cdc.cdc_chunk_dedup: the same md5-trailing-window boundary
+    rule, chunk slicing, and fingerprint aggregation over the dup-injected
+    corpus."""
+    w = window
+    return f"""
+WITH dup AS ({_DUP_DOCS}),
+t AS (SELECT doc_id, substr(text, 1, {max_chars}) AS t, length(substr(text, 1, {max_chars})) AS L FROM dup),
+b AS (
+  SELECT doc_id, t, L,
+         list_sort(list_distinct(list_append(
+           list_filter(generate_series({w}, L),
+                       i -> right(md5(substr(t, i - {w - 1}, {w})), 1) = '0'),
+           L))) AS ends
+  FROM t WHERE L > 0
+),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ends)),
+           j -> substr(t,
+                       CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END,
+                       ends[j] - CASE WHEN j = 1 THEN 0 ELSE ends[j - 1] END)))
+           AS chunk
+  FROM b
+)
+SELECT md5(chunk) AS chunk_fp,
+       count(*)::bigint AS n_occurrences,
+       count(DISTINCT doc_id)::bigint AS n_docs,
+       min(length(chunk))::int AS chunk_chars
+FROM ch GROUP BY md5(chunk) HAVING count(*) >= {min_copies}
 """
 
 
@@ -7495,6 +7579,8 @@ FROM th LEFT JOIN k ON th.lang = k.lang
         "hreflang_clusters": _hreflang_clusters_oracle(),
         "pagination_chains": _pagination_chains_oracle(),
         "rare_ngram_risk": _rare_ngram_oracle(),
+        "cc_large_star": _cc_large_star_oracle(),
+        "cdc_chunk_dedup": _cdc_chunk_oracle(),
         "license_optout": _license_optout_oracle(),
         "reshard_plan": _reshard_plan_oracle(),
         "typosquat_hosts": _typosquat_oracle(),

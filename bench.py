@@ -245,6 +245,8 @@ def main() -> int:
         "pagination_chains",
         "rare_ngram_risk",
         "license_optout",
+        "cc_large_star",
+        "cdc_chunk_dedup",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

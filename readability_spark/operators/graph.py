@@ -295,3 +295,96 @@ def label_propagation(
     sd.unpersist()
     nodes.unpersist()
     return out
+
+
+def cc_large_small_star(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 32
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the second, independently-derived clustering algorithm next
+    to dedup.connected_components' min-label pointer jumping; the two are
+    cross-checked equal in tests and against the recursive-CTE oracle.
+
+        large-star(u): every neighbor v > u re-attaches to
+                       m(u) = min(Γ(u) ∪ {u})
+        small-star(u): every neighbor v ≤ u (plus u itself) attaches to
+                       m(u), computed over the smaller neighbors only
+
+    Alternating the two converges in O(log² n) rounds (O(log n) in
+    practice) to a forest of stars whose centers are the component minima.
+
+    Scale shape — why THIS algorithm is the 10^11-edge choice: each round
+    is one map-side-combined groupBy (the per-node min) + one equi-join of
+    the edge list against that (node, long) table; intermediate edge count
+    never exceeds the input edge count (the paper's invariant), unlike
+    naive closure which explodes, and unlike pointer jumping there is no
+    global label table to re-shuffle — state IS the edge list. Fixpoint is
+    a scalar (count, hash-sum) probe; ``localCheckpoint`` truncates
+    lineage per round.
+
+    Output: (doc_id, cluster_id) — min id of the component, for every
+    non-isolated node; identical contract to dedup.connected_components.
+    """
+    e = (
+        pairs.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def canon(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .distinct()
+        )
+
+    def large_star(df: DataFrame) -> DataFrame:
+        sym = df.unionByName(
+            df.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        out = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        return canon(out)
+
+    def small_star(df: DataFrame) -> DataFrame:
+        # edges already oriented (a=lo, b=hi): reduce on the larger endpoint
+        mins = df.groupBy("b").agg(F.min("a").alias("m"))
+        att = df.join(mins, "b").select(F.col("a"), F.col("m").alias("b2"))
+        center = mins.select(F.col("b").alias("a"), F.col("m").alias("b2"))
+        out = att.unionByName(center).select(
+            "a", F.col("b2").alias("b")
+        )
+        return canon(out)
+
+    probe = None
+    for _ in range(max_iter):
+        e = large_star(e).localCheckpoint()
+        e = small_star(e).localCheckpoint()
+        # ANSI mode: sum() of hashes overflows long; xor is order-independent
+        # and closed over int64 — same multiset-identity probe
+        cur = e.agg(
+            F.count("*"), F.expr("bit_xor(xxhash64(a, b))")
+        ).first()
+        cur = (cur[0], cur[1])
+        if cur == probe:
+            break
+        probe = cur
+    # final graph is a star forest: every node's label = min over itself
+    # and its direct neighbors
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return sym.groupBy("a").agg(
+        F.least(F.min("b"), F.first("a")).alias("cluster_id")
+    ).select(F.col("a").alias("doc_id"), "cluster_id")

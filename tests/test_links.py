@@ -317,3 +317,44 @@ def test_label_propagation_partition_independent(spark):
         )
     )
     assert a == b
+
+
+def _components_bruteforce(pairs):
+    import itertools
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [(1, 2), (2, 3), (3, 4), (10, 11)],                    # paths
+        [(i, i + 1) for i in range(0, 40)],                     # one long path
+        [(1, 2), (2, 3), (1, 3), (5, 6), (6, 7), (5, 7)],       # cliques
+        [(i, (i * 7 + 3) % 50) for i in range(50)],             # pseudo-random
+        [(2, 1), (3, 1), (4, 1)],                               # star at min
+        [(9, 5), (5, 9), (9, 5)],                               # dups/reversed
+    ],
+)
+def test_cc_large_small_star_matches_bruteforce_and_pointer_jumping(spark, pairs):
+    from readability_spark.operators.dedup import connected_components
+    from readability_spark.operators.graph import cc_large_small_star
+
+    want = _components_bruteforce(pairs)
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    star = {r.doc_id: r.cluster_id for r in cc_large_small_star(df).collect()}
+    pj = {r.doc_id: r.cluster_id for r in connected_components(df).collect()}
+    assert star == want
+    assert pj == want

