@@ -2411,6 +2411,53 @@ def _q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunk_dedup(with_injected_duplicates(_docs(spark, sf_dir)))
 
 
+def _q_url_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-path publication-date histogram over synthesized urls: d%3==0
+    urls carry /YYYY/MM/ segments (year 2019+d%6, month 1+d%12), d%3==1
+    carry compact /YYYYMMDD paths, d%3==2 carry no date; one decoy with
+    an invalid month 13 must land in the null bucket. Spark extracts
+    from the STRING; the oracle regenerates the histogram from the
+    arithmetic."""
+    from readability_spark.operators.urltools import url_date_report
+
+    d = F.col("doc_id")
+    y = (d % 6 + 2019).cast("string")
+    mm = F.lpad((d % 12 + 1).cast("string"), 2, "0")
+    seg = F.concat(F.lit("http://site.com/"), y, F.lit("/"), mm, F.lit("/post-"), d.cast("string"))
+    cmp_ = F.concat(F.lit("http://site.com/"), y, mm, F.lit("15/post-"), d.cast("string"))
+    none = F.when(
+        d % 9 == 2,
+        # decoy: month 13 is not a date
+        F.concat(F.lit("http://site.com/"), y, F.lit("/13/post-"), d.cast("string")),
+    ).otherwise(F.concat(F.lit("http://site.com/about/post-"), d.cast("string")))
+    url = F.when(d % 3 == 0, seg).when(d % 3 == 1, cmp_).otherwise(none)
+    return url_date_report(_docs(spark, sf_dir).select(url.alias("url")))
+
+
+def _q_soft404_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 routing matrix over synthesized (title, text): d%13 picks
+    the error family (404/410/403/500 title phrasings, a thin error body,
+    and healthy pages with the real document text). The Spark side
+    classifies from the strings; the oracle from the arithmetic."""
+    from readability_spark.operators.cleaning import soft404_report
+
+    d = F.col("doc_id")
+    title = (
+        F.when(d % 13 == 0, F.lit("404 Not Found - site"))
+        .when(d % 13 == 1, F.lit("Oops! Page Not Found"))
+        .when(d % 13 == 2, F.lit("410 - page removed"))
+        .when(d % 13 == 3, F.lit("Access Denied"))
+        .when(d % 13 == 4, F.lit("500 Server Error"))
+        # healthy titles fuse the id into one word ("DocX410") so status-code
+        # numbers never form a \b-delimited token
+        .otherwise(F.concat(F.lit("DocX"), d.cast("string")))
+    )
+    text = F.when(d % 13 == 5, F.lit("Error: unavailable")).otherwise(F.col("text"))
+    return soft404_report(
+        _docs(spark, sf_dir).select(title.alias("title"), text.alias("text"))
+    )
+
+
 def _q_rare_ngram_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memorization-risk audit over the dup-injected corpus: per-doc count
     and fraction of corpus-unique 3-grams. Injected copies force their
@@ -2704,6 +2751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_ngram_risk": _q_rare_ngram_risk,
         "cc_large_star": _q_cc_large_star,
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
+        "url_dates": _q_url_dates,
+        "soft404_report": _q_soft404_report,
         "license_optout": _q_license_optout,
         "reshard_plan": _q_reshard_plan,
         "typosquat_hosts": _q_typosquat_hosts,
@@ -5082,6 +5131,38 @@ SELECT md5(chunk) AS chunk_fp,
        count(DISTINCT doc_id)::bigint AS n_docs,
        min(length(chunk))::int AS chunk_chars
 FROM ch GROUP BY md5(chunk) HAVING count(*) >= {min_copies}
+"""
+
+
+def _url_dates_oracle() -> str:
+    """Mirror of _q_url_dates: d%3 picks the url family, the d%9==2 decoy
+    (month 13) and the undated family land in (null, null)."""
+    return """
+WITH m AS (
+  SELECT CASE WHEN doc_id % 3 = 2 THEN NULL
+              ELSE (doc_id % 6 + 2019)::int END AS year,
+         CASE WHEN doc_id % 3 = 2 THEN NULL
+              ELSE (doc_id % 12 + 1)::int END AS month
+  FROM documents
+)
+SELECT year, month, count(*)::bigint AS n_urls FROM m GROUP BY year, month
+"""
+
+
+def _soft404_oracle() -> str:
+    """Mirror of _q_soft404_report from the d%13 arithmetic (healthy docs
+    can never trip the thin rule: min corpus text length > 40 chars, so
+    the arithmetic is exact)."""
+    return """
+WITH m AS (
+  SELECT CASE doc_id % 13
+           WHEN 0 THEN 'not_found' WHEN 1 THEN 'not_found'
+           WHEN 2 THEN 'gone' WHEN 3 THEN 'denied'
+           WHEN 4 THEN 'error' WHEN 5 THEN 'thin'
+           ELSE 'ok' END AS reason
+  FROM documents
+)
+SELECT reason, count(*)::bigint AS n_pages FROM m GROUP BY reason
 """
 
 
@@ -7581,6 +7662,8 @@ FROM th LEFT JOIN k ON th.lang = k.lang
         "rare_ngram_risk": _rare_ngram_oracle(),
         "cc_large_star": _cc_large_star_oracle(),
         "cdc_chunk_dedup": _cdc_chunk_oracle(),
+        "url_dates": _url_dates_oracle(),
+        "soft404_report": _soft404_oracle(),
         "license_optout": _license_optout_oracle(),
         "reshard_plan": _reshard_plan_oracle(),
         "typosquat_hosts": _typosquat_oracle(),

@@ -247,6 +247,8 @@ def main() -> int:
         "license_optout",
         "cc_large_star",
         "cdc_chunk_dedup",
+        "url_dates",
+        "soft404_report",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

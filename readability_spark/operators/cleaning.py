@@ -260,3 +260,44 @@ def dedup_doc_lines(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(kept).cast("bigint").alias("n_kept"),
         F.concat_ws("\n", kept).alias("text_clean"),
     )
+
+
+# -- soft-404 / error-page detection -----------------------------------------
+
+_SOFT404_TITLE = [
+    ("not_found", r"(?i)\b(404|page not found|not found)\b"),
+    ("gone", r"(?i)\b(410|page (?:has been )?removed|no longer available)\b"),
+    ("denied", r"(?i)\b(403|access denied|forbidden)\b"),
+    ("error", r"(?i)\b(500|server error|something went wrong)\b"),
+]
+
+
+def soft404_reason(title, text) -> "F.Column":
+    """First matching error-page signal over the title (primary) and a
+    short-body corroboration over the text: 'not_found' / 'gone' /
+    'denied' / 'error' / 'thin' (sub-40-char body with an error word) /
+    null for a healthy page. Soft 404s — error pages served with HTTP
+    200 — are pure noise in a training corpus and poison dedup stats
+    (thousands of identical 'not found' bodies per host)."""
+    t = F.col(title) if isinstance(title, str) else title
+    b = F.col(text) if isinstance(text, str) else text
+    expr = None
+    for reason, rx in _SOFT404_TITLE:
+        cond = t.rlike(rx)
+        expr = F.when(cond, F.lit(reason)) if expr is None else expr.when(cond, F.lit(reason))
+    thin = (F.length(b) < 40) & b.rlike(r"(?i)\b(error|not found|unavailable)\b")
+    return expr.when(thin, F.lit("thin"))
+
+
+def soft404_report(
+    pages: DataFrame, title_col: str = "title", text_col: str = "text"
+) -> DataFrame:
+    """(reason, n_pages) error-page routing matrix; healthy pages count
+    under reason='ok'. Zero-shuffle detection + one map-side-combined
+    exchange of one short string."""
+    r = soft404_reason(F.col(title_col), F.col(text_col))
+    return (
+        pages.select(F.coalesce(r, F.lit("ok")).alias("reason"))
+        .groupBy("reason")
+        .agg(F.count("*").cast("bigint").alias("n_pages"))
+    )

@@ -409,3 +409,35 @@ def resolve_redirects(
     )
     e.unpersist()
     return out
+
+
+def url_date_of(url) -> Column:
+    """Publication date encoded in the URL path, as a struct(year, month)
+    or null — the recency signal used for crawl scheduling and freshness
+    weighting when the page itself carries no parseable date. Recognizes
+    the two dominant CMS conventions: ``/YYYY/MM/`` segments and compact
+    ``/YYYYMMDD`` path parts (month validated 01-12; day not required).
+    Pure regex codegen, exactly SQL-mirrorable."""
+    u = F.col(url) if isinstance(url, str) else url
+    seg_y = F.regexp_extract(u, r"/((?:19|20)\d{2})/(0[1-9]|1[0-2])/", 1)
+    seg_m = F.regexp_extract(u, r"/((?:19|20)\d{2})/(0[1-9]|1[0-2])/", 2)
+    cmp_y = F.regexp_extract(u, r"/((?:19|20)\d{2})(0[1-9]|1[0-2])(?:[0-3]\d)?(?:/|$)", 1)
+    cmp_m = F.regexp_extract(u, r"/((?:19|20)\d{2})(0[1-9]|1[0-2])(?:[0-3]\d)?(?:/|$)", 2)
+    year = F.when(seg_y != "", seg_y).when(cmp_y != "", cmp_y)
+    month = F.when(seg_y != "", seg_m).when(cmp_y != "", cmp_m)
+    return F.when(
+        year.isNotNull(),
+        F.struct(year.cast("int").alias("year"), month.cast("int").alias("month")),
+    )
+
+
+def url_date_report(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(year, month, n_urls) histogram of URL-path publication dates —
+    null-dated urls roll up under (null, null). One map-side-combined
+    exchange of two small ints."""
+    d = url_date_of(F.col(url_col))
+    return (
+        pages.select(d["year"].alias("year"), d["month"].alias("month"))
+        .groupBy("year", "month")
+        .agg(F.count("*").cast("bigint").alias("n_urls"))
+    )

@@ -280,3 +280,32 @@ def test_dedup_doc_lines_zero_shuffle(spark):
     df = spark.createDataFrame([(1, "a\nb\na")], ["doc_id", "text"])
     plan = dedup_doc_lines(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_soft404_reason_signals(spark):
+    from pyspark.sql import functions as F
+
+    from readability_spark.operators.cleaning import soft404_reason
+
+    cases = [
+        ("404 Not Found", "long healthy body " * 5, "not_found"),
+        ("Oops — page not found", "x " * 40, "not_found"),
+        ("Gone: page removed", "y " * 40, "gone"),
+        ("403 Forbidden", "z " * 40, "denied"),
+        ("Internal Server Error", "w " * 40, "error"),
+        ("Fine title", "Error: unavailable", "thin"),
+        ("Fine title", "perfectly healthy body with plenty of words in it", None),
+        ("DocX404", "healthy and long enough body text for the page", None),
+    ]
+    df = spark.createDataFrame(
+        [(str(i), t, b) for i, (t, b, _) in enumerate(cases)],
+        "i string, title string, text string",
+    )
+    got = {
+        r.i: r.reason
+        for r in df.select(
+            "i", soft404_reason(F.col("title"), F.col("text")).alias("reason")
+        ).collect()
+    }
+    for i, (_, _, want) in enumerate(cases):
+        assert got[str(i)] == want, f"case {i}"

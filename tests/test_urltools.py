@@ -144,3 +144,28 @@ def test_url_features_known_values(spark):
     assert enc.pct_encoded == 2
     # the ad-spam shape must clearly outrank the clean article url
     assert spam.suspicion > clean.suspicion + 0.3
+
+
+def test_url_date_of_conventions(spark):
+    from pyspark.sql import functions as F
+
+    from readability_spark.operators.urltools import url_date_of
+
+    cases = [
+        ("http://a.com/2024/01/post", (2024, 1)),
+        ("http://a.com/blog/1999/12/x", (1999, 12)),
+        ("http://a.com/20240115/x", (2024, 1)),
+        ("http://a.com/20241301/x", None),     # month 13 → not a date
+        ("http://a.com/2024/13/x", None),
+        ("http://a.com/about", None),
+        ("http://a.com/30240101/x", None),     # year 3024 out of range
+    ]
+    df = spark.createDataFrame(
+        [(str(i), u) for i, (u, _) in enumerate(cases)], "i string, url string"
+    )
+    got = {
+        r.i: (None if r.d is None else (r.d.year, r.d.month))
+        for r in df.select("i", url_date_of(F.col("url")).alias("d")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[str(i)] == want, f"case {i}"
