@@ -74,6 +74,36 @@ def _q_extract_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction THROUGH the readerable-prefilter path (one parse serves
+    the isProbablyReaderable gate and the grab — the crawl-shaped fast
+    path, operators/extract.py options['readerable_prefilter']): pages
+    whose paragraphs clear the 140-char/score-20 gate extract
+    byte-identically to extract_articles, the rest are gated out — the
+    oracle applies the same closed-form gate (n_chars > 140 ∧
+    REPEAT·sqrt(n_chars−140) > 20, the readerable_pages condition) on
+    top of the exact extraction oracle, pinning the gated code path
+    end-to-end in the driver check, not just in pytest."""
+    from readability_spark.operators.extract import extract
+
+    out = extract(
+        _pages(spark, sf_dir),
+        options={"readerable_prefilter": True},
+        include_html=False,
+    ).filter(F.col("ok"))
+    return out.select(
+        "url",
+        "title",
+        "byline",
+        "site_name",
+        "lang",
+        "published",
+        "excerpt",
+        "text",
+        F.col("length").cast("long").alias("length"),
+    )
+
+
 def _q_extract_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source boilerplate-strip accounting over the REAL extraction
     pass — the north rule's 'boilerplate bytes stripped' lineage metric as
@@ -2737,6 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": _q_curriculum_order,
         "crawl_trap_hosts": _q_crawl_trap_hosts,
         "extract_boilerplate": _q_extract_boilerplate,
+        "extract_prefilter": _q_extract_prefilter,
         "trustrank_hosts": _q_trustrank_hosts,
         "html_tables": _q_html_tables,
         "mime_sniff": _q_mime_sniff,
@@ -7791,6 +7822,19 @@ SELECT {url} AS url,
        {_ORACLE_TEXT} AS text,
        {_ORACLE_LEN}::bigint AS length
 FROM documents
+""",
+        "extract_prefilter": f"""
+SELECT {url} AS url,
+       'Synthetic Web Archive Document ' || doc_id AS title,
+       'Author ' || (doc_id % 7) AS byline,
+       source AS site_name,
+       lang,
+       '2024-01-' || lpad(((doc_id % 28) + 1)::varchar, 2, '0') AS published,
+       'Synthetic page for doc ' || doc_id AS excerpt,
+       {_ORACLE_TEXT} AS text,
+       {_ORACLE_LEN}::bigint AS length
+FROM documents
+WHERE n_chars > 140 AND {_REPEAT} * sqrt(n_chars - 140) > 20
 """,
         "extract_metrics": f"""
 SELECT lang, count(*) AS n_docs, sum({_ORACLE_LEN})::bigint AS total_chars

@@ -249,6 +249,7 @@ def main() -> int:
         "cdc_chunk_dedup",
         "url_dates",
         "soft404_report",
+        "extract_prefilter",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1
