@@ -2488,6 +2488,33 @@ def _q_soft404_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch rollup pattern, value-checked end-to-end: token
+    HLL registers built per shard (doc_id % 4), merged by per-bucket max,
+    next to the direct whole-corpus sketch — merged and direct rows must
+    carry IDENTICAL registers and estimates (max is associative), which is
+    what lets 100-TB accounting aggregate per-partition sketches without a
+    rescan. Oracle recomputes all six rows (4 shards + merged + direct)
+    from the same md5 register math."""
+    from readability_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.concat(F.lit("s"), (F.col("doc_id") % 4).cast("string")).alias("shard"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    regs = hll_registers(toks, "shard", "tok").localCheckpoint(eager=False)
+    merged = hll_merge(regs)
+    direct = hll_registers(
+        toks.withColumn("all", F.lit("direct")), "all", "tok"
+    )
+    return hll_estimate(regs.unionByName(merged).unionByName(direct))
+
+
 def _q_rare_ngram_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memorization-risk audit over the dup-injected corpus: per-doc count
     and fraction of corpus-unique 3-grams. Injected copies force their
@@ -2781,6 +2808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination_chains": _q_pagination_chains,
         "rare_ngram_risk": _q_rare_ngram_risk,
         "cc_large_star": _q_cc_large_star,
+        "hll_shard_merge": _q_hll_shard_merge,
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         "url_dates": _q_url_dates,
         "soft404_report": _q_soft404_report,
@@ -5194,6 +5222,67 @@ WITH m AS (
   FROM documents
 )
 SELECT reason, count(*)::bigint AS n_pages FROM m GROUP BY reason
+"""
+
+
+def _hll_shard_merge_oracle() -> str:
+    """Mirror of _q_hll_shard_merge: the shared md5 register math from
+    _hll_distinct_tokens_oracle, grouped per shard, merged by bucket max,
+    and recomputed direct — six estimate rows."""
+    from readability_spark.operators.sketches import HLL_M, HLL_NUM, HLL_SMALL
+
+    n13 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {4 + i}, 1)) - 1) "
+        f"* cast(pow(16, {12 - i}) as bigint)"
+        for i in range(13)
+    )
+    n3 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {1 + i}, 1)) - 1) "
+        f"* cast(pow(16, {2 - i}) as bigint)"
+        for i in range(3)
+    )
+    return f"""
+WITH toks AS (
+  SELECT 's' || (doc_id % 4) AS shard, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+bv AS (
+  SELECT shard, ({n3})::int AS bucket, ({n13})::bigint AS v
+  FROM (SELECT shard, substr(md5(tok), 1, 16) AS hx FROM toks)
+),
+sregs AS (
+  SELECT shard AS grp, bucket,
+    max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS register
+  FROM bv GROUP BY shard, bucket
+),
+regs AS (
+  SELECT * FROM sregs
+  UNION ALL
+  SELECT 'merged' AS grp, bucket, max(register) FROM sregs GROUP BY bucket
+  UNION ALL
+  SELECT 'direct' AS grp, bucket, max(register) FROM sregs GROUP BY bucket
+),
+g AS (
+  SELECT grp,
+    count(*)::bigint AS n_registers,
+    max(register)::int AS max_register,
+    sum(register)::bigint AS sum_registers,
+    sum(1::hugeint << (53 - register)) AS sum_shift
+  FROM regs GROUP BY grp
+),
+r AS (
+  SELECT grp, n_registers, max_register, sum_registers,
+    {HLL_NUM!r}
+      / (sum_shift + ({HLL_M} - n_registers)::hugeint * (1::hugeint << 53))::double
+      AS raw
+  FROM g
+)
+SELECT grp, n_registers, max_register, sum_registers,
+  round(raw, 4) AS raw_est,
+  round(CASE WHEN raw <= {HLL_SMALL!r} AND n_registers < {HLL_M}
+        THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - n_registers)::double)
+        ELSE raw END, 4) AS hll_est
+FROM r
 """
 
 
@@ -7692,6 +7781,7 @@ FROM th LEFT JOIN k ON th.lang = k.lang
         "pagination_chains": _pagination_chains_oracle(),
         "rare_ngram_risk": _rare_ngram_oracle(),
         "cc_large_star": _cc_large_star_oracle(),
+        "hll_shard_merge": _hll_shard_merge_oracle(),
         "cdc_chunk_dedup": _cdc_chunk_oracle(),
         "url_dates": _url_dates_oracle(),
         "soft404_report": _soft404_oracle(),

@@ -250,6 +250,7 @@ def main() -> int:
         "url_dates",
         "soft404_report",
         "extract_prefilter",
+        "hll_shard_merge",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

@@ -67,13 +67,20 @@ def hll_registers(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
     )
 
 
-def hll_distinct(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
-    """Per-group HLL cardinality estimate. Returns
-    (grp, n_registers, max_register, sum_registers, raw_est, hll_est) —
-    the register-level integers are part of the output contract so an
-    external oracle can verify the sketch state itself, not just the
-    final float."""
-    regs = hll_registers(df, group_col, item_col)
+def hll_merge(regs: DataFrame, label: str = "merged") -> DataFrame:
+    """Merge register tables across groups: max register per bucket — the
+    mergeability that makes HLL the right distributed sketch (per-shard
+    sketches roll up to the whole-corpus sketch with NO rescan; commutative
+    and idempotent, so retries and re-merges are free). Returns one
+    (grp=label, bucket, register) table."""
+    return regs.groupBy("bucket").agg(F.max("register").alias("register")).select(
+        F.lit(label).alias("grp"), "bucket", "register"
+    )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """(grp, bucket, register) → per-group estimate row (the finalizer,
+    shared by the direct, sharded, and merged paths)."""
     per_grp = regs.groupBy("grp").agg(
         F.count("*").alias("n_registers"),
         F.max("register").alias("max_register"),
@@ -101,6 +108,15 @@ def hll_distinct(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
         F.round(raw, 4).alias("raw_est"),
         F.round(est, 4).alias("hll_est"),
     )
+
+
+def hll_distinct(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
+    """Per-group HLL cardinality estimate. Returns
+    (grp, n_registers, max_register, sum_registers, raw_est, hll_est) —
+    the register-level integers are part of the output contract so an
+    external oracle can verify the sketch state itself, not just the
+    final float."""
+    return hll_estimate(hll_registers(df, group_col, item_col))
 
 
 # ---------------------------------------------------------------------------

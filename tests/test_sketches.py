@@ -147,3 +147,26 @@ def test_quantile_histogram_error_bound(spark):
             assert est is not None and exact is not None
             # estimate read off <=25%-wide bins stays within ~30% of exact
             assert abs(est - exact) <= 0.30 * exact + 1.0, (r["grp"], p, est, exact)
+
+
+def test_hll_merge_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from readability_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    toks = spark.createDataFrame(
+        [(f"s{i % 3}", f"tok{i % 500}") for i in range(4000)], "shard string, tok string"
+    )
+    regs = hll_registers(toks, "shard", "tok")
+    merged = hll_estimate(hll_merge(regs)).collect()[0]
+    direct = hll_estimate(
+        hll_registers(toks.withColumn("g", F.lit("direct")), "g", "tok")
+    ).collect()[0]
+    # mergeability: per-shard max-merge must equal the one-pass sketch
+    assert merged.n_registers == direct.n_registers
+    assert merged.sum_registers == direct.sum_registers
+    assert merged.hll_est == direct.hll_est
