@@ -2515,6 +2515,21 @@ def _q_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(regs.unionByName(merged).unionByName(direct))
 
 
+def _q_dictionary_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aho–Corasick dictionary matching over the corpus text with a fixed
+    5-term gazetteer (all border-free, so every-end-position counting
+    equals non-overlapping counting): per doc total hits + distinct terms.
+    The oracle recomputes each term's count via exact length-difference
+    arithmetic — any automaton drift (failure links, output sets) breaks
+    the totals."""
+    from readability_spark.operators.dictmatch import dictionary_match
+
+    return dictionary_match(_docs(spark, sf_dir), _DICT_PATTERNS)
+
+
+_DICT_PATTERNS = ["scan", "hash join", "merge", "row", "data"]
+
+
 def _q_rare_ngram_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memorization-risk audit over the dup-injected corpus: per-doc count
     and fraction of corpus-unique 3-grams. Injected copies force their
@@ -2809,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_ngram_risk": _q_rare_ngram_risk,
         "cc_large_star": _q_cc_large_star,
         "hll_shard_merge": _q_hll_shard_merge,
+        "dictionary_match": _q_dictionary_match,
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         "url_dates": _q_url_dates,
         "soft404_report": _q_soft404_report,
@@ -5283,6 +5299,23 @@ SELECT grp, n_registers, max_register, sum_registers,
         THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - n_registers)::double)
         ELSE raw END, 4) AS hll_est
 FROM r
+"""
+
+
+def _dictionary_match_oracle() -> str:
+    """Mirror of _q_dictionary_match: per-pattern non-overlapping counts
+    via length-difference (exact for the border-free gazetteer)."""
+    cnt = " + ".join(
+        f"((length(text) - length(replace(text, '{p}', ''))) / {len(p)})"
+        for p in _DICT_PATTERNS
+    )
+    distinct = " + ".join(
+        f"(CASE WHEN contains(text, '{p}') THEN 1 ELSE 0 END)"
+        for p in _DICT_PATTERNS
+    )
+    return f"""
+SELECT doc_id, ({cnt})::bigint AS n_hits, ({distinct})::int AS n_patterns
+FROM documents
 """
 
 
@@ -7782,6 +7815,7 @@ FROM th LEFT JOIN k ON th.lang = k.lang
         "rare_ngram_risk": _rare_ngram_oracle(),
         "cc_large_star": _cc_large_star_oracle(),
         "hll_shard_merge": _hll_shard_merge_oracle(),
+        "dictionary_match": _dictionary_match_oracle(),
         "cdc_chunk_dedup": _cdc_chunk_oracle(),
         "url_dates": _url_dates_oracle(),
         "soft404_report": _soft404_oracle(),

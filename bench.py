@@ -251,6 +251,7 @@ def main() -> int:
         "soft404_report",
         "extract_prefilter",
         "hll_shard_merge",
+        "dictionary_match",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

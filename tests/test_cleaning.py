@@ -309,3 +309,27 @@ def test_soft404_reason_signals(spark):
     }
     for i, (_, _, want) in enumerate(cases):
         assert got[str(i)] == want, f"case {i}"
+
+
+def test_dictionary_match_automaton_vs_bruteforce(spark):
+    from readability_spark.operators.dictmatch import dictionary_match
+
+    pats = ["he", "she", "hers", "his", "row"]
+    rows = [
+        (1, "she sells seashells; hers is the shell he likes"),
+        (2, "rows and rows of rowboats"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_hits, r.n_patterns) for r in dictionary_match(df, pats).collect()}
+
+    def brute(text):
+        c = [
+            sum(1 for i in range(len(text) - len(p) + 1) if text[i : i + len(p)] == p)
+            for p in pats
+        ]
+        return (sum(c), sum(1 for x in c if x))
+
+    for did, text in rows:
+        assert got[did] == brute(text or ""), f"doc {did}"
