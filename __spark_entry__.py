@@ -2530,6 +2530,35 @@ def _q_dictionary_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DICT_PATTERNS = ["scan", "hash join", "merge", "row", "data"]
 
 
+def _q_media_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-embed census over synthesized pages: doc d carries d%4 plain
+    imgs, two lazy imgs when d%5==0 (one data-src, one loading=lazy — the
+    FixLazyImages patterns), d%3 videos, d%2 iframes, and a
+    noscript-img fallback when d%7==0. Spark counts from the BYTES via
+    regexp_count; the oracle recomputes each count from the arithmetic
+    (noscript's img counts toward n_img too — the census is tag-level,
+    not DOM-level)."""
+    from readability_spark.operators.pagemeta import media_tag_inventory
+
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.repeat(F.lit('<img src="x.png">'), (d % 4).cast("int")),
+        F.when(
+            d % 5 == 0,
+            F.lit('<img data-src="y.png"><img loading="lazy" src="z.png">'),
+        ).otherwise(F.lit("")),
+        F.repeat(F.lit('<video src="v.mp4"></video>'), (d % 3).cast("int")),
+        F.repeat(F.lit('<iframe src="f"></iframe>'), (d % 2).cast("int")),
+        F.when(
+            d % 7 == 0, F.lit('<noscript><img src="n.png"></noscript>')
+        ).otherwise(F.lit("")),
+        F.lit("<p>body</p></body></html>"),
+    )
+    pages = _docs(spark, sf_dir).select("doc_id", html.alias("html"))
+    return media_tag_inventory(pages)
+
+
 def _q_rare_ngram_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memorization-risk audit over the dup-injected corpus: per-doc count
     and fraction of corpus-unique 3-grams. Injected copies force their
@@ -2825,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_large_star": _q_cc_large_star,
         "hll_shard_merge": _q_hll_shard_merge,
         "dictionary_match": _q_dictionary_match,
+        "media_tags": _q_media_tags,
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         "url_dates": _q_url_dates,
         "soft404_report": _q_soft404_report,
@@ -5315,6 +5345,23 @@ def _dictionary_match_oracle() -> str:
     )
     return f"""
 SELECT doc_id, ({cnt})::bigint AS n_hits, ({distinct})::int AS n_patterns
+FROM documents
+"""
+
+
+def _media_tags_oracle() -> str:
+    """Mirror of _q_media_tags from the d%4 / d%5 / d%3 / d%2 / d%7
+    arithmetic."""
+    return """
+SELECT doc_id,
+       (doc_id % 4
+        + CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END
+        + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::int AS n_img,
+       (CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END)::int AS n_lazy_img,
+       (doc_id % 3)::int AS n_video,
+       (doc_id % 2)::int AS n_iframe,
+       0::int AS n_picture,
+       (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::int AS n_noscript_img
 FROM documents
 """
 
@@ -7816,6 +7863,7 @@ FROM th LEFT JOIN k ON th.lang = k.lang
         "cc_large_star": _cc_large_star_oracle(),
         "hll_shard_merge": _hll_shard_merge_oracle(),
         "dictionary_match": _dictionary_match_oracle(),
+        "media_tags": _media_tags_oracle(),
         "cdc_chunk_dedup": _cdc_chunk_oracle(),
         "url_dates": _url_dates_oracle(),
         "soft404_report": _soft404_oracle(),

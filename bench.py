@@ -252,6 +252,7 @@ def main() -> int:
         "extract_prefilter",
         "hll_shard_merge",
         "dictionary_match",
+        "media_tags",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

@@ -263,3 +263,32 @@ def governance_report(df: DataFrame, html_col: str = "html") -> DataFrame:
         .groupBy("license", "noai", "tdm_reserved")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+# -- media tag inventory: the DOM-side media census ---------------------------
+
+def media_tag_inventory(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """html → per-page media-embed census: <img>/<video>/<iframe>/<picture>
+    counts, lazy-loaded images (data-src or loading=lazy — the pattern the
+    reference's FixLazyImages pass rewrites, core/readability.py
+    _fix_lazy_images), and <noscript><img> fallbacks (the reference's
+    noscript-img unwrap input). A multimodal pipeline uses this census to
+    route pages into the image-fetch queue and to size that queue BEFORE
+    fetching a byte of media. Pure regexp_count codegen — zero Python,
+    zero shuffle."""
+    h = F.col(html_col)
+
+    def cnt(rx: str):
+        return F.regexp_count(h, F.lit(rx)).cast("int")
+
+    return df.select(
+        *[c for c in df.columns if c != html_col],
+        cnt(r"(?i)<img\b").alias("n_img"),
+        cnt(r"(?i)<img\b[^>]*\b(?:data-src|loading\s*=\s*[\"']?lazy)").alias(
+            "n_lazy_img"
+        ),
+        cnt(r"(?i)<video\b").alias("n_video"),
+        cnt(r"(?i)<iframe\b").alias("n_iframe"),
+        cnt(r"(?i)<picture\b").alias("n_picture"),
+        cnt(r"(?i)<noscript>\s*<img\b").alias("n_noscript_img"),
+    )

@@ -230,3 +230,27 @@ def test_ai_optout_flags(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[str(i)] == want, f"case {i}"
+
+
+def test_media_tag_inventory_counts(spark):
+    from readability_spark.operators.pagemeta import media_tag_inventory
+
+    html = (
+        "<html><body>"
+        '<img src="a.png"><IMG SRC="b.png">'
+        '<img data-src="lazy1.png"><img loading=lazy src="lazy2.png">'
+        '<img loading="LAZY" src="lazy3.png">'
+        '<video src="v1"></video><video src="v2"></video>'
+        '<iframe src="f"></iframe>'
+        "<picture><source><img src='p.png'></picture>"
+        '<noscript><img src="n.png"></noscript>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    r = media_tag_inventory(df).collect()[0]
+    assert r.n_img == 7            # 2 plain + 3 lazy + picture's + noscript's
+    assert r.n_lazy_img == 3
+    assert r.n_video == 2
+    assert r.n_iframe == 1
+    assert r.n_picture == 1
+    assert r.n_noscript_img == 1

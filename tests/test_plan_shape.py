@@ -562,3 +562,23 @@ def test_rare_ngram_join_keys_bounded_by_rare_df(spark):
     # duplicated originals (doc_id % 10 == 0) must have zero unique shingles
     dup_orig = out.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 1000000))
     assert dup_orig.filter(F.col("n_rare") > 0).count() == 0
+
+
+def test_cdc_chunking_zero_shuffle_until_fp_groupby(spark):
+    """CDC chunking is higher-order codegen per row: the chunk column costs
+    no exchange and no Python; the dedup's ONLY exchange is the
+    fingerprint groupBy, and the projection to (fp, len) happens BELOW it
+    (only 16-byte hashes + ints shuffle, never chunk text)."""
+    from readability_spark.operators.cdc import cdc_chunk_dedup, cdc_chunks_col
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(docs.select(cdc_chunks_col(F.col("text")).alias("ch")))
+    assert plan.count("Exchange") == 0, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+    plan2 = plan_of(cdc_chunk_dedup(docs.select("doc_id", "text")))
+    # exactly the two-phase distinct-agg shape: partial distinct on
+    # (chunk_fp, doc_id), final on chunk_fp — both map-side combined; the
+    # hash projection sits below both, so only 16-byte fps + ints shuffle
+    assert plan2.count("Exchange") == 2, plan2
+    assert "hashpartitioning(chunk_fp" in plan2, plan2
+    assert "md5" in plan2.lower(), plan2
