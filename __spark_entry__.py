@@ -2559,6 +2559,25 @@ def _q_media_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_tag_inventory(pages)
 
 
+def _q_lm_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM interpolation-weight fitting between the d%3==0 and d%3==1
+    sub-corpora's unigram LMs, evaluated on the d%3==2 held-out slice —
+    5 rounds, λ₀=0.5. The posterior is quantized to an integer grid per
+    distinct token so the E-step sum is an exact bigint; the oracle
+    unrolls the identical 5 rounds and must reproduce the λ trajectory
+    EXACTLY (doubles, not approximately)."""
+    from readability_spark.operators.lm import lm_mixture_em
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    return lm_mixture_em(
+        docs.filter(d % 3 == 0),
+        docs.filter(d % 3 == 1),
+        docs.filter(d % 3 == 2),
+        n_iter=5,
+    )
+
+
 def _q_rare_ngram_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memorization-risk audit over the dup-injected corpus: per-doc count
     and fraction of corpus-unique 3-grams. Injected copies force their
@@ -2855,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_shard_merge": _q_hll_shard_merge,
         "dictionary_match": _q_dictionary_match,
         "media_tags": _q_media_tags,
+        "lm_mixture_em": _q_lm_mixture_em,
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         "url_dates": _q_url_dates,
         "soft404_report": _q_soft404_report,
@@ -5366,6 +5386,67 @@ FROM documents
 """
 
 
+def _lm_mixture_em_oracle(n_iter: int = 5) -> str:
+    """Mirror of lm.lm_mixture_em on the d%3 split: the same Laplace
+    ratios, grid-quantized posterior, exact-integer E-step sum, and the
+    identical IEEE chain per round, unrolled as r1..r{n_iter} CTEs."""
+
+    def lam_expr(prev: str) -> str:
+        lam = f"(SELECT lam FROM {prev})" if prev else "0.5"
+        one_minus = f"(1 - {lam})" if prev else "0.5"
+        return (
+            f"SELECT sum(floor({lam} * pa / ({lam} * pa + {one_minus} * pb)"
+            f" * 1e12 + 0.5)::bigint * ch)::double"
+            f" / (1e12 * (SELECT nh FROM scal)) AS lam FROM probs"
+        )
+
+    # MATERIALIZED: each round references the previous round's scalar three
+    # times; with default CTE inlining the plan re-expands the whole token
+    # pipeline 3^n times (measured: minutes instead of milliseconds)
+    rounds = ",\n".join(
+        f"r{r} AS MATERIALIZED ({lam_expr(f'r{r - 1}' if r > 1 else '')})"
+        for r in range(1, n_iter + 1)
+    )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, floor(lam * 1e9 + 0.5) / 1e9 AS lam FROM r{r}"
+        for r in range(1, n_iter + 1)
+    )
+    return f"""
+WITH ca AS (
+  SELECT tok, count(*) AS ca FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE doc_id % 3 = 0)
+  WHERE tok <> '' GROUP BY tok
+),
+cb AS (
+  SELECT tok, count(*) AS cb FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE doc_id % 3 = 1)
+  WHERE tok <> '' GROUP BY tok
+),
+ch AS (
+  SELECT tok, count(*) AS ch FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE doc_id % 3 = 2)
+  WHERE tok <> '' GROUP BY tok
+),
+vocab AS (SELECT tok FROM ca UNION SELECT tok FROM cb),
+scal AS MATERIALIZED (
+  SELECT (SELECT coalesce(sum(ca), 0) FROM ca) AS na,
+         (SELECT coalesce(sum(cb), 0) FROM cb) AS nb,
+         (SELECT count(*) FROM vocab) AS v,
+         (SELECT coalesce(sum(ch), 0) FROM ch) AS nh
+),
+probs AS MATERIALIZED (
+  SELECT ch.ch,
+         (coalesce(ca.ca, 0) + 1)::double
+           / ((SELECT na FROM scal) + (SELECT v FROM scal))::double AS pa,
+         (coalesce(cb.cb, 0) + 1)::double
+           / ((SELECT nb FROM scal) + (SELECT v FROM scal))::double AS pb
+  FROM ch LEFT JOIN ca USING (tok) LEFT JOIN cb USING (tok)
+),
+{rounds}
+{sel}
+"""
+
+
 def _rare_ngram_oracle(rare_df: int = 1) -> str:
     """Mirror of pii.rare_ngram_report over the dup-injected corpus: the
     same distinct-3-gram construction (_SHINGLES) and DF≤{rare_df} postings
@@ -7864,6 +7945,7 @@ FROM th LEFT JOIN k ON th.lang = k.lang
         "hll_shard_merge": _hll_shard_merge_oracle(),
         "dictionary_match": _dictionary_match_oracle(),
         "media_tags": _media_tags_oracle(),
+        "lm_mixture_em": _lm_mixture_em_oracle(),
         "cdc_chunk_dedup": _cdc_chunk_oracle(),
         "url_dates": _url_dates_oracle(),
         "soft404_report": _soft404_oracle(),

@@ -253,6 +253,7 @@ def main() -> int:
         "hll_shard_merge",
         "dictionary_match",
         "media_tags",
+        "lm_mixture_em",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

@@ -216,3 +216,90 @@ def lm_perplexity_adaptive(
         .otherwise("tail")
         .alias("band"),
     )
+
+
+def lm_mixture_em(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    docs_held: DataFrame,
+    n_iter: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """EM-fitted interpolation weight between two unigram LMs — the
+    classic domain-mixture estimator (Jelinek-Mercer interpolation fitted
+    on held-out data): how much of the held-out corpus's distribution
+    the A-domain explains vs the B-domain, the statistic behind
+    importance-style mixture decisions (DSIR's cousin with a likelihood
+    semantics).
+
+        γ_λ(w) = λ·P_A(w) / (λ·P_A(w) + (1-λ)·P_B(w))
+        λ'     = Σ_w cnt_held(w)·γ_λ(w) / N_held          (λ₀ = 0.5)
+
+    P_A/P_B are Laplace-smoothed over the shared vocabulary. Determinism
+    across engines: γ is quantized per DISTINCT token to an integer grid
+    (floor(γ·10¹² + ½)) so the E-step sum is an exact bigint in any
+    order; every double entering the chain (Laplace ratios, λ itself) is
+    a correctly-rounded function of exact integers, so Spark and the SQL
+    oracle produce IDENTICAL λ trajectories, not merely close ones.
+
+    Scale shape: token counting is two map-side-combined aggs; the
+    per-round E-step is ONE agg over the (distinct held-out token,
+    cnt, P_A, P_B) table — a few hundred thousand rows for any real
+    vocabulary, cached once; λ is a driver scalar per round (the same
+    legitimate pattern as pagerank's dangling term). Output: one row per
+    round (round, lam).
+    """
+    def tok_counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+            .filter(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count("*").alias(name))
+        )
+
+    ca = tok_counts(docs_a, "ca")
+    cb = tok_counts(docs_b, "cb")
+    ch = tok_counts(docs_held, "ch")
+    vocab = (
+        ca.select("tok").unionByName(cb.select("tok")).distinct()
+    )
+    joined = (
+        ch.join(ca, "tok", "left")
+        .join(cb, "tok", "left")
+        .select(
+            "tok",
+            "ch",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    na, nb, v = (
+        ca.agg(F.sum("ca")).first()[0] or 0,
+        cb.agg(F.sum("cb")).first()[0] or 0,
+        vocab.count(),
+    )
+    n_held = ch.agg(F.sum("ch")).first()[0] or 0
+    probs = joined.select(
+        "ch",
+        ((F.col("ca") + 1).cast("double") / float(na + v)).alias("pa"),
+        ((F.col("cb") + 1).cast("double") / float(nb + v)).alias("pb"),
+    ).persist()
+    probs.count()
+
+    lam = 0.5
+    rows = []
+    for r in range(1, n_iter + 1):
+        g = F.floor(
+            (F.lit(lam) * F.col("pa"))
+            / (F.lit(lam) * F.col("pa") + F.lit(1.0 - lam) * F.col("pb"))
+            * 1e12
+            + 0.5
+        ).cast("long")
+        s = probs.agg(F.sum(g * F.col("ch"))).first()[0]
+        lam = float(s) / (1e12 * n_held)
+        rows.append((r, lam))
+    probs.unpersist()
+    spark = docs_a.sparkSession
+    return spark.createDataFrame(rows, "round int, lam double").select(
+        "round", (F.floor(F.col("lam") * 1e9 + 0.5) / 1e9).alias("lam")
+    )

@@ -145,3 +145,48 @@ def test_band_thresholds(spark):
     for r in rows:
         want = "head" if r.ppl <= 100.0 else ("middle" if r.ppl <= 1000.0 else "tail")
         assert r.band == want, (r.doc_id, r.ppl, r.band)
+
+
+def test_lm_mixture_em_matches_python_reference(spark):
+    from collections import Counter
+
+    from readability_spark.operators.lm import lm_mixture_em
+
+    a_txt = ["spark shuffle join hash", "join scan filter hash spark"]
+    b_txt = ["poem river moon light", "moon river song light poem"]
+    h_txt = ["spark join river", "hash moon scan light"]
+
+    def em_py(n_iter=5):
+        ca, cb = Counter(), Counter()
+        for t in a_txt:
+            ca.update(t.split())
+        for t in b_txt:
+            cb.update(t.split())
+        ch = Counter()
+        for t in h_txt:
+            ch.update(t.split())
+        vocab = set(ca) | set(cb)
+        na, nb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+        nh = sum(ch.values())
+        lam, out = 0.5, []
+        for r in range(1, n_iter + 1):
+            s = 0
+            for tok, cnt in ch.items():
+                pa = (ca.get(tok, 0) + 1) / float(na + v)
+                pb = (cb.get(tok, 0) + 1) / float(nb + v)
+                g = int((lam * pa / (lam * pa + (1.0 - lam) * pb)) * 1e12 + 0.5)
+                s += g * cnt
+            lam = float(s) / (1e12 * nh)
+            out.append((r, int(lam * 1e9 + 0.5) / 1e9))
+        return out
+
+    mk = lambda txts: spark.createDataFrame([(t,) for t in txts], "text string")
+    got = sorted(
+        (r.round, r.lam)
+        for r in lm_mixture_em(mk(a_txt), mk(b_txt), mk(h_txt), n_iter=5).collect()
+    )
+    assert got == em_py()
+    # the held-out mix leans toward whichever domain explains it; with a
+    # 50/50 blend λ should stay interior and move monotonically from 0.5
+    lams = [l for _, l in got]
+    assert all(0.0 < l < 1.0 for l in lams)
