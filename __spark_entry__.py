@@ -2578,6 +2578,19 @@ def _q_lm_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_2hop_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style deterministic 2-hop fanout sampling (fanout 3, md5
+    edge rank) over the 97-node doc graph: per seed, hop-1 sample size,
+    sampled 2-hop path count, distinct hop-2 nodes. The per-node sample is
+    computed once and composed, so every join key carries ≤ fanout rows
+    per side. The oracle re-derives the identical sample with a
+    row_number window over the same md5 rank and walks the same
+    composition."""
+    from readability_spark.operators.graph import two_hop_sample_report
+
+    return two_hop_sample_report(_pagerank_edges(spark, sf_dir), fanout=3)
+
+
 def _q_rare_ngram_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memorization-risk audit over the dup-injected corpus: per-doc count
     and fraction of corpus-unique 3-grams. Injected copies force their
@@ -2875,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary_match": _q_dictionary_match,
         "media_tags": _q_media_tags,
         "lm_mixture_em": _q_lm_mixture_em,
+        "graph_2hop_sample": _q_graph_2hop_sample,
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         "url_dates": _q_url_dates,
         "soft404_report": _q_soft404_report,
@@ -5447,6 +5461,34 @@ probs AS MATERIALIZED (
 """
 
 
+def _graph_2hop_oracle(fanout: int = 3) -> str:
+    """Mirror of graph.two_hop_sample_report on the 97-node doc graph:
+    the same md5-ranked per-node sample via one row_number window, the
+    same sampled⋈sampled composition."""
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT src AS u, dst AS v FROM (
+    SELECT doc_id % 97 AS src, (doc_id * doc_id + 1) % 97 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id % 97 AS src, (doc_id + 1) % 97 AS dst FROM documents)
+),
+ranked AS (
+  SELECT u, v,
+         row_number() OVER (PARTITION BY u ORDER BY md5(u || '_' || v), v) AS rn
+  FROM edges
+),
+s AS (SELECT u, v FROM ranked WHERE rn <= {fanout}),
+paths AS (
+  SELECT s1.u AS seed, s1.v AS h1, s2.v AS w
+  FROM s s1 JOIN s s2 ON s2.u = s1.v
+)
+SELECT seed, count(DISTINCT h1)::int AS n_hop1,
+       count(*)::bigint AS n_paths,
+       count(DISTINCT w)::int AS n_hop2
+FROM paths GROUP BY seed
+"""
+
+
 def _rare_ngram_oracle(rare_df: int = 1) -> str:
     """Mirror of pii.rare_ngram_report over the dup-injected corpus: the
     same distinct-3-gram construction (_SHINGLES) and DF≤{rare_df} postings
@@ -7946,6 +7988,7 @@ FROM th LEFT JOIN k ON th.lang = k.lang
         "dictionary_match": _dictionary_match_oracle(),
         "media_tags": _media_tags_oracle(),
         "lm_mixture_em": _lm_mixture_em_oracle(),
+        "graph_2hop_sample": _graph_2hop_oracle(),
         "cdc_chunk_dedup": _cdc_chunk_oracle(),
         "url_dates": _url_dates_oracle(),
         "soft404_report": _soft404_oracle(),

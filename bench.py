@@ -254,6 +254,7 @@ def main() -> int:
         "dictionary_match",
         "media_tags",
         "lm_mixture_em",
+        "graph_2hop_sample",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

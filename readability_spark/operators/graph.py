@@ -388,3 +388,65 @@ def cc_large_small_star(
     return sym.groupBy("a").agg(
         F.least(F.min("b"), F.first("a")).alias("cluster_id")
     ).select(F.col("a").alias("doc_id"), "cluster_id")
+
+
+def sample_neighbors(
+    edges: DataFrame,
+    fanout: int,
+    src: str = "src",
+    dst: str = "dst",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Deterministic per-node neighbor sampling — the GraphSAGE-style
+    fanout primitive (Hamilton et al. 2017): keep ``fanout`` neighbors per
+    node, ordered by a seeded hash rank (md5 of the edge — portable across
+    engines) so the sample is a pure function of the edge set, stable
+    under retries, partitioning, and re-runs.
+
+    Two-phase salted rank (the domain_top_k discipline): phase 1 ranks
+    within (node, dst % n_salts) and keeps fanout per salt, phase 2 ranks
+    the ≤ fanout·n_salts survivors per node — a 10^7-degree hub never
+    routes its full adjacency through one task's sort.
+    """
+    from pyspark.sql import Window
+
+    rank_key = F.md5(
+        F.concat(F.col("u").cast("string"), F.lit("_"), F.col("v").cast("string"))
+    )
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    salted = e.withColumn("_salt", F.pmod(F.col("v"), F.lit(n_salts)))
+    w1 = Window.partitionBy("u", "_salt").orderBy(rank_key, F.col("v"))
+    phase1 = salted.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= fanout
+    )
+    w2 = Window.partitionBy("u").orderBy(rank_key, F.col("v"))
+    return (
+        phase1.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= fanout)
+        .select("u", "v")
+    )
+
+
+def two_hop_sample_report(
+    edges: DataFrame, fanout: int = 3, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-seed 2-hop sampled-neighborhood summary: hop-1 sample size,
+    number of 2-hop paths through the per-node samples, and distinct
+    hop-2 nodes — the fanout accounting a GNN/embedding trainer sizes its
+    minibatches with. The per-node sample is computed ONCE and composed
+    (sampled ⋈ sampled on the middle node), so the 2-hop stage is one
+    equi-join of two fanout-bounded tables — each join key carries at
+    most ``fanout`` rows per side by construction, skew-free no matter
+    how hot the hub."""
+    s = sample_neighbors(edges, fanout, src=src, dst=dst).persist()
+    t = s.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    paths = s.join(t, "v")
+    out = (
+        paths.groupBy(F.col("u").alias("seed"))
+        .agg(
+            F.count_distinct("v").cast("int").alias("n_hop1"),
+            F.count("*").cast("bigint").alias("n_paths"),
+            F.count_distinct("w").cast("int").alias("n_hop2"),
+        )
+    )
+    return out

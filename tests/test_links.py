@@ -358,3 +358,28 @@ def test_cc_large_small_star_matches_bruteforce_and_pointer_jumping(spark, pairs
     pj = {r.doc_id: r.cluster_id for r in connected_components(df).collect()}
     assert star == want
     assert pj == want
+
+
+def test_sample_neighbors_deterministic_and_bounded(spark):
+    from readability_spark.operators.graph import sample_neighbors
+
+    # hub node 0 with 50 neighbors; node 1 with 2
+    edges = [(0, i) for i in range(1, 51)] + [(1, 100), (1, 101)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted((r.u, r.v) for r in sample_neighbors(df, 3).collect())
+    b = sorted(
+        (r.u, r.v) for r in sample_neighbors(df.repartition(7), 3).collect()
+    )
+    assert a == b  # partition-independent sample
+    by_u = {}
+    for u, v in a:
+        by_u.setdefault(u, []).append(v)
+    assert len(by_u[0]) == 3          # hub capped at fanout
+    assert sorted(by_u[1]) == [100, 101]  # under-fanout keeps all
+    # the hash-ranked sample matches the brute-force selection
+    import hashlib
+
+    want0 = sorted(
+        range(1, 51), key=lambda v: (hashlib.md5(f"0_{v}".encode()).hexdigest(), v)
+    )[:3]
+    assert sorted(by_u[0]) == sorted(want0)
