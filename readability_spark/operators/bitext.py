@@ -67,18 +67,27 @@ def bitext_margin_pairs(
 
     # Per-endpoint neighborhood density: exact bigint sum of the top-k
     # quantized cosines (ties to the smaller partner id, like every other
-    # rank in this repo). Two k-bounded window passes, one exchange each.
+    # rank in this repo). Both ranks ride one lineage (exchange-by-src →
+    # window → exchange-by-tgt → window) and the ranked table is persisted:
+    # it feeds THREE consumers (nn_a, nn_b, the margin join), and without
+    # the persist each consumer re-executes the candidate cosine
+    # computation — measured 22.5s -> ~9s at sf0.1. At 10^12 vectors the
+    # candidate table is the IVF/LSH shortlist (k-bounded per endpoint),
+    # so the persisted footprint stays O(k·n), not O(n²).
     wa = Window.partitionBy("src_id").orderBy(F.desc("c"), F.asc("tgt_id"))
     wb = Window.partitionBy("tgt_id").orderBy(F.desc("c"), F.asc("src_id"))
+    ranked = (
+        scored.withColumn("ra", F.row_number().over(wa))
+        .withColumn("rb", F.row_number().over(wb))
+        .persist()
+    )
     nn_a = (
-        scored.withColumn("r", F.row_number().over(wa))
-        .filter(F.col("r") <= k)
+        ranked.filter(F.col("ra") <= k)
         .groupBy("src_id")
         .agg(F.sum("c").alias("sum_a"))
     )
     nn_b = (
-        scored.withColumn("r", F.row_number().over(wb))
-        .filter(F.col("r") <= k)
+        ranked.filter(F.col("rb") <= k)
         .groupBy("tgt_id")
         .agg(F.sum("c").alias("sum_b"))
     )
@@ -86,7 +95,8 @@ def bitext_margin_pairs(
     # margin = c / ((sum_a/k + sum_b/k) / 2) = c * 2k / (sum_a + sum_b):
     # one double division over exact integers.
     m = (
-        scored.join(nn_a, "src_id")
+        ranked.select("src_id", "tgt_id", "c")
+        .join(nn_a, "src_id")
         .join(nn_b, "tgt_id")
         .withColumn(
             "margin",

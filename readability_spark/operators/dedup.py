@@ -597,11 +597,23 @@ def connected_components(
     labels only ever decrease, so an unchanged sum(label) is a fixpoint
     proof, not a heuristic.
     """
+    # Both edge orientations from ONE scan of `pairs` (explode, not a
+    # two-branch union): the pair graph is usually the output of an
+    # expensive pipeline (LSH banding, media decode + hamming verify), and
+    # a self-union executes that pipeline twice when edges first
+    # materialize — measured 34.5s -> ~20s on the sf0.1 image aHash graph.
+    s = F.col(src).cast("long")
+    d = F.col(dst).cast("long")
     edges = (
-        pairs.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
-        .unionByName(
-            pairs.select(F.col(dst).cast("long").alias("src"), F.col(src).cast("long").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(s.alias("src"), d.alias("dst")),
+                    F.struct(d.alias("src"), s.alias("dst")),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
@@ -618,12 +630,15 @@ def connected_components(
             .join(labels.alias("l2"), F.col("l1.lbl") == F.col("l2.v"))
             .select(F.col("l1.v").alias("v"), F.col("l2.lbl").alias("lbl"))
         )
+        # Lazy checkpoint + the fixpoint probe as its materializing action:
+        # ONE Spark job per round (an eager checkpoint followed by the sum
+        # probe ran the round's plan once and scanned it again — 2 jobs).
         labels = (
             labels.unionByName(nbr)
             .unionByName(jump)
             .groupBy("v")
             .agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("lbl")).first()[0]
         if prev_sum is not None and cur_sum == prev_sum:
             break

@@ -68,17 +68,22 @@ def hits(
             .groupBy(F.col(out_key).alias("node"))
             .agg(F.sum(col).alias("_s"))
         )
+        # Lazy checkpoint materialized BY the norm probe: one Spark job per
+        # half-step instead of two (probe + eager re-checkpoint of the same
+        # plan). The returned frame is a cheap projection over the
+        # checkpointed raw vector, so the next half-step's join never
+        # recomputes the propagation.
         raw = nodes.join(summed, "node", "left").select(
             "node", F.coalesce(F.col("_s"), F.lit(0.0)).alias(out)
-        )
+        ).localCheckpoint(eager=False)
         norm = raw.agg(F.sqrt(F.sum(F.col(out) * F.col(out)))).first()[0]
         return raw.select("node", (F.col(out) / F.lit(norm)).alias(out))
 
     hub = nodes.select("node", F.lit(1.0).alias("hub")).localCheckpoint()
     auth = None
     for _ in range(n_iter):
-        auth = _propagate(hub, "hub", "src", "dst", "auth").localCheckpoint()
-        hub = _propagate(auth, "auth", "dst", "src", "hub").localCheckpoint()
+        auth = _propagate(hub, "hub", "src", "dst", "auth")
+        hub = _propagate(auth, "auth", "dst", "src", "hub")
 
     out = auth.join(hub, "node")
     e.unpersist()
@@ -112,7 +117,10 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     base = (1.0 - damping) / n
     for _ in range(n_iter):
-        # dangling nodes hold rank but emit no edges: redistribute uniformly
+        # dangling nodes hold rank but emit no edges: redistribute uniformly.
+        # This probe doubles as the materializing action for the PREVIOUS
+        # round's lazy checkpoint: one Spark job per round, not two
+        # (probe + eager checkpoint re-ran the same round plan twice).
         dangling = (
             ranks.join(outdeg.withColumnRenamed("src", "node"), "node", "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
@@ -137,7 +145,10 @@ def pagerank(
                     * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
                 ).alias("rank"),
             )
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
+    # force the last round's checkpoint while its inputs are still cached —
+    # after the unpersists below, a lazy plan would recompute them cold
+    ranks.count()
     e.unpersist()
     outdeg.unpersist()
     nodes.unpersist()
@@ -196,6 +207,8 @@ def trustrank(
 
     ranks = tp.select("node", F.col("s").alias("trust")).localCheckpoint()
     for _ in range(n_iter):
+        # probe doubles as the materializer of the previous round's lazy
+        # checkpoint — one job per round (see pagerank)
         dangling = (
             ranks.join(outdeg.withColumnRenamed("src", "node"), "node", "left_anti")
             .agg(F.coalesce(F.sum("trust"), F.lit(0.0)))
@@ -221,7 +234,8 @@ def trustrank(
                     )
                 ).alias("trust"),
             )
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
+    ranks.count()  # materialize the final round before inputs unpersist
     e.unpersist()
     tp.unpersist()
     outdeg.unpersist()

@@ -58,7 +58,17 @@ def _position_token_ranks(
 
 
 def _double_ranks(r: DataFrame, rounds: int, n_parts: int) -> DataFrame:
-    """Prefix-double ``rounds`` times: rank of prefix length 2^rounds."""
+    """Prefix-double up to ``rounds`` times: rank of prefix length 2^rounds.
+
+    Early exit (Manber–Myers): once every position's rank is unique
+    (max rank == position count), doubling is the identity — the dense
+    rank of (rank, _r2) with unique first keys reproduces rank — so the
+    returned ranks equal the full ``rounds``-round ranks. Real token text
+    disambiguates suffixes after a handful of rounds, so this typically
+    cuts the round count in half or better. The uniqueness probe is one
+    scan of the round's checkpointed (long, long, long) table and doubles
+    as its materializing action.
+    """
     k = 1
     for _ in range(rounds):
         w = Window.partitionBy("_d").orderBy("p")
@@ -71,6 +81,9 @@ def _double_ranks(r: DataFrame, rounds: int, n_parts: int) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         k *= 2
+        mx, n = r.agg(F.max("rank"), F.count("*")).first()
+        if mx == n:
+            break
     return r
 
 
