@@ -385,8 +385,11 @@ def cc_large_small_star(
 
     probe = None
     for _ in range(max_iter):
-        e = large_star(e).localCheckpoint()
-        e = small_star(e).localCheckpoint()
+        # lazy checkpoints materialized together by the fixpoint probe:
+        # ONE Spark job per round (two eager checkpoints + the probe ran
+        # three), with lineage still cut at both star steps
+        e = large_star(e).localCheckpoint(eager=False)
+        e = small_star(e).localCheckpoint(eager=False)
         # ANSI mode: sum() of hashes overflows long; xor is order-independent
         # and closed over int64 — same multiset-identity probe
         cur = e.agg(

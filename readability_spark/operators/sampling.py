@@ -334,7 +334,7 @@ def leakage_safe_split(docs: DataFrame, splits=DEFAULT_SPLITS) -> DataFrame:
 
     Deterministic on any cluster size/partitioning (hash-keyed like every
     sampling op — no seeded RNG). Scale shape: cluster labels come from
-    the banded-LSH + log-round pointer-jumping pipeline and only docs WITH
+    the banded-LSH + log-round large/small-star pipeline and only docs WITH
     a near-dup appear in the label table; the assignment join is
     doc_id-to-doc_id, and the split projection is pure codegen.
 

@@ -349,13 +349,13 @@ def _components_bruteforce(pairs):
     ],
 )
 def test_cc_large_small_star_matches_bruteforce_and_pointer_jumping(spark, pairs):
-    from readability_spark.operators.dedup import connected_components
+    from readability_spark.operators.dedup import connected_components_pointer_jump
     from readability_spark.operators.graph import cc_large_small_star
 
     want = _components_bruteforce(pairs)
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     star = {r.doc_id: r.cluster_id for r in cc_large_small_star(df).collect()}
-    pj = {r.doc_id: r.cluster_id for r in connected_components(df).collect()}
+    pj = {r.doc_id: r.cluster_id for r in connected_components_pointer_jump(df).collect()}
     assert star == want
     assert pj == want
 
