@@ -137,22 +137,32 @@ def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
-def _pq_lloyd_update(subs: DataFrame, assign: DataFrame, cb: DataFrame) -> DataFrame:
+def _pq_lloyd_update(
+    subs: DataFrame, assign: DataFrame, cb: DataFrame, subdim: int
+) -> DataFrame:
     """New codeword = per-(sub, code) component mean quantized to 1e-6;
     empty codes keep the previous codeword (semdedup._lloyd_update per
-    subspace). The shuffle carries (sub, code, pos, double) rows; the
-    result is m·k rows — broadcast-sized at any corpus size."""
+    subspace). The ``subdim`` component means are direct ``avg(sv[i])``
+    aggregate columns over ONE (sub, code) shuffle — the earlier
+    posexplode + per-(sub, code, pos) shuffle + collect_list re-assembly
+    was a second exchange and a per-element row blow-up for the same
+    math. The result is m·k rows — broadcast-sized at any corpus size."""
     comp = (
         subs.join(assign, ["vec_id", "sub"])
-        .select("sub", "code", F.posexplode("sv").alias("pos", "val"))
-        .groupBy("sub", "code", "pos")
-        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .groupBy("sub", "code")
+        .agg(
+            *[
+                F.avg(F.col("sv")[i].cast("double")).alias(f"_m{i}")
+                for i in range(subdim)
+            ]
+        )
     )
-    arrs = comp.groupBy("sub", "code").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))),
-            lambda s: F.floor(s.m * 1e6 + 0.5) / 1e6,
-        ).alias("new_cw")
+    arrs = comp.select(
+        "sub",
+        "code",
+        F.array(
+            *[F.floor(F.col(f"_m{i}") * 1e6 + 0.5) / 1e6 for i in range(subdim)]
+        ).alias("new_cw"),
     )
     return (
         cb.join(
@@ -174,15 +184,26 @@ def pq_train(
     k: int = PQ_K,
     lloyd_iters: int = PQ_LLOYD_ITERS,
     seed: int = DEFAULT_PLANE_SEED,
+    _subs: "DataFrame | None" = None,
 ) -> DataFrame:
     """Train the m per-subspace codebooks; returns (sub, code_id, cw),
     localCheckpointed (tiny, and consumed by the encode + query-table
-    branches — the cut stops each branch re-running the Lloyd chain)."""
-    subs = pq_subvectors(emb, m)
-    cb = pq_init_codebooks(emb.sparkSession, _infer_dim(emb), m, k, seed)
+    branches — the cut stops each branch re-running the Lloyd chain).
+
+    Each Lloyd iteration references ``subs`` twice (assign + update) and
+    the previous codebook twice (assign + empty-code fallback), so an
+    un-checkpointed chain re-executes the subvector explode ~3^iters
+    times in the single materializing action. ``subs`` is checkpointed
+    once and the m·k-row codebook is checkpointed per iteration — one
+    tiny job each — keeping the plan linear in ``lloyd_iters``.
+    ``_subs``: pre-checkpointed subvector table to reuse (pq_adc_topk
+    passes its own so encode and train share one explode)."""
+    subs = pq_subvectors(emb, m).localCheckpoint(eager=False) if _subs is None else _subs
+    dim = _infer_dim(emb)
+    cb = pq_init_codebooks(emb.sparkSession, dim, m, k, seed)
     for _ in range(lloyd_iters):
-        cb = _pq_lloyd_update(subs, _pq_assign(subs, cb), cb)
-    return cb.localCheckpoint()
+        cb = _pq_lloyd_update(subs, _pq_assign(subs, cb), cb, dim // m).localCheckpoint()
+    return cb if lloyd_iters > 0 else cb.localCheckpoint()
 
 
 def _topl(df: DataFrame, order_col: str, limit: int, n_salts: int = PQ_SALTS) -> DataFrame:
@@ -221,8 +242,10 @@ def pq_adc_topk(
     squared L2 (in the same integer micro-units) reranks the shortlist —
     both distances quantized so ordering is engine-exact. ``rerank=0``
     returns the pure-ADC ordering (d2_micro is then the ADC estimate)."""
-    subs = pq_subvectors(emb, m)
-    cb = pq_train(emb, m, k_codes, lloyd_iters, seed)
+    # one subvector explode shared by training, encoding, and the query
+    # table (it feeds 2·lloyd_iters + 2 plan references)
+    subs = pq_subvectors(emb, m).localCheckpoint(eager=False)
+    cb = pq_train(emb, m, k_codes, lloyd_iters, seed, _subs=subs)
     codes = _pq_assign(subs, cb)
     qsubs = subs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qsv")

@@ -20,7 +20,7 @@ from __future__ import annotations
 import hashlib
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -46,14 +46,21 @@ def jl_project(
     """Append ``out_dim`` projected coordinates ``{prefix}00..`` — one
     codegen projection, no shuffle."""
     signs = jl_signs(in_dim, out_dim)
-    scale = 1.0 / math.sqrt(out_dim)
+    scale = repr(1.0 / math.sqrt(out_dim))
     cols = []
+    # Each chain as ONE parsed SQL expression: building the same left-deep
+    # tree from Python Column objects costs ~in_dim·out_dim py4j round
+    # trips (2,000+ driver calls for 64→16) before a single row moves;
+    # the parsed tree is node-for-node identical, so values are still
+    # bit-for-bit the oracle's.
     for j, row in enumerate(signs):
-        acc: Column = F.lit(0.0)
+        chain = "CAST(0.0 AS DOUBLE)"
         for i, s in enumerate(row):
-            term = F.col(vec_col)[i].cast("double")
-            acc = acc + (term if s > 0 else -term)
-        cols.append((acc * F.lit(scale)).alias(f"{prefix}{j:02d}"))
+            op = "+" if s > 0 else "-"
+            chain = f"({chain} {op} CAST({vec_col}[{i}] AS DOUBLE))"
+        cols.append(
+            F.expr(f"({chain}) * {scale}").alias(f"{prefix}{j:02d}")
+        )
     return df.select("*", *cols)
 
 
