@@ -57,19 +57,31 @@ def _position_token_ranks(
     )
 
 
-def _double_ranks(r: DataFrame, rounds: int, n_parts: int) -> DataFrame:
+def _double_ranks(
+    r: DataFrame, rounds: int, n_parts: int, stable_exit: bool = False
+) -> DataFrame:
     """Prefix-double up to ``rounds`` times: rank of prefix length 2^rounds.
 
-    Early exit (Manber–Myers): once every position's rank is unique
-    (max rank == position count), doubling is the identity — the dense
-    rank of (rank, _r2) with unique first keys reproduces rank — so the
-    returned ranks equal the full ``rounds``-round ranks. Real token text
-    disambiguates suffixes after a handful of rounds, so this typically
-    cuts the round count in half or better. The uniqueness probe is one
-    scan of the round's checkpointed (long, long, long) table and doubles
-    as its materializing action.
+    Early exits (Manber–Myers), probed with one scan of the round's
+    checkpointed (long, long, long) table that doubles as its
+    materializing action:
+
+    - uniqueness: once every position's rank is unique (max rank ==
+      position count), doubling is the identity — the dense rank of
+      (rank, _r2) with unique first keys reproduces rank — so the
+      returned ranks equal the full ``rounds``-round ranks. Always safe.
+    - stagnation (``stable_exit``): if a round does not increase the
+      number of distinct ranks, no later round can (rank_{2k} classes are
+      functions of rank_k classes, so a stable partition is the limit
+      partition) — the ranks already equal the FULL suffix ranks. Safe
+      for :func:`suffix_ranks` (whose target is the limit), NOT for
+      :func:`exact_duplicate_spans`, whose window certificates need the
+      rank of EXACTLY the 2^rounds-token prefix: the limit partition is
+      strictly finer when equal windows sit inside diverging suffixes,
+      and finer ranks would miss those duplicate windows.
     """
     k = 1
+    prev_mx = None
     for _ in range(rounds):
         w = Window.partitionBy("_d").orderBy("p")
         paired = r.select(
@@ -82,8 +94,9 @@ def _double_ranks(r: DataFrame, rounds: int, n_parts: int) -> DataFrame:
         )
         k *= 2
         mx, n = r.agg(F.max("rank"), F.count("*")).first()
-        if mx == n:
+        if mx == n or (stable_exit and mx == prev_mx):
             break
+        prev_mx = mx
     return r
 
 
@@ -103,7 +116,7 @@ def suffix_ranks(
             [], f"{id_col} long, p int, rank long"
         )
     rounds = max(0, math.ceil(math.log2(maxlen + 1)))
-    r = _double_ranks(pos, rounds, n_parts)
+    r = _double_ranks(pos, rounds, n_parts, stable_exit=True)
     return r.select(F.col("_d").alias(id_col), "p", "rank")
 
 
