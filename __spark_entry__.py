@@ -765,6 +765,22 @@ def _q_exact_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicate_spans(_docs(spark, sf_dir), length=6)
 
 
+def _q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup with REMOVAL over the injected-duplicates corpus:
+    every 6-token window appearing >= 2 times corpus-wide keeps its first
+    occurrence (smallest doc_id, p) and every token covered by any other
+    occurrence is cut; cleaned text reassembles per doc. The injected
+    full-doc copies guarantee whole documents collapse to ''. The oracle
+    mirrors the md5 window keys, the (doc_id, p) survivor election, and
+    the position-coverage anti-join."""
+    from readability_spark.operators.dedup import with_injected_duplicates
+    from readability_spark.operators.spans import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        with_injected_duplicates(_docs(spark, sf_dir)), length=6
+    )
+
+
 def _q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL Rademacher projection 64→16 dims: one codegen projection, zero
     shuffles; the md5-seeded sign matrix and left-deep addition chain are
@@ -2862,6 +2878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample_stats": _q_audio_resample_stats,
         "duplicate_spans": _q_duplicate_spans,
         "corpus_mix": _q_corpus_mix,
+        "span_removal": _q_span_removal,
         # -- new in r4 (no driver row yet) -----------------------------------
         "label_propagation": _q_label_propagation,
         "event_bursts": _q_event_bursts,
@@ -8290,6 +8307,32 @@ SELECT doc_id, p, dense_rank() OVER (ORDER BY s) AS rank FROM sfx
 """,
         "jl_projection": _jl_projection_oracle(),
         "windowed_distinct_users": _hll_window_users_oracle(),
+        "span_removal": f"""
+WITH dup AS ({_DUP_DOCS}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dup),
+win AS (SELECT doc_id, p1 - 1 AS p,
+               md5(array_to_string(t[p1:p1+5], ' ')) AS wk
+        FROM (SELECT doc_id, generate_subscripts(t, 1) AS p1, t FROM toks)
+        WHERE p1 + 5 <= len(t)),
+occ AS (SELECT doc_id, p,
+               count(*) OVER (PARTITION BY wk) AS n,
+               row_number() OVER (PARTITION BY wk ORDER BY doc_id, p) AS rn
+        FROM win),
+rem AS (SELECT doc_id, p FROM occ WHERE n >= 2 AND rn > 1),
+rpos AS (SELECT DISTINCT doc_id, unnest(generate_series(p, p + 5)) AS pos
+         FROM rem),
+tok AS (SELECT doc_id, p1 - 1 AS pos, t[p1] AS tk
+        FROM (SELECT doc_id, generate_subscripts(t, 1) AS p1, t FROM toks)),
+kept AS (SELECT tok.doc_id, tok.pos, tok.tk FROM tok
+         WHERE NOT EXISTS (SELECT 1 FROM rpos r
+                           WHERE r.doc_id = tok.doc_id AND r.pos = tok.pos))
+SELECT d.doc_id,
+       coalesce(string_agg(k.tk, ' ' ORDER BY k.pos), '') AS text_clean,
+       count(k.pos)::bigint AS n_tokens_kept,
+       (any_value(len(d.t)) - count(k.pos))::bigint AS n_tokens_removed
+FROM toks d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.doc_id
+""",
         "exact_duplicate_spans": """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 win AS (SELECT doc_id, p1 - 1 AS p, array_to_string(t[p1:p1+5], ' ') AS w

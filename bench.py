@@ -255,6 +255,7 @@ def main() -> int:
         "media_tags",
         "lm_mixture_em",
         "graph_2hop_sample",
+        "span_removal",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1

@@ -202,3 +202,96 @@ def winnow_pairs(
             round4(F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b"))).alias("overlap"),
         )
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    length: int = 6,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr dedup with REMOVAL (Lee et al. 2022 §4: they cut all
+    but one occurrence of each duplicated substring, not just report it):
+    every ``length``-token window whose content appears >= ``min_count``
+    times corpus-wide keeps exactly its first occurrence — the smallest
+    (doc_id, p) — and every token covered by any OTHER occurrence is cut;
+    the survivors reassemble into ``text_clean``.
+
+    Overlap semantics (documented, deterministic): a token is removed iff
+    at least one non-survivor duplicated window covers it — so a token
+    inside a kept window can still be cut by a different overlapping
+    removed window, exactly like span-merge in the reference
+    formulation. Every input doc appears in the output (fully-removed
+    docs with ``text_clean = ''``).
+
+    Scale shape: window keys are md5(window) so the corpus-wide count
+    shuffles 32-byte keys (THE ExactSubstr exchange — one groupBy with
+    map-side combine); survivor election is a struct-min inside the same
+    aggregate, no window function; removed positions are bounded by
+    ``length`` x duplicated occurrences; the anti-join and the per-doc
+    reassembly key on (doc_id, pos) / doc_id. Per-doc collect_list is
+    bounded by document length, the same inherent bound every per-doc
+    reassembly has.
+
+    Output: (doc_id, text_clean, n_tokens_kept, n_tokens_removed).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("t")
+    ).localCheckpoint(eager=False)  # feeds windows, tokens, and totals
+    win = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.when(
+                        F.size("t") >= F.lit(length),
+                        F.sequence(F.lit(0), F.size("t") - length),
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.struct(
+                        i.alias("p"),
+                        F.md5(F.concat_ws(" ", F.slice("t", i + 1, length))).alias(
+                            "wk"
+                        ),
+                    ),
+                )
+            ).alias("w"),
+        ).select("doc_id", F.col("w.p").alias("p"), F.col("w.wk").alias("wk"))
+    ).localCheckpoint(eager=False)  # feeds the count agg and the rejoin
+    stats = win.groupBy("wk").agg(
+        F.count("*").alias("n"),
+        F.min(F.struct(F.col("doc_id"), F.col("p"))).alias("keep"),
+    )
+    removed_occ = (
+        win.join(stats.filter(F.col("n") >= min_count), "wk")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("keep.doc_id"))
+                & (F.col("p") == F.col("keep.p"))
+            )
+        )
+        .select("doc_id", "p")
+    )
+    removed_pos = removed_occ.select(
+        "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + (length - 1))).alias("pos")
+    )
+    tok = toks.select("doc_id", F.posexplode("t").alias("pos", "tk"))
+    kept = tok.join(removed_pos, ["doc_id", "pos"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tk"))), lambda s: s.tk
+            ),
+        ).alias("text_clean"),
+        F.count("*").alias("n_tokens_kept"),
+    )
+    totals = toks.select("doc_id", F.size("t").alias("_n_tokens"))
+    return totals.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        F.coalesce(F.col("n_tokens_kept"), F.lit(0)).cast("bigint").alias("n_tokens_kept"),
+        (F.col("_n_tokens") - F.coalesce(F.col("n_tokens_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_tokens_removed"),
+    )

@@ -153,3 +153,75 @@ def test_winnow_pairs_finds_fragment_overlap(spark):
             # the fragment's fingerprints are (nearly) a subset of the
             # parent's: containment-style overlap is high
             assert pairs[key] >= 0.8, (key, pairs[key])
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_spans: ExactSubstr with removal
+# ---------------------------------------------------------------------------
+
+def _py_remove(docs, k, min_count=2):
+    """Independent pure-python mirror: real window strings, (doc_id, p)
+    survivor election, position-coverage removal, per-doc reassembly."""
+    occ = {}
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    for d in sorted(toks):
+        ts = toks[d]
+        for p in range(len(ts) - k + 1):
+            occ.setdefault(" ".join(ts[p : p + k]), []).append((d, p))
+    removed = {d: set() for d in toks}
+    for w, lst in occ.items():
+        if len(lst) < min_count:
+            continue
+        for d, p in sorted(lst)[1:]:
+            removed[d].update(range(p, p + k))
+    out = {}
+    for d, ts in toks.items():
+        kept = [t for i, t in enumerate(ts) if i not in removed[d]]
+        out[d] = (" ".join(kept), len(kept), len(ts) - len(kept))
+    return out
+
+
+def _collect_removal(df):
+    return {
+        r.doc_id: (r.text_clean, r.n_tokens_kept, r.n_tokens_removed)
+        for r in df.collect()
+    }
+
+
+def test_remove_duplicate_spans_crafted(spark):
+    from readability_spark.operators.spans import remove_duplicate_spans
+
+    docs = {
+        1: "a b c d e f g h",          # survivor of the full-dup pair
+        2: "a b c d e f g h",          # full dup: collapses to ''
+        3: "p q r s t u v w x y z",    # unique: untouched
+        4: "m n a b c d e f o k l j",  # embeds doc 1's 6-token prefix
+        5: "short doc",                # shorter than the window
+    }
+    df = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    )
+    got = _collect_removal(remove_duplicate_spans(df, length=6))
+    want = _py_remove(docs, 6)
+    assert got == want
+    # the invariants a reader expects from the crafted corpus:
+    assert got[2][0] == ""                      # non-survivor full dup emptied
+    assert got[3] == (docs[3], 11, 0)           # unique doc untouched
+    assert got[5] == (docs[5], 2, 0)            # sub-window doc untouched
+    # doc 4 lost exactly the overlapping duplicated windows' coverage
+    assert got[4][1] + got[4][2] == len(docs[4].split(" "))
+
+
+def test_remove_duplicate_spans_corpus(spark):
+    from readability_spark.operators.spans import remove_duplicate_spans
+
+    # pseudo-random small-vocab corpus: plenty of organic window collisions
+    docs = {
+        d: " ".join(f"w{(d * 13 + i * 7) % 11}" for i in range(30))
+        for d in range(12)
+    }
+    df = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    )
+    got = _collect_removal(remove_duplicate_spans(df, length=6))
+    assert got == _py_remove(docs, 6)
