@@ -9,6 +9,7 @@ Prints ONE JSON line:
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -262,6 +263,16 @@ def main() -> int:
         queries[name] = timed(
             lambda fn=fn: fn(spark, SF_DIR).count(), name, trials=n_tr
         )
+        # Block-manager hygiene between queries: operators persist /
+        # localCheckpoint intermediates, and across 150 sequential queries
+        # the orphaned blocks accumulate until the ContextCleaner happens
+        # to run — late queries then measure memory pressure, not their
+        # plan (observed: bitext_pairs 24.8s late-in-run vs 2.2s in a
+        # fresh session). clearCache drops SQL-cached relations; gc
+        # releases the Python DataFrame refs so the cleaner reclaims
+        # checkpoint blocks.
+        spark.catalog.clearCache()
+        gc.collect()
 
     # -- per-stage candidate cardinalities for the banded dedup pipelines:
     # candidate volume relative to corpus size is what predicts behavior at

@@ -312,7 +312,11 @@ def label_propagation(
 
 
 def cc_large_small_star(
-    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 32
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 32,
+    _stats: "dict | None" = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -384,6 +388,7 @@ def cc_large_small_star(
         return canon(out)
 
     probe = None
+    rounds = 0
     for _ in range(max_iter):
         # lazy checkpoints materialized together by the fixpoint probe:
         # ONE Spark job per round (two eager checkpoints + the probe ran
@@ -396,9 +401,12 @@ def cc_large_small_star(
             F.count("*"), F.expr("bit_xor(xxhash64(a, b))")
         ).first()
         cur = (cur[0], cur[1])
+        rounds += 1
         if cur == probe:
             break
         probe = cur
+    if _stats is not None:
+        _stats["rounds"] = rounds
     # final graph is a star forest: every node's label = min over itself
     # and its direct neighbors
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))

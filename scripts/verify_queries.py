@@ -5,6 +5,7 @@ count, column set, and order-insensitive values."""
 
 from __future__ import annotations
 
+import gc
 import os
 import sys
 import time
@@ -14,7 +15,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from readability_spark.testing import compare_result, register_oracle_views
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "0.01"
-ONLY = sys.argv[2:] or None
+# names may be space- or comma-separated; a bare "--only" flag is tolerated
+ONLY = [
+    n
+    for arg in sys.argv[2:]
+    for n in arg.split(",")
+    if n and n != "--only"
+] or None
 SF_DIR = f"/root/testdata/sf{SF}"
 
 
@@ -39,6 +46,13 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if ONLY:
+        unknown = [n for n in ONLY if n not in qs]
+        if unknown:
+            # a typo'd name would otherwise verify NOTHING and still print
+            # FAILURES: 0 — fail loudly instead
+            print(f"✗ unknown query name(s): {', '.join(unknown)}")
+            return 2
     failures = 0
     timings: list = []
     for name, fn in qs.items():
@@ -74,6 +88,12 @@ def main():
         else:
             failures += 1
             print(f"✗ {name}: " + "; ".join(msgs))
+        # block-manager hygiene between queries (see bench.py): drop SQL
+        # cache and release Python refs so checkpoint blocks don't pile up
+        # across the 180+-query sweep
+        sdf = None
+        spark.catalog.clearCache()
+        gc.collect()
     spark.stop()
     if timings:
         print("-- slowest query/oracle pairs (total, spark, duckdb) --")

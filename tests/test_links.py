@@ -383,3 +383,25 @@ def test_sample_neighbors_deterministic_and_bounded(spark):
         range(1, 51), key=lambda v: (hashlib.md5(f"0_{v}".encode()).hexdigest(), v)
     )[:3]
     assert sorted(by_u[0]) == sorted(want0)
+
+
+def test_cc_star_converges_in_logarithmic_rounds(spark):
+    """Convergence regression pin: on a 1,024-node path graph (the
+    adversarial shape — near-clique LSH graphs converge faster) the
+    large/small-star loop must finish in O(log n) fixpoint rounds
+    (measured: 11 = log2(n) + fixpoint confirmation). The pointer-jump
+    variant needed 21 rounds on a long-chain graph (Fibonacci-rate
+    contraction), which is exactly the regression this guards against."""
+    from readability_spark.operators.graph import cc_large_small_star
+
+    n = 1024
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    stats = {}
+    out = {
+        r.doc_id: r.cluster_id
+        for r in cc_large_small_star(df, _stats=stats).collect()
+    }
+    assert out == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 14, f"CC took {stats['rounds']} rounds on a {n}-path"
