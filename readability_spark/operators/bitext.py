@@ -29,6 +29,7 @@ exchanges. No per-row Python anywhere.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -71,15 +72,19 @@ def bitext_margin_pairs(
     # window → exchange-by-tgt → window) and the ranked table is persisted:
     # it feeds THREE consumers (nn_a, nn_b, the margin join), and without
     # the persist each consumer re-executes the candidate cosine
-    # computation — measured 22.5s -> ~9s at sf0.1. At 10^12 vectors the
-    # candidate table is the IVF/LSH shortlist (k-bounded per endpoint),
-    # so the persisted footprint stays O(k·n), not O(n²).
+    # computation (measured 3x wall at sf0.1). DISK_ONLY, deliberately:
+    # building the default in-memory columnar cache for the candidate
+    # table costs ~15x the disk write on first materialization (34.3s vs
+    # 2.2s cold at sf0.1, 9M rows — per-batch compression dominates), and
+    # the three consumers stream it back sequentially anyway. At 10^12
+    # vectors the candidate table is the IVF/LSH shortlist (k-bounded per
+    # endpoint), so the persisted footprint stays O(k·n), not O(n²).
     wa = Window.partitionBy("src_id").orderBy(F.desc("c"), F.asc("tgt_id"))
     wb = Window.partitionBy("tgt_id").orderBy(F.desc("c"), F.asc("src_id"))
     ranked = (
         scored.withColumn("ra", F.row_number().over(wa))
         .withColumn("rb", F.row_number().over(wb))
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     )
     nn_a = (
         ranked.filter(F.col("ra") <= k)
