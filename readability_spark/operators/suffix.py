@@ -57,6 +57,49 @@ def _position_token_ranks(
     )
 
 
+def _dense_rank_bounded(
+    paired: DataFrame, mx: int, n_parts: int
+) -> DataFrame:
+    """dense_rank over (rank, _r2) when ``rank`` is a dense integer in
+    [1, mx] — the doubling-loop case. The bucket is pure arithmetic
+    (``floor(rank * n_parts / (mx+1))``), so unlike
+    ``ordering.dense_rank_global`` there is NO range-partitioner sampling
+    pass over the data each round; equal keys still colocate (the bucket
+    depends only on rank) and bucket ids are monotone in key order, so
+    the broadcast prefix-offset shift reproduces the global dense rank
+    bit-for-bit. The bucketed table is checkpointed lazily: the counts
+    aggregate materializes it and the window branch + join read it back."""
+    b = (
+        F.least(
+            F.lit(n_parts - 1),
+            F.floor(F.col("rank") * F.lit(n_parts) / F.lit(mx + 1)),
+        )
+        .cast("int")
+        .alias("_bk")
+    )
+    bucketed = paired.select("*", b).localCheckpoint(eager=False)
+    local = F.dense_rank().over(
+        Window.partitionBy("_bk").orderBy("rank", "_r2")
+    )
+    counts = bucketed.groupBy("_bk").agg(
+        F.countDistinct("rank", "_r2").alias("_n")
+    )
+    offsets = counts.select(
+        "_bk",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    return (
+        bucketed.withColumn("_lrk", local)
+        .join(F.broadcast(offsets), "_bk")
+        .select("_d", "p", (F.col("_off") + F.col("_lrk")).cast("long").alias("rank"))
+    )
+
+
 def _double_ranks(
     r: DataFrame, rounds: int, n_parts: int, stable_exit: bool = False
 ) -> DataFrame:
@@ -81,16 +124,17 @@ def _double_ranks(
       and finer ranks would miss those duplicate windows.
     """
     k = 1
-    prev_mx = None
+    # bound for the arithmetic bucketer; also materializes r's checkpoint
+    prev_mx = r.agg(F.max("rank")).first()[0]
+    if prev_mx is None:
+        return r
     for _ in range(rounds):
         w = Window.partitionBy("_d").orderBy("p")
         paired = r.select(
             "_d", "p", "rank", F.lead("rank", k, 0).over(w).alias("_r2")
         )
-        r = (
-            dense_rank_global(paired, ["rank", "_r2"], out="_nr", n_parts=n_parts)
-            .select("_d", "p", F.col("_nr").alias("rank"))
-            .localCheckpoint(eager=False)
+        r = _dense_rank_bounded(paired, prev_mx, n_parts).localCheckpoint(
+            eager=False
         )
         k *= 2
         mx, n = r.agg(F.max("rank"), F.count("*")).first()
