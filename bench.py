@@ -63,7 +63,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     from readability_spark.operators.extract import extract
-    from readability_spark.plans.pipeline import salted_repartition
+    from readability_spark.plans.pipeline import (
+        release_persistent_rdds,
+        salted_repartition,
+    )
     from readability_spark.sources.pages import synthesize_pages
 
     queries: dict = {}
@@ -257,6 +260,8 @@ def main() -> int:
         "lm_mixture_em",
         "graph_2hop_sample",
         "span_removal",
+        "webdataset_shards",
+        "webdataset_roundtrip",
     ):
         fn = qmap[name]
         n_tr = TRIALS if name in headline else 1
@@ -265,13 +270,16 @@ def main() -> int:
         )
         # Block-manager hygiene between queries: operators persist /
         # localCheckpoint intermediates, and across 150 sequential queries
-        # the orphaned blocks accumulate until the ContextCleaner happens
-        # to run — late queries then measure memory pressure, not their
-        # plan (observed: bitext_pairs 24.8s late-in-run vs 2.2s in a
-        # fresh session). clearCache drops SQL-cached relations; gc
-        # releases the Python DataFrame refs so the cleaner reclaims
-        # checkpoint blocks.
+        # the orphaned blocks accumulate until late queries measure memory
+        # pressure, not their plan (observed: bitext_pairs 24.8s
+        # late-in-run vs 2.2s in a fresh session). clearCache alone was
+        # NOT enough — it drops SQL-cached relations only, while
+        # localCheckpoint blocks are RDD-level and wait on the async
+        # ContextCleaner; release_persistent_rdds unpersists them
+        # explicitly (safe here: the previous query's DataFrames are
+        # dead once its count() returned).
         spark.catalog.clearCache()
+        release_persistent_rdds(spark)
         gc.collect()
 
     # -- per-stage candidate cardinalities for the banded dedup pipelines:

@@ -42,6 +42,32 @@ def salted_repartition(df: DataFrame, num_partitions: int, key: str = "url") -> 
     return df.repartition(num_partitions, F.pmod(F.xxhash64(F.col(key)), F.lit(num_partitions)))
 
 
+def release_persistent_rdds(spark: SparkSession) -> int:
+    """Unpersist every RDD block still held by the block manager and return
+    how many RDDs were dropped.
+
+    Harness hygiene between sequential queries: operators persist /
+    ``localCheckpoint`` intermediates, and ``spark.catalog.clearCache()``
+    drops only SQL-cached *relations* — RDD-level blocks (which is what
+    ``localCheckpoint`` leaves behind) are reclaimed only when the JVM
+    ContextCleaner notices the RDD became unreachable, which is
+    asynchronous and JVM-GC-dependent. Across a 150+-query sweep the
+    orphaned blocks accumulate until late queries measure block-manager
+    memory pressure instead of their plan shape. Explicitly unpersisting
+    is safe ONLY when no live DataFrame still depends on a checkpointed
+    RDD (its lineage is truncated, so its blocks cannot be recomputed) —
+    i.e. call this BETWEEN queries, after the previous query's results
+    are fully collected and its DataFrames dropped.
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    # snapshot first: unpersist mutates the context's persistent-RDD map,
+    # and py4j's dict view would be iterating it concurrently
+    rdds = list(jmap.values())
+    for rdd in rdds:
+        rdd.unpersist(False)
+    return len(rdds)
+
+
 def read_manifest(spark: SparkSession, manifest_path: str) -> Optional[DataFrame]:
     try:
         return spark.read.parquet(manifest_path)

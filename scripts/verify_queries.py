@@ -12,6 +12,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from readability_spark.plans.pipeline import release_persistent_rdds
 from readability_spark.testing import compare_result, register_oracle_views
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "0.01"
@@ -89,10 +90,12 @@ def main():
             failures += 1
             print(f"✗ {name}: " + "; ".join(msgs))
         # block-manager hygiene between queries (see bench.py): drop SQL
-        # cache and release Python refs so checkpoint blocks don't pile up
-        # across the 180+-query sweep
+        # cache, explicitly unpersist RDD-level checkpoint blocks (the
+        # async ContextCleaner otherwise lets them pile up across the
+        # 180+-query sweep), and release Python refs
         sdf = None
         spark.catalog.clearCache()
+        release_persistent_rdds(spark)
         gc.collect()
     spark.stop()
     if timings:

@@ -567,3 +567,26 @@ def test_stream_triage_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert {s for s, _ in want.values()} == {"exact_dup", "near_dup", "new"}
+
+
+def test_release_persistent_rdds_drops_checkpoint_blocks(spark):
+    """Harness hygiene: localCheckpoint leaves RDD-level blocks that
+    clearCache does NOT reclaim; release_persistent_rdds must drop them
+    all, and a plain-persisted DataFrame must stay recomputable (its
+    lineage is intact) after the blanket unpersist."""
+    from readability_spark.plans.pipeline import release_persistent_rdds
+
+    ckpt = spark.range(100).localCheckpoint()
+    assert ckpt.count() == 100
+    cached = spark.range(50).persist()
+    assert cached.count() == 50
+
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jmap.size() >= 2
+    spark.catalog.clearCache()
+
+    n = release_persistent_rdds(spark)
+    assert n >= 1
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    # lineage-backed recompute still works after the blocks are gone
+    assert cached.count() == 50
