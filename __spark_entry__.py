@@ -74,6 +74,38 @@ def _q_extract_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard sink manifest (WebDataset convention): deterministic
+    md5-hash shard assignment, one applyInPandas task per shard building
+    the actual USTAR archive. ``tar_bytes`` is MEASURED from the built
+    archive; the oracle recomputes it byte-exactly from closed-form tar
+    arithmetic (512-byte headers, 512-rounded payloads, 1024 end-of-
+    archive, 10240 record padding) — an independent end-to-end check
+    that the sink writes exactly the bytes it should."""
+    from readability_spark.sources.webdataset import build_webdataset_shards
+
+    return build_webdataset_shards(_docs(spark, sf_dir), n_shards=16)
+
+
+def _q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink → source identity: build the shard archives, parse them back
+    with the mapInPandas tar reader, and emit (shard_id, doc_id,
+    n_chars_rt). The oracle reads NONE of the tar machinery — it derives
+    the same rows straight from the documents table plus the md5 shard
+    assignment, so any byte damage in the sink or reader breaks parity."""
+    from readability_spark.sources.webdataset import (
+        build_webdataset_blobs,
+        parse_webdataset,
+    )
+
+    parsed = parse_webdataset(
+        build_webdataset_blobs(_docs(spark, sf_dir), n_shards=16)
+    )
+    return parsed.select(
+        "shard_id", "doc_id", F.length("text").cast("long").alias("n_chars_rt")
+    )
+
+
 def _q_extract_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction THROUGH the readerable-prefilter path (one parse serves
     the isProbablyReaderable gate and the grab — the crawl-shaped fast
@@ -2868,6 +2900,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- flagship first: the one row the whole engine is judged on gets
         # the freshest driver-oracle check every round ------------------------
         "extract_articles": _q_extract_articles,
+        # -- new this session (no driver row yet) ----------------------------
+        "webdataset_shards": _q_webdataset_shards,
+        "webdataset_roundtrip": _q_webdataset_roundtrip,
         # -- never driver-oracle-checked in ANY round (r3 VERDICT gap #1) ----
         "ann_int8_topk": _q_ann_int8,
         "ann_ivf_topk": _q_ann_ivf,
@@ -3117,6 +3152,39 @@ def _h32_sql(offset: int = 0, tok: str = "tok") -> str:
         f"* cast(pow(16, {7 - i}) as bigint)"
         for i in range(8)
     )
+
+
+def _webdataset_shards_oracle() -> str:
+    """Closed-form tar arithmetic per shard: each USTAR member costs a
+    512-byte header + its payload rounded up to 512; the archive adds
+    1024 end-of-archive zeros and pads to the 10240-byte record size.
+    Verified byte-exact against stdlib tarfile output (tests/
+    test_webdataset.py) — so this SQL independently predicts the length
+    of the archive the Spark sink actually builds."""
+    h32 = _h32_sql(tok="doc_id::varchar")
+    return f"""
+WITH assigned AS (
+  SELECT ({h32}) % 16 AS shard_id,
+         octet_length(encode(coalesce(text, ''))) AS sz
+  FROM documents),
+member AS (
+  SELECT shard_id, sz, 512 + ((sz + 511) // 512) * 512 AS member_bytes
+  FROM assigned)
+SELECT shard_id::int AS shard_id,
+       count(*)::bigint AS n_samples,
+       sum(sz)::bigint AS payload_bytes,
+       (((sum(member_bytes) + 1024 + 10239) // 10240) * 10240)::bigint AS tar_bytes
+FROM member GROUP BY shard_id
+"""
+
+
+def _webdataset_roundtrip_oracle() -> str:
+    h32 = _h32_sql(tok="doc_id::varchar")
+    return f"""
+SELECT (({h32}) % 16)::int AS shard_id, doc_id,
+       length(coalesce(text, ''))::bigint AS n_chars_rt
+FROM documents
+"""
 
 
 def _planes_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
@@ -7948,6 +8016,8 @@ def oracle_sql() -> dict[str, str]:
     from readability_spark.operators.planner import lsh_parameter_plan_sql
 
     return {
+        "webdataset_shards": _webdataset_shards_oracle(),
+        "webdataset_roundtrip": _webdataset_roundtrip_oracle(),
         "weighted_sample": _weighted_sample_oracle(),
         "bitext_pairs": _bitext_pairs_oracle(),
         "lsh_plan": lsh_parameter_plan_sql(perms=128, threshold=0.7),
