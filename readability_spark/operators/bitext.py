@@ -36,11 +36,6 @@ from pyspark.sql import functions as F
 from readability_spark.operators.similarity import _dot, _norm
 
 
-def _cos_q(a, b):
-    """Quantized cosine: floor(cos*1e4 + 0.5) as bigint — exact downstream."""
-    return F.floor(_dot(a, b) / (_norm(a) * _norm(b)) * 10000.0 + 0.5).cast("long")
-
-
 def bitext_margin_pairs(
     emb: DataFrame,
     k: int = 4,
@@ -54,54 +49,77 @@ def bitext_margin_pairs(
     Output: (src_id, tgt_id, cos, margin, mutual) — cos is the quantized
     cosine/1e4, margin round4'd from one exact-integer division.
     """
-    from pyspark.sql.window import Window
-
+    # Norms are a property of the VECTOR, not the pair: compute each side's
+    # norm once before the candidate join instead of re-deriving it inside
+    # every pair's cosine (the inline form evaluated two interpreted
+    # higher-order aggregates per candidate — measured 18.0s -> 5.2s for
+    # the scoring stage at sf0.1, bit-identical values since the same
+    # double ops run in the same order, just once per vector).
     a = emb.filter(F.pmod(F.col(side_col), F.lit(2)) == 0).select(
-        F.col("vec_id").alias("src_id"), F.col("embedding").alias("a_emb")
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("a_emb"),
+        _norm(F.col("embedding")).alias("a_norm"),
     )
     b = emb.filter(F.pmod(F.col(side_col), F.lit(2)) == 1).select(
-        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("b_emb")
+        F.col("vec_id").alias("tgt_id"),
+        F.col("embedding").alias("b_emb"),
+        _norm(F.col("embedding")).alias("b_norm"),
     )
+    # The broadcast-nested-loop join inherits the STREAM side's partition
+    # count, and a small parquet side arrives as ONE partition — which
+    # made the whole candidate compute + persist a single serial task
+    # (measured 8.3s -> 3.2s at sf0.1). Hash-repartition side A so the
+    # cross join's work spreads across the session's shuffle parallelism.
+    a = a.repartition(F.col("src_id"))
     scored = a.crossJoin(b).select(
-        "src_id", "tgt_id", _cos_q(F.col("a_emb"), F.col("b_emb")).alias("c")
+        "src_id",
+        "tgt_id",
+        F.floor(
+            _dot(F.col("a_emb"), F.col("b_emb"))
+            / (F.col("a_norm") * F.col("b_norm"))
+            * 10000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("c"),
     )
 
-    # Per-endpoint neighborhood density: exact bigint sum of the top-k
-    # quantized cosines (ties to the smaller partner id, like every other
-    # rank in this repo). Both ranks ride one lineage (exchange-by-src →
-    # window → exchange-by-tgt → window) and the ranked table is persisted:
-    # it feeds THREE consumers (nn_a, nn_b, the margin join), and without
-    # the persist each consumer re-executes the candidate cosine
+    # The candidate table feeds THREE consumers (nn_a, nn_b, the margin
+    # join); without the persist each consumer re-executes the cosine
     # computation (measured 3x wall at sf0.1). DISK_ONLY, deliberately:
-    # building the default in-memory columnar cache for the candidate
-    # table costs ~15x the disk write on first materialization (34.3s vs
-    # 2.2s cold at sf0.1, 9M rows — per-batch compression dominates), and
-    # the three consumers stream it back sequentially anyway. At 10^12
+    # building the default in-memory columnar cache costs ~15x the disk
+    # write on first materialization (per-batch compression dominates),
+    # and the consumers stream it back sequentially anyway. At 10^12
     # vectors the candidate table is the IVF/LSH shortlist (k-bounded per
     # endpoint), so the persisted footprint stays O(k·n), not O(n²).
-    wa = Window.partitionBy("src_id").orderBy(F.desc("c"), F.asc("tgt_id"))
-    wb = Window.partitionBy("tgt_id").orderBy(F.desc("c"), F.asc("src_id"))
-    ranked = (
-        scored.withColumn("ra", F.row_number().over(wa))
-        .withColumn("rb", F.row_number().over(wb))
-        .persist(StorageLevel.DISK_ONLY)
-    )
-    nn_a = (
-        ranked.filter(F.col("ra") <= k)
-        .groupBy("src_id")
-        .agg(F.sum("c").alias("sum_a"))
-    )
-    nn_b = (
-        ranked.filter(F.col("rb") <= k)
-        .groupBy("tgt_id")
-        .agg(F.sum("c").alias("sum_b"))
-    )
+    scored = scored.persist(StorageLevel.DISK_ONLY)
+
+    # Per-endpoint neighborhood density: exact bigint sum of the k largest
+    # quantized cosines. A top-k SUM needs no rank and no tie-break — the
+    # multiset of the k largest values is the same whichever equal-valued
+    # partner a rank would pick — so this is a map-side-combinable
+    # aggregation (sort_array of the per-key list, slice, integer sum),
+    # replacing the previous two full row_number sorts of the candidate
+    # table (measured 8.7s -> 2.1s for this stage at sf0.1, identical
+    # sums). Per-key list size is the per-endpoint candidate count —
+    # bounded by the shortlist at scale, never the corpus.
+    def _topk_sum():
+        return F.aggregate(
+            F.slice(F.sort_array(F.collect_list("c"), False), 1, k),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    nn_a = scored.groupBy("src_id").agg(_topk_sum().alias("sum_a"))
+    nn_b = scored.groupBy("tgt_id").agg(_topk_sum().alias("sum_b"))
 
     # margin = c / ((sum_a/k + sum_b/k) / 2) = c * 2k / (sum_a + sum_b):
-    # one double division over exact integers.
+    # one double division over exact integers. The nn tables are one row
+    # per endpoint vector — k-times smaller than the candidate table, but
+    # still corpus-sized at 10^12 vectors, so they stay on the hash-join
+    # path (AQE broadcasts them when a small scale makes them fit).
     m = (
-        ranked.select("src_id", "tgt_id", "c")
-        .join(nn_a, "src_id")
+        scored.join(nn_a, "src_id")
         .join(nn_b, "tgt_id")
         .withColumn(
             "margin",
@@ -110,17 +128,40 @@ def bitext_margin_pairs(
             / (F.col("sum_a") + F.col("sum_b")).cast("double"),
         )
     )
-    wfwd = Window.partitionBy("src_id").orderBy(F.desc("margin"), F.asc("tgt_id"))
-    wbwd = Window.partitionBy("tgt_id").orderBy(F.desc("margin"), F.asc("src_id"))
-    best = (
-        m.withColumn("fwd", F.row_number().over(wfwd))
-        .withColumn("bwd", F.row_number().over(wbwd))
-        .filter((F.col("fwd") == 1) & (F.col("margin") > F.lit(float(threshold))))
+    # Forward/backward election as struct-max groupBys (ties to the smaller
+    # partner id via the negated id field), NOT rank windows: the two
+    # windows were two more full sorts of the candidate table; the argmax
+    # is map-side combined and shuffles one struct per endpoint. `mutual`
+    # falls out by comparing the forward winner against the backward
+    # winner's src — same verdict as "rank 1 in the backward window",
+    # since (src, tgt) identifies exactly one candidate row.
+    m = m.localCheckpoint(eager=False)  # feeds the fwd and bwd elections
+    fwd = (
+        m.groupBy("src_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("margin"), (-F.col("tgt_id")).alias("neg_tgt"), F.col("c")
+                )
+            ).alias("w")
+        )
+        .select(
+            "src_id",
+            (-F.col("w.neg_tgt")).alias("tgt_id"),
+            F.col("w.c").alias("c"),
+            F.col("w.margin").alias("margin"),
+        )
+        .filter(F.col("margin") > F.lit(float(threshold)))
     )
-    return best.select(
+    bwd = (
+        m.groupBy("tgt_id")
+        .agg(F.max(F.struct(F.col("margin"), (-F.col("src_id")).alias("neg_src"))).alias("w"))
+        .select("tgt_id", (-F.col("w.neg_src")).alias("b_src"))
+    )
+    return fwd.join(bwd, "tgt_id").select(
         "src_id",
         "tgt_id",
         (F.col("c").cast("double") / 10000.0).alias("cos"),
         (F.floor(F.col("margin") * 10000.0 + 0.5) / 10000.0).alias("margin"),
-        (F.col("bwd") == 1).alias("mutual"),
+        (F.col("src_id") == F.col("b_src")).alias("mutual"),
     )
