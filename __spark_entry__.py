@@ -44,6 +44,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the scan fanned out across the session's shuffle
+    parallelism. The sf parquet ships as ONE row group, so a query whose
+    first stage is heavy per-row Python (media synthesis + codecs) would
+    otherwise run that whole stage on a single task — a layout artifact
+    of the tiny local files, not of the operators themselves, which keep
+    their zero-shuffle contract (at production scale the scan arrives
+    already split). The explicit hash repartition here is the same move
+    job.py makes on its input (north rule: salted repartitioning), and
+    it ships only the slim doc_id projection the synthesizers consume.
+    The partition COUNT is pinned explicitly: the shuffled bytes are tiny
+    (doc ids), so AQE's coalesce would fold an unpinned repartition right
+    back to one partition — bytes are the wrong proxy when the next stage
+    is CPU-heavy Python per row."""
+    return _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+
+
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.sources.pages import synthesize_pages
 
@@ -585,7 +604,7 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_audio_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.audio import audio_sample_stats, synthesize_audio
 
-    return audio_sample_stats(synthesize_audio(_docs(spark, sf_dir)))
+    return audio_sample_stats(synthesize_audio(_docs_p(spark, sf_dir)))
 
 
 def _q_audio_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,14 +618,14 @@ def _q_audio_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_audio,
     )
 
-    resampled = audio_resample(synthesize_audio(_docs(spark, sf_dir)))
+    resampled = audio_resample(synthesize_audio(_docs_p(spark, sf_dir)))
     return audio_sample_stats(resampled.select("doc_id", "payload"))
 
 
 def _q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.imaging import image_pixel_stats, synthesize_images
 
-    return image_pixel_stats(synthesize_images(_docs(spark, sf_dir)))
+    return image_pixel_stats(synthesize_images(_docs_p(spark, sf_dir)))
 
 
 def _q_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,7 +639,7 @@ def _q_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_images,
     )
 
-    resized = image_resize(synthesize_images(_docs(spark, sf_dir)))
+    resized = image_resize(synthesize_images(_docs_p(spark, sf_dir)))
     return image_pixel_stats(resized.select("doc_id", "payload"))
 
 
@@ -873,7 +892,7 @@ def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly."""
     from readability_spark.operators.pdftext import pdf_extract, synthesize_pdfs
 
-    out = pdf_extract(synthesize_pdfs(_docs(spark, sf_dir)))
+    out = pdf_extract(synthesize_pdfs(_docs_p(spark, sf_dir)))
     return out.filter("ok").select("doc_id", "n_pages", "text")
 
 
@@ -1121,7 +1140,7 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.multimodal import extract_media_metadata, synthesize_media
 
-    return extract_media_metadata(synthesize_media(_docs(spark, sf_dir)))
+    return extract_media_metadata(synthesize_media(_docs_p(spark, sf_dir)))
 
 
 
@@ -1139,7 +1158,7 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_media,
     )
 
-    return sample_frames(extract_media_metadata(synthesize_media(_docs(spark, sf_dir))))
+    return sample_frames(extract_media_metadata(synthesize_media(_docs_p(spark, sf_dir))))
 
 
 def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1559,7 +1578,7 @@ def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.jpeg import jpeg_pixel_stats, synthesize_jpegs
 
-    return jpeg_pixel_stats(synthesize_jpegs(_docs(spark, sf_dir)))
+    return jpeg_pixel_stats(synthesize_jpegs(_docs_p(spark, sf_dir)))
 
 
 def _q_cdx_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1832,7 +1851,7 @@ def _q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_images,
     )
 
-    imgs = with_injected_duplicates(synthesize_images(_docs(spark, sf_dir)))
+    imgs = with_injected_duplicates(synthesize_images(_docs_p(spark, sf_dir)))
     return image_near_dup(image_pixel_stats(imgs))
 
 
@@ -1851,7 +1870,7 @@ def _q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from readability_spark.operators.dedup import with_injected_duplicates
 
-    wavs = with_injected_duplicates(synthesize_audio(_docs(spark, sf_dir)))
+    wavs = with_injected_duplicates(synthesize_audio(_docs_p(spark, sf_dir)))
     return audio_near_dup(audio_fingerprint(wavs))
 
 
