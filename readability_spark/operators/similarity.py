@@ -46,13 +46,24 @@ def seeded_planes(
     """
     tok = f"concat('{seed}:', cast(id as string), ':', cast(j as string))"
     comp = f"({_hash32_expr(tok)}) / 2147483648.0 - 1.0"
-    return spark.range(n_planes).select(
+    # one partition: the table is at most a few hundred rows, and an
+    # unpinned spark.range would mint defaultParallelism near-empty tasks
+    # per subspace (8 subspaces x 32 cores = 256 tasks of ~8 rows each in
+    # the PQ codebook union)
+    return spark.range(0, n_planes, 1, 1).select(
         F.col("id").alias("plane_id"),
         F.expr(f"transform(sequence(0, {dim - 1}), j -> {comp})").alias("p_emb"),
     )
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings scan. Deliberately NOT fanned out like _docs_p: the
+    per-row work in every ANN pipeline is codegen arithmetic (plane dots,
+    subvector L2), microseconds per row — at test scale the walls are
+    stage-count overhead, and a pinned repartition measurably ADDS time
+    (32 scheduled tasks + an exchange per plan vs one task doing trivial
+    math). At production scale the scan arrives already split across
+    files and the same plans fan out for free."""
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
