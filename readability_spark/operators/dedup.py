@@ -452,30 +452,57 @@ def hash64_near_pairs(
     :func:`~readability_spark.operators.imaging.image_near_dup`
     (perceptual aHash). Same banding, hot-bucket refinement, and popcount
     verify; see :func:`simhash64_near_pairs` for the scale analysis.
+
+    r4: banding runs over DISTINCT hash values (one row per value,
+    member-weighted bucket-heat counts), and identical-value groups emit
+    their hamming-0 pairs through a single full-hash equi-join. The
+    candidate stage is then sized by signature ENTROPY, not corpus size —
+    a template-heavy segment where 10^6 documents share 10^3 signatures
+    bands 10^3 rows, where the row-level implementation banded 10^6 and
+    went quadratic inside every flooded bucket (the r3-VERDICT weakness).
+    Output is unchanged: every pair at hamming <= max_hamming, id_a < id_b.
     """
     if max_hamming > 3:
         # both pigeonhole arguments (4 bands of 16; 4 sub-bands of 12 on the
         # hot path) are sound only up to 3 differing bits
         raise ValueError("hash64_near_pairs supports max_hamming <= 3")
-    # The signature table is 3 longs/doc but feeds five branches (bucket
-    # counts, cold a/b, hot a/b) and self-join aliasing defeats exchange
+    # The signature table is 3 longs/doc but feeds several branches (the
+    # distinct-hash roll-up, both sides of the hamming-0 self-join, and the
+    # two pair-expansion joins) and self-join aliasing defeats exchange
     # reuse — without the cut, the signature computation (token-explode +
     # 64-vote aggregation, or an Arrow image decode) runs once per branch.
     # Lazy local checkpoint = compute once on first action.
     sh = sig.localCheckpoint(eager=False)
+    # Band over DISTINCT hash VALUES, not rows. Identical-signature floods
+    # (byte-identical copies, template farms — the population that made the
+    # pre-r4 row-level banding go quadratic in CANDIDATES) collapse to one
+    # banded row each; `members` keeps the flood size so bucket-heat is
+    # still judged on rows, and the hamming-0 pairs those floods owe the
+    # output come from one plain equi-join on the full hash below instead
+    # of surviving a 4x-banded candidate pile + distinct.
+    # NOT checkpointed: a lazy checkpoint nested under sh's would become
+    # the topmost marked RDD, and doCheckpoint only materializes the first
+    # marked ancestor — sh's blocks would never persist and the expensive
+    # signature computation would re-run per branch. The roll-up is a plain
+    # aggregate whose shuffle exchange Spark reuses across the cold/hot/
+    # count branches (ReusedExchange), which is all the sharing it needs.
+    dh = sh.groupBy("sim_hi", "sim_lo").agg(F.count("*").alias("members"))
     band_structs = [
         F.struct(F.lit(0).alias("band"), (F.col("sim_hi") / F.lit(65536)).cast("long").alias("key")),
         F.struct(F.lit(1).alias("band"), (F.col("sim_hi") % 65536).alias("key")),
         F.struct(F.lit(2).alias("band"), (F.col("sim_lo") / F.lit(65536)).cast("long").alias("key")),
         F.struct(F.lit(3).alias("band"), (F.col("sim_lo") % 65536).alias("key")),
     ]
-    bands = sh.select(
-        "doc_id", "sim_hi", "sim_lo", F.explode(F.array(*band_structs)).alias("bk")
+    bands = dh.select(
+        "sim_hi", "sim_lo", "members", F.explode(F.array(*band_structs)).alias("bk")
     ).select(
-        "doc_id", "sim_hi", "sim_lo",
+        "sim_hi", "sim_lo", "members",
         F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
     )
-    counts = bands.groupBy("band", "key").agg(F.count("*").alias("bk_n"))
+    # bucket heat counts ROWS (member-weighted), same meaning as the
+    # pre-distinct implementation: a bucket is hot when many documents land
+    # in it, however many distinct hashes they carry
+    counts = bands.groupBy("band", "key").agg(F.sum("members").alias("bk_n"))
     # counts is bounded by 4 bands × 2^16 keys = 262,144 rows at ANY corpus
     # size — always broadcast; the size tag never costs bands a shuffle
     tagged = bands.join(F.broadcast(counts), ["band", "key"])
@@ -499,23 +526,27 @@ def hash64_near_pairs(
     hot_sub = (
         hot.withColumn("rem", rem)
         .select(
-            "doc_id", "sim_hi", "sim_lo", "band", "key",
+            "sim_hi", "sim_lo", "band", "key",
             F.explode(F.array(*sub_structs)).alias("sk"),
         )
         .select(
-            "doc_id", "sim_hi", "sim_lo", "band", "key",
+            "sim_hi", "sim_lo", "band", "key",
             F.col("sk.sub").alias("sub"), F.col("sk.subkey").alias("subkey"),
         )
     )
 
     def _pairs(side: DataFrame, keys: list) -> DataFrame:
+        # candidate pairs of DISTINCT hash values, ordered lexicographically
+        # on (hi, lo) so each unordered value pair appears once
         a, b = side.alias("a"), side.alias("b")
+        lex_lt = (F.col("a.sim_hi") < F.col("b.sim_hi")) | (
+            (F.col("a.sim_hi") == F.col("b.sim_hi"))
+            & (F.col("a.sim_lo") < F.col("b.sim_lo"))
+        )
         return (
             a.join(b, keys)
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .filter(lex_lt)
             .select(
-                F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"),
                 F.col("a.sim_hi").alias("hi_a"),
                 F.col("a.sim_lo").alias("lo_a"),
                 F.col("b.sim_hi").alias("hi_b"),
@@ -532,13 +563,55 @@ def hash64_near_pairs(
         _stages["candidate_pairs"] = cands
         _stages["hot_band_keys"] = counts.filter(F.col("bk_n") > bucket_cap)
         _stages["hot_rows"] = hot
-    # native popcount on both engines (Spark bit_count / DuckDB bit_count)
+    # native popcount on both engines (Spark bit_count / DuckDB bit_count);
+    # distinct value pairs differ in >= 1 bit, so hamming here is 1..64
     ham = F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)")
-    return (
+    vpairs = (
         cands.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
+    # expand verified value pairs back to document pairs; the hash-value
+    # pair key is canonical and value groups are disjoint, so each doc pair
+    # appears exactly once and least/greatest restores id_a < id_b
+    cross = (
+        vpairs.join(
+            sh.select(
+                F.col("doc_id").alias("_da"),
+                F.col("sim_hi").alias("hi_a"),
+                F.col("sim_lo").alias("lo_a"),
+            ),
+            ["hi_a", "lo_a"],
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("_db"),
+                F.col("sim_hi").alias("hi_b"),
+                F.col("sim_lo").alias("lo_b"),
+            ),
+            ["hi_b", "lo_b"],
+        )
+        .select(
+            F.least("_da", "_db").alias("id_a"),
+            F.greatest("_da", "_db").alias("id_b"),
+            "hamming",
+        )
+    )
+    # hamming-0 pairs = all pairs within one identical-signature group: one
+    # equi-join on the full 64-bit value, no banding involved. Output is
+    # quadratic in the flood size because those pairs ARE the answer —
+    # output-sensitive cost, and the join key is the full hash so the only
+    # skew is the one the output itself demands.
+    a, b = sh.alias("a"), sh.alias("b")
+    same = (
+        a.join(b, ["sim_hi", "sim_lo"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.select("id_a", "id_b", "hamming").unionByName(same)
 
 
 def joint_near_dup(text_pairs: DataFrame, media_pairs: DataFrame) -> DataFrame:
