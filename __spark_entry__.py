@@ -1844,15 +1844,20 @@ def _q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming-0 pairs; organic near pairs from the closed-form pixel
     pattern join them). The oracle recomputes aHash from the closed form
     and applies the same one-level banding + popcount verify."""
+    from readability_spark.operators.imaging import image_near_dup
+
+    return image_near_dup(_image_stats_injected(spark, sf_dir))
+
+
+def _image_stats_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.dedup import with_injected_duplicates
     from readability_spark.operators.imaging import (
-        image_near_dup,
         image_pixel_stats,
         synthesize_images,
     )
 
     imgs = with_injected_duplicates(synthesize_images(_docs_p(spark, sf_dir)))
-    return image_near_dup(image_pixel_stats(imgs))
+    return image_pixel_stats(imgs)
 
 
 def _q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1863,15 +1868,20 @@ def _q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared banded Hamming join. The oracle recomputes the 64-bit
     sign-of-energy-delta fingerprint from the closed-form waveform and
     applies the same one-level banding + popcount verify."""
+    from readability_spark.operators.audio import audio_near_dup
+
+    return audio_near_dup(_audio_fp_injected(spark, sf_dir))
+
+
+def _audio_fp_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.audio import (
         audio_fingerprint,
-        audio_near_dup,
         synthesize_audio,
     )
     from readability_spark.operators.dedup import with_injected_duplicates
 
     wavs = with_injected_duplicates(synthesize_audio(_docs_p(spark, sf_dir)))
-    return audio_near_dup(audio_fingerprint(wavs))
+    return audio_fingerprint(wavs)
 
 
 def _q_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1932,20 +1942,27 @@ def _q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-round connected-components + size rejoin the text minhash path
     uses, applied unchanged to a media modality (pair_graph_clusters is
     modality-agnostic). The oracle nests the image pair oracle inside the
-    recursive-CTE transitive closure."""
+    recursive-CTE transitive closure. The Spark side clusters the
+    star-reduced edge set (image_dup_edges: one star edge per
+    identical-aHash member + one rep edge per distinct-value near pair —
+    linear where the full pair list is quadratic in flood sizes); the
+    components, and therefore every output row, are identical."""
     from readability_spark.operators.dedup import pair_graph_clusters
+    from readability_spark.operators.imaging import image_dup_edges
 
-    return pair_graph_clusters(_q_image_near_dup(spark, sf_dir))
+    return pair_graph_clusters(image_dup_edges(_image_stats_injected(spark, sf_dir)))
 
 
 def _q_audio_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters over the audio fingerprint pair graph — the third
     modality through the one pair_graph_clusters layer (text minhash,
     image aHash, audio energy-delta: one components implementation, one
-    recursive-CTE oracle shape)."""
+    recursive-CTE oracle shape). Clusters the star-reduced edge set
+    (audio_dup_edges) — identical components to the full pair list."""
+    from readability_spark.operators.audio import audio_dup_edges
     from readability_spark.operators.dedup import pair_graph_clusters
 
-    return pair_graph_clusters(_q_audio_near_dup(spark, sf_dir))
+    return pair_graph_clusters(audio_dup_edges(_audio_fp_injected(spark, sf_dir)))
 
 
 def _q_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:

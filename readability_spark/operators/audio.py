@@ -341,13 +341,31 @@ def audio_near_dup(
 
     Output: ``id_a, id_b, hamming`` (``id_a < id_b``).
     """
-    from pyspark.sql import functions as F
-
     from readability_spark.operators.dedup import hash64_near_pairs
 
-    sig = fp.filter(F.col("ok")).select(
+    return hash64_near_pairs(
+        _fp_sig(fp), max_hamming=max_hamming, bucket_cap=bucket_cap
+    )
+
+
+def _fp_sig(fp: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return fp.filter(F.col("ok")).select(
         "doc_id",
         F.col("fp_hi").alias("sim_hi"),
         F.col("fp_lo").alias("sim_lo"),
     )
-    return hash64_near_pairs(sig, max_hamming=max_hamming, bucket_cap=bucket_cap)
+
+
+def audio_dup_edges(
+    fp: DataFrame, max_hamming: int = 3, bucket_cap: int = 64
+) -> DataFrame:
+    """Star-reduced connectivity edges over the audio fingerprint near-pair
+    relation — same components as :func:`audio_near_dup` with an edge count
+    linear in duplicate-flood sizes (dedup.hash64_cluster_edges)."""
+    from readability_spark.operators.dedup import hash64_cluster_edges
+
+    return hash64_cluster_edges(
+        _fp_sig(fp), max_hamming=max_hamming, bucket_cap=bucket_cap
+    )

@@ -440,28 +440,18 @@ def simhash64_near_pairs(
     )
 
 
-def hash64_near_pairs(
+def _hash64_value_pairs(
     sig: DataFrame,
     max_hamming: int = 3,
     bucket_cap: int = 64,
     _stages: "dict | None" = None,
-) -> DataFrame:
-    """Banded Hamming near-pair join over ANY 64-bit signature split into
-    two 32-bit halves ``(doc_id, sim_hi, sim_lo)`` — the machinery behind
-    :func:`simhash64_near_pairs` (text simhash) and
-    :func:`~readability_spark.operators.imaging.image_near_dup`
-    (perceptual aHash). Same banding, hot-bucket refinement, and popcount
-    verify; see :func:`simhash64_near_pairs` for the scale analysis.
-
-    r4: banding runs over DISTINCT hash values (one row per value,
-    member-weighted bucket-heat counts), and identical-value groups emit
-    their hamming-0 pairs through a single full-hash equi-join. The
-    candidate stage is then sized by signature ENTROPY, not corpus size —
-    a template-heavy segment where 10^6 documents share 10^3 signatures
-    bands 10^3 rows, where the row-level implementation banded 10^6 and
-    went quadratic inside every flooded bucket (the r3-VERDICT weakness).
-    Output is unchanged: every pair at hamming <= max_hamming, id_a < id_b.
-    """
+):
+    """Shared banding core: returns ``(sh, dh, vpairs)`` — the checkpointed
+    signature table, the distinct-value roll-up ``(sim_hi, sim_lo, members,
+    rep)``, and the verified DISTINCT-VALUE near pairs ``(hi_a, lo_a, hi_b,
+    lo_b, hamming)`` at 1..max_hamming. :func:`hash64_near_pairs` expands
+    these to all document pairs; :func:`hash64_cluster_edges` to the
+    star-reduced connectivity edge set."""
     if max_hamming > 3:
         # both pigeonhole arguments (4 bands of 16; 4 sub-bands of 12 on the
         # hot path) are sound only up to 3 differing bits
@@ -486,7 +476,9 @@ def hash64_near_pairs(
     # signature computation would re-run per branch. The roll-up is a plain
     # aggregate whose shuffle exchange Spark reuses across the cold/hot/
     # count branches (ReusedExchange), which is all the sharing it needs.
-    dh = sh.groupBy("sim_hi", "sim_lo").agg(F.count("*").alias("members"))
+    dh = sh.groupBy("sim_hi", "sim_lo").agg(
+        F.count("*").alias("members"), F.min("doc_id").alias("rep")
+    )
     band_structs = [
         F.struct(F.lit(0).alias("band"), (F.col("sim_hi") / F.lit(65536)).cast("long").alias("key")),
         F.struct(F.lit(1).alias("band"), (F.col("sim_hi") % 65536).alias("key")),
@@ -570,6 +562,32 @@ def hash64_near_pairs(
         cands.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
     )
+    return sh, dh, vpairs
+
+
+def hash64_near_pairs(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    bucket_cap: int = 64,
+    _stages: "dict | None" = None,
+) -> DataFrame:
+    """Banded Hamming near-pair join over ANY 64-bit signature split into
+    two 32-bit halves ``(doc_id, sim_hi, sim_lo)`` — the machinery behind
+    :func:`simhash64_near_pairs` (text simhash) and
+    :func:`~readability_spark.operators.imaging.image_near_dup`
+    (perceptual aHash). Same banding, hot-bucket refinement, and popcount
+    verify; see :func:`simhash64_near_pairs` for the scale analysis.
+
+    r4: banding runs over DISTINCT hash values (one row per value,
+    member-weighted bucket-heat counts), and identical-value groups emit
+    their hamming-0 pairs through a single full-hash equi-join. The
+    candidate stage is then sized by signature ENTROPY, not corpus size —
+    a template-heavy segment where 10^6 documents share 10^3 signatures
+    bands 10^3 rows, where the row-level implementation banded 10^6 and
+    went quadratic inside every flooded bucket (the r3-VERDICT weakness).
+    Output is unchanged: every pair at hamming <= max_hamming, id_a < id_b.
+    """
+    sh, _dh, vpairs = _hash64_value_pairs(sig, max_hamming, bucket_cap, _stages)
     # expand verified value pairs back to document pairs; the hash-value
     # pair key is canonical and value groups are disjoint, so each doc pair
     # appears exactly once and least/greatest restores id_a < id_b
@@ -612,6 +630,55 @@ def hash64_near_pairs(
         )
     )
     return cross.select("id_a", "id_b", "hamming").unionByName(same)
+
+
+def hash64_cluster_edges(
+    sig: DataFrame, max_hamming: int = 3, bucket_cap: int = 64
+) -> DataFrame:
+    """Star-reduced connectivity edges ``(id_a, id_b)`` over the same
+    verified near-pair relation as :func:`hash64_near_pairs` — for feeding
+    :func:`pair_graph_clusters` when only the COMPONENTS are wanted, not
+    the pair list itself.
+
+    An identical-signature group is a clique in the pair graph, but a
+    clique's connectivity needs only its star: (min-doc, member) edges.
+    Cross-value pairs likewise connect the two groups however many member
+    pairs exist, so ONE (rep, rep) edge carries the same information. Edge
+    count drops from Σ C(g,2) + Σ |g_a|·|g_b| (quadratic in flood sizes —
+    412k edges on the sf0.1 image corpus) to Σ (g−1) + |distinct near
+    pairs| (linear), the node set is identical (members of ≥2-groups via
+    stars, singleton-group docs via rep edges), and every component —
+    hence every (doc_id, cluster_id, cluster_size) row downstream — is
+    byte-identical to clustering the full pair list."""
+    sh, dh, vpairs = _hash64_value_pairs(sig, max_hamming, bucket_cap)
+    stars = (
+        sh.join(dh.select("sim_hi", "sim_lo", "rep"), ["sim_hi", "sim_lo"])
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    cross = (
+        vpairs.join(
+            dh.select(
+                F.col("sim_hi").alias("hi_a"),
+                F.col("sim_lo").alias("lo_a"),
+                F.col("rep").alias("_ra"),
+            ),
+            ["hi_a", "lo_a"],
+        )
+        .join(
+            dh.select(
+                F.col("sim_hi").alias("hi_b"),
+                F.col("sim_lo").alias("lo_b"),
+                F.col("rep").alias("_rb"),
+            ),
+            ["hi_b", "lo_b"],
+        )
+        .select(
+            F.least("_ra", "_rb").alias("id_a"),
+            F.greatest("_ra", "_rb").alias("id_b"),
+        )
+    )
+    return stars.unionByName(cross)
 
 
 def joint_near_dup(text_pairs: DataFrame, media_pairs: DataFrame) -> DataFrame:

@@ -398,9 +398,29 @@ def image_near_dup(
     """
     from readability_spark.operators.dedup import hash64_near_pairs
 
-    sig = stats.filter(F.col("ok")).select(
+    return hash64_near_pairs(
+        _ahash_sig(stats), max_hamming=max_hamming, bucket_cap=bucket_cap
+    )
+
+
+def _ahash_sig(stats: DataFrame) -> DataFrame:
+    return stats.filter(F.col("ok")).select(
         "doc_id",
         F.col("ahash_hi").alias("sim_hi"),
         F.col("ahash_lo").alias("sim_lo"),
     )
-    return hash64_near_pairs(sig, max_hamming=max_hamming, bucket_cap=bucket_cap)
+
+
+def image_dup_edges(
+    stats: DataFrame, max_hamming: int = 3, bucket_cap: int = 64
+) -> DataFrame:
+    """Star-reduced connectivity edges over the aHash near-pair relation —
+    the input for clustering (:func:`~readability_spark.operators.dedup.
+    pair_graph_clusters`) when the pair list itself isn't needed: same
+    components as :func:`image_near_dup`, edge count linear in flood
+    sizes instead of quadratic (dedup.hash64_cluster_edges)."""
+    from readability_spark.operators.dedup import hash64_cluster_edges
+
+    return hash64_cluster_edges(
+        _ahash_sig(stats), max_hamming=max_hamming, bucket_cap=bucket_cap
+    )

@@ -478,3 +478,28 @@ def test_pair_graph_clusters_union_find_parity(spark, docs):
     got = {r.doc_id: (r.cluster_id, r.cluster_size)
            for r in pair_graph_clusters(pairs).collect()}
     assert got == {v: (c, sizes[c]) for v, c in want_label.items()} and got
+
+
+def test_hash64_cluster_edges_same_components_as_full_pairs(spark, docs):
+    """The star-reduced edge set must yield byte-identical
+    (doc_id, cluster_id, cluster_size) rows to clustering the full pair
+    list — cliques contract to stars, cross-value pair floods to one rep
+    edge, connectivity (and the node set) unchanged."""
+    from readability_spark.operators.dedup import (
+        hash64_cluster_edges,
+        pair_graph_clusters,
+        simhash64,
+    )
+
+    dense = with_injected_duplicates(docs, every=2)
+    sig = simhash64(dense)
+    full = pair_graph_clusters(simhash64_near_pairs(dense))
+    reduced = pair_graph_clusters(hash64_cluster_edges(sig))
+    rows_f = {tuple(r) for r in full.collect()}
+    rows_r = {tuple(r) for r in reduced.collect()}
+    assert rows_f == rows_r and rows_f
+    # and the reduction is real: strictly fewer edges than pairs on a
+    # corpus with injected identical-signature floods
+    n_pairs = simhash64_near_pairs(dense).count()
+    n_edges = hash64_cluster_edges(sig).count()
+    assert n_edges <= n_pairs
