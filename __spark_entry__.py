@@ -2950,6 +2950,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": _q_duplicate_spans,
         "corpus_mix": _q_corpus_mix,
         "span_removal": _q_span_removal,
+        # -- replanned late-r4 (distinct-value banding + star-reduced cluster
+        # edges): never driver-checked AND carrying the session's newest plan
+        # changes, so they get the freshest verification slots ----------------
+        "image_near_dup": _q_image_near_dup,
+        "audio_near_dup": _q_audio_near_dup,
+        "multimodal_near_dup": _q_multimodal_near_dup,
+        "image_dup_clusters": _q_image_dup_clusters,
+        "audio_dup_clusters": _q_audio_dup_clusters,
+        "ann_pq_topk": _q_ann_pq,
         # -- new in r4 (no driver row yet) -----------------------------------
         "label_propagation": _q_label_propagation,
         "event_bursts": _q_event_bursts,
@@ -2992,13 +3001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_repair": _q_mojibake_repair,
         "text_readability": _q_text_readability,
         "filter_attrition": _q_filter_attrition,
-        "image_near_dup": _q_image_near_dup,
-        "audio_near_dup": _q_audio_near_dup,
-        "multimodal_near_dup": _q_multimodal_near_dup,
         "semantic_decontam": _q_semantic_decontam,
         "pii_cc_luhn": _q_pii_cc_luhn,
-        "image_dup_clusters": _q_image_dup_clusters,
-        "audio_dup_clusters": _q_audio_dup_clusters,
         "url_features": _q_url_features,
         "quality_calibrate": _q_quality_calibrate,
         "lm_ppl_adaptive": _q_lm_ppl_adaptive,
@@ -3056,7 +3060,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "kmv_source_overlap": _q_kmv_source_overlap,
-        "ann_pq_topk": _q_ann_pq,
         # -- last green row was CORRECTNESS_r02 ------------------------------
         # NOTE: the 32-bit `simhash_near_pairs` operator is intentionally NOT
         # exposed here — its 8-bit band keys (256 buckets/band) go quadratic

@@ -275,8 +275,17 @@ def lsh_table_keys(emb: DataFrame, planes: DataFrame, bits_per_table: int) -> Da
 
 
 def _infer_dim(emb: DataFrame) -> int:
-    row = emb.select(F.size("embedding").alias("d")).first()
-    return int(row["d"])
+    """Embedding dimensionality (a one-row probe job). Memoized on the
+    DataFrame object: the PQ pipeline consults it from both the subvector
+    split and the trainer on the same frame, and one probe job is enough."""
+    d = getattr(emb, "_rs_dim", None)
+    if d is None:
+        d = int(emb.select(F.size("embedding").alias("d")).first()["d"])
+        try:
+            emb._rs_dim = d
+        except AttributeError:  # pragma: no cover — frozen DataFrame impl
+            pass
+    return d
 
 
 def with_injected_near_dups(emb: DataFrame, every: int = 10) -> DataFrame:
