@@ -87,17 +87,27 @@ def score_perplexity(
     context_counts: DataFrame,
     vocab: DataFrame,
     k: float = 0.5,
+    broadcast_contexts: bool = True,
 ) -> DataFrame:
     """Per-doc add-k bigram perplexity: (doc_id, n_bigrams, n_oov, ppl).
 
     Documents with fewer than 2 tokens have no bigrams and are absent from
     the output (they carry no LM evidence; filter them upstream with the
     length rules). n_oov counts bigrams unseen in training.
+
+    ``broadcast_contexts`` hints the (w1, c1) join side as a broadcast:
+    the context table has one row per distinct *training* token, i.e. it
+    is vocabulary-bounded — the same contract that makes KenLM's vocab fit
+    in memory per CCNet worker — so the exploded document-bigram stream
+    shuffles ONCE (on the (w1, w2) model join) instead of twice. Set it
+    False only for an unpruned vocabulary too large to broadcast (then the
+    plan falls back to a second (w1)-keyed shuffle of the doc bigrams).
     """
     db = _doc_bigrams(docs)
+    ctx = F.broadcast(context_counts) if broadcast_contexts else context_counts
     j = (
         db.join(bigram_counts, ["w1", "w2"], "left")
-        .join(context_counts, ["w1"], "left")
+        .join(ctx, ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
     )
     logp = F.log(
