@@ -316,7 +316,7 @@ class Readability:
 
     @staticmethod
     def _is_element_without_content(el: Element) -> bool:
-        if T.js_trim(el.text_content):
+        if el.has_text_content(T.JS_WS_CHARS):
             return False
         kids = el.element_children()
         if not kids:
@@ -340,15 +340,15 @@ class Readability:
     def _is_valid_byline(self, el: Element, match_string: str) -> bool:
         rel = el.get_attr("rel")
         itemprop = el.get_attr("itemprop")
-        byline_len = len(T.js_trim(el.text_content))
-        return (
-            (
-                rel == "author"
-                or (itemprop is not None and "author" in itemprop)
-                or RX_BYLINE.search(match_string) is not None
-            )
-            and 0 < byline_len < 100
-        )
+        # Cheap attribute/regex clause first: only byline-ish elements pay
+        # the subtree text walk (same boolean result — `and` short-circuit).
+        if not (
+            rel == "author"
+            or (itemprop is not None and "author" in itemprop)
+            or RX_BYLINE.search(match_string) is not None
+        ):
+            return False
+        return 0 < len(T.js_trim(el.text_content)) < 100
 
     def _header_duplicates_title(self, el: Element) -> bool:
         if el.tag not in ("h1", "h2"):
@@ -388,12 +388,17 @@ class Readability:
         return len(T.inner_text(el).split(sep)) - 1
 
     def _get_text_density(self, el: Element, tags) -> float:
+        return self._text_density_over(el, el.get_elements_by_tag_name(*tags))
+
+    @staticmethod
+    def _text_density_over(el: Element, elements) -> float:
+        """Text density against a pre-collected descendant snapshot (same
+        math as :meth:`_get_text_density`; the list must be in document
+        order, as a ``get_elements_by_tag_name`` walk yields it)."""
         text_length = len(T.inner_text(el, True))
         if text_length == 0:
             return 0.0
-        children_length = sum(
-            len(T.inner_text(c, True)) for c in el.get_elements_by_tag_name(*tags)
-        )
+        children_length = sum(len(T.inner_text(c, True)) for c in elements)
         return children_length / text_length
 
     def _initialize_node(self, el: Element) -> None:
@@ -1055,11 +1060,9 @@ class Readability:
 
         self._clean_conditionally(article_content, "form")
         self._clean_conditionally(article_content, "fieldset")
-        self._clean(article_content, "object")
-        self._clean(article_content, "embed")
-        self._clean(article_content, "footer")
-        self._clean(article_content, "link")
-        self._clean(article_content, "aside")
+        self._clean_many(
+            article_content, ("object", "embed", "footer", "link", "aside")
+        )
 
         share_element_threshold = DEFAULT_CHAR_THRESHOLD
         for top in article_content.element_children():
@@ -1070,11 +1073,9 @@ class Readability:
                 and len(node.text_content) < share_element_threshold,
             )
 
-        self._clean(article_content, "iframe")
-        self._clean(article_content, "input")
-        self._clean(article_content, "textarea")
-        self._clean(article_content, "select")
-        self._clean(article_content, "button")
+        self._clean_many(
+            article_content, ("iframe", "input", "textarea", "select", "button")
+        )
         self._clean_headers(article_content)
 
         self._clean_conditionally(article_content, "table")
@@ -1088,10 +1089,9 @@ class Readability:
         for paragraph in reversed(article_content.get_elements_by_tag_name("p")):
             if paragraph.parent is None:
                 continue
-            img_count = len(
-                paragraph.get_elements_by_tag_name("img", "embed", "object", "iframe")
-            )
-            if img_count == 0 and not T.inner_text(paragraph, normalize=False):
+            if not paragraph.has_descendant_tag(
+                "img", "embed", "object", "iframe"
+            ) and not T.inner_text(paragraph, normalize=False):
                 paragraph.remove()
 
         for br in article_content.get_elements_by_tag_name("br"):
@@ -1227,11 +1227,19 @@ class Readability:
                         elem.append_child(img)
 
     def _clean(self, el: Element, tag: str) -> None:
-        is_embed = tag in ("object", "embed", "iframe")
-        for node in reversed(el.get_elements_by_tag_name(tag)):
+        self._clean_many(el, (tag,))
+
+    def _clean_many(self, el: Element, tags) -> None:
+        """Fused multi-tag ``_clean``: one snapshot walk instead of one per
+        tag. Equivalent to sequential per-tag passes — each node's keep/
+        remove decision depends only on its own tag and attrs, and removing
+        a node whose ancestor was already detached is a no-op on the
+        serialized tree (the sequential version simply never revisits such
+        nodes because later snapshots exclude them)."""
+        for node in reversed(el.get_elements_by_tag_name(*tags)):
             if node.parent is None:
                 continue
-            if is_embed:
+            if node.tag in ("object", "embed", "iframe"):
                 if any(
                     self._allowed_video_regex.search(v) for v in node.attrs.values()
                 ):
@@ -1265,11 +1273,60 @@ class Readability:
             if self._should_remove_conditionally(node, tag):
                 node.remove()
 
+    @staticmethod
+    def _collect_removal_elements(node: Element):
+        """ONE pre-order walk collecting every subtree snapshot the
+        conditional-removal branch consumes — identical element sets, in
+        document order, to eight separate ``get_elements_by_tag_name``
+        walks (the hot path of ``_clean_conditionally``: profiled at 16k+
+        snapshot walks per corpus before fusing)."""
+        lists: list = []
+        tables: list = []
+        embeds: list = []
+        headings: list = []
+        n_p = n_img = n_li = n_input = 0
+        stack: list = []
+        children = node.children
+        i, n = 0, len(children)
+        while True:
+            while i < n:
+                c = children[i]
+                i += 1
+                if c.is_element:
+                    t = c.tag
+                    if t == "p":
+                        n_p += 1
+                    elif t == "img":
+                        n_img += 1
+                    elif t == "li":
+                        n_li += 1
+                    elif t == "input":
+                        n_input += 1
+                    elif t in ("ul", "ol"):
+                        lists.append(c)
+                    elif t == "table":
+                        tables.append(c)
+                    elif t in ("object", "embed", "iframe"):
+                        embeds.append(c)
+                    elif t in ("h1", "h2", "h3", "h4", "h5", "h6"):
+                        headings.append(c)
+                    if c.children:
+                        stack.append((children, i, n))
+                        children = c.children
+                        i, n = 0, len(children)
+            if not stack:
+                return lists, tables, embeds, headings, n_p, n_img, n_li, n_input
+            children, i, n = stack.pop()
+
     def _should_remove_conditionally(self, node: Element, tag: str) -> bool:
+        lists, tables, embeds, headings, n_p, n_img, n_li, n_input = (
+            self._collect_removal_elements(node)
+        )
+
         is_list = tag in ("ul", "ol")
         if not is_list:
             list_length = 0
-            for lst in node.get_elements_by_tag_name("ul", "ol"):
+            for lst in lists:
                 list_length += len(T.inner_text(lst))
             total = len(T.inner_text(node))
             is_list = total > 0 and list_length / total > 0.9
@@ -1280,7 +1337,7 @@ class Readability:
             return False
         if node.has_ancestor_tag("code"):
             return False
-        if any(t.data_table for t in node.get_elements_by_tag_name("table")):
+        if any(t.data_table for t in tables):
             return False
 
         weight = self._get_class_weight(node)
@@ -1288,16 +1345,14 @@ class Readability:
             return True
 
         if self._get_char_count(node, ",") < 10:
-            p = len(node.get_elements_by_tag_name("p"))
-            img = len(node.get_elements_by_tag_name("img"))
-            li = len(node.get_elements_by_tag_name("li")) - 100
-            inputs = len(node.get_elements_by_tag_name("input"))
-            heading_density = self._get_text_density(
-                node, ("h1", "h2", "h3", "h4", "h5", "h6")
-            )
+            p = n_p
+            img = n_img
+            li = n_li - 100
+            inputs = n_input
+            heading_density = self._text_density_over(node, headings)
 
             embed_count = 0
-            for embed in node.get_elements_by_tag_name("object", "embed", "iframe"):
+            for embed in embeds:
                 if any(
                     self._allowed_video_regex.search(v) for v in embed.attrs.values()
                 ):

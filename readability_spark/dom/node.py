@@ -392,6 +392,44 @@ class Element(Node):
         self._tc = (ep, text)
         return text
 
+    def has_descendant_tag(self, *names: str) -> bool:
+        """True iff any descendant element's tag is in ``names`` — the
+        early-exit form of ``bool(get_elements_by_tag_name(*names))`` (no
+        snapshot list, stops at the first hit)."""
+        stack: list = list(self.children)
+        while stack:
+            node = stack.pop()
+            if node.is_element:
+                if node.tag in names:
+                    return True
+                stack.extend(node.children)
+        return False
+
+    def has_text_content(self, ws_chars: str) -> bool:
+        """True iff any descendant text node has a char outside ``ws_chars``
+        — equivalent to ``text_content.strip(ws_chars) != ""`` but with an
+        early exit at the first contentful text node, no join, and no cache
+        fill. Consumes fresh ``text_content`` caches where present (checks
+        the cached string instead of descending)."""
+        ep = _EPOCH[0]
+        tc = self._tc
+        if tc is not None and tc[0] == ep:
+            return bool(tc[1].strip(ws_chars))
+        stack: list = list(self.children)
+        while stack:
+            node = stack.pop()
+            if node.is_text:
+                if node.data.strip(ws_chars):
+                    return True
+            elif node.is_element:
+                ntc = node._tc
+                if ntc is not None and ntc[0] == ep:
+                    if ntc[1].strip(ws_chars):
+                        return True
+                else:
+                    stack.extend(node.children)
+        return False
+
     def set_text(self, text: str) -> None:
         for c in list(self.children):
             c.remove()
