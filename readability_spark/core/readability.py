@@ -358,11 +358,17 @@ class Readability:
 
     # ---------------------------------------------------------------- metrics
     def _get_link_density(self, el: Element) -> float:
+        # Anchor snapshot first: with no <a> descendants the density is 0
+        # regardless of text length (0/n == 0, and the n==0 branch also
+        # returns 0) — skips the subtree text walk for link-free nodes.
+        anchors = el.get_elements_by_tag_name("a")
+        if not anchors:
+            return 0.0
         text_length = len(T.inner_text(el))
         if text_length == 0:
             return 0.0
         link_length = 0.0
-        for a in el.get_elements_by_tag_name("a"):
+        for a in anchors:
             href = a.get_attr("href")
             coeff = 0.3 if (href and RX_HASH_URL.match(href)) else 1.0
             link_length += len(T.inner_text(a)) * coeff
