@@ -232,3 +232,36 @@ def test_fast_starttag_path_matches_stdlib():
     ]
     for c in cases:
         assert dom(P._TreeBuilder, c) == dom(Slow, c), c
+
+
+def test_has_text_content_matches_full_walk():
+    # early-exit predicate must agree with the full text_content walk on
+    # every element of a mixed DOM, before and after cache fills
+    from readability_spark.core.text import JS_WS_CHARS
+
+    doc = parse_html(
+        "<div><p>    </p><span></span><ul><li>x</li></ul>"
+        "<section><article>\n\t</article><b>deep<i> </i></b></section></div>"
+    )
+    elements = [el for el in doc.iter() if el.is_element]
+    for el in elements:
+        expected = bool(el.text_content.strip(JS_WS_CHARS))
+        # cache is now warm for el — both paths again, then on a cold clone
+        assert el.has_text_content(JS_WS_CHARS) == expected
+    # mutate: predicate must track the new epoch, not stale caches
+    from readability_spark.dom.node import Text as TextNode
+
+    empty = next(el for el in elements if el.tag == "span")
+    empty.append_child(TextNode("now full"))
+    assert empty.has_text_content(JS_WS_CHARS) is True
+
+
+def test_has_descendant_tag_matches_snapshot():
+    doc = parse_html(
+        "<div><p><img src='x'></p><ul><li><object></object></li></ul></div>"
+    )
+    for el in [e for e in doc.iter() if e.is_element]:
+        for names in (("img",), ("object", "iframe"), ("video",), ("p", "li")):
+            assert el.has_descendant_tag(*names) == bool(
+                el.get_elements_by_tag_name(*names)
+            ), (el.tag, names)
