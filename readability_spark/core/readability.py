@@ -179,6 +179,7 @@ class Readability:
         disable_jsonld: bool = False,
         link_density_modifier: float = 0.0,
         allowed_video_regex=None,
+        serialize_content: bool = True,
     ) -> None:
         self._doc = doc
         self._article_title: Optional[str] = None
@@ -196,6 +197,11 @@ class Readability:
         self._disable_jsonld = disable_jsonld
         self._allowed_video_regex = allowed_video_regex or RX_VIDEOS
         self._link_density_modifier = link_density_modifier
+        # serialize_content=False skips building the content-HTML string and
+        # the flat textContent (the text-only Spark path consumes the
+        # _articleContent DOM via canonical_text instead); the cleanup and
+        # post-processing passes still run, so the DOM is identical.
+        self._serialize_content = serialize_content
         self._flags = FLAG_STRIP_UNLIKELYS | FLAG_WEIGHT_CLASSES | FLAG_CLEAN_CONDITIONALLY
         self._doc_url = DocumentUrl.from_document(doc, doc.base_uri)
         # raw source (decoded) for cheap pristine-body restoration on retries
@@ -1523,15 +1529,17 @@ class Readability:
             if paragraphs:
                 metadata["excerpt"] = T.js_trim(paragraphs[0].text_content)
 
-        text_content = article_content.text_content
+        text_content = (
+            article_content.text_content if self._serialize_content else None
+        )
         return {
             "title": self._article_title,
             "byline": metadata.get("byline") or self._article_byline,
             "dir": self._article_dir,
             "lang": self._article_lang,
-            "content": inner_html(article_content),
+            "content": inner_html(article_content) if self._serialize_content else None,
             "textContent": text_content,
-            "length": len(text_content),
+            "length": len(text_content) if text_content is not None else None,
             "excerpt": metadata.get("excerpt"),
             "siteName": metadata.get("siteName") or self._article_site_name,
             "publishedTime": metadata.get("publishedTime"),

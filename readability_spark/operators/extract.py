@@ -110,6 +110,10 @@ def make_extract_batches(options: Optional[dict] = None, include_html: bool = Tr
     """Build the mapInPandas function (options captured in the closure,
     broadcast implicitly with the serialized function)."""
     options = dict(options or {})
+    if not include_html:
+        # text-only output: skip building the content-HTML string inside
+        # parse() (canonical_text reads the article DOM directly)
+        options.setdefault("serialize_content", False)
 
     def extract_batches(batches: Iterator) -> Iterator:
         import pandas as pd
