@@ -164,6 +164,45 @@ def _parse_int_prefix(s: Optional[str]) -> int:
     return int(m.group(0)) if m else 0
 
 
+# Pure-function memos for the per-node regex predicates. Crawl corpora reuse
+# a small vocabulary of class/id strings across millions of elements, so the
+# unlikely-candidate, class-weight, and inline-style decisions repeat
+# endlessly; all three are deterministic functions of the attribute string
+# alone, so worker-lifetime memo dicts are byte-identity safe. Capped with a
+# wholesale clear (not LRU — hit paths must stay one dict probe).
+_MEMO_CAP = 100_000
+_STYLE_MEMO: dict = {}
+_UNLIKELY_MEMO: dict = {}
+_NEGPOS_MEMO: dict = {}
+
+
+def _unlikely_verdict(match_string: str) -> "tuple[bool, bool]":
+    v = _UNLIKELY_MEMO.get(match_string)
+    if v is None:
+        v = (
+            RX_UNLIKELY.search(match_string) is not None,
+            RX_MAYBE_CANDIDATE.search(match_string) is not None,
+        )
+        if len(_UNLIKELY_MEMO) > _MEMO_CAP:
+            _UNLIKELY_MEMO.clear()
+        _UNLIKELY_MEMO[match_string] = v
+    return v
+
+
+def _negpos_weight(s: str) -> int:
+    w = _NEGPOS_MEMO.get(s)
+    if w is None:
+        w = 0
+        if RX_NEGATIVE.search(s):
+            w -= 25
+        if RX_POSITIVE.search(s):
+            w += 25
+        if len(_NEGPOS_MEMO) > _MEMO_CAP:
+            _NEGPOS_MEMO.clear()
+        _NEGPOS_MEMO[s] = w
+    return w
+
+
 class Readability:
     """Single-document extractor. ``Readability(doc).parse()`` → article dict."""
 
@@ -231,12 +270,18 @@ class Readability:
         style = el.get_attr("style")
         if not style:
             return {}
+        cached = _STYLE_MEMO.get(style)
+        if cached is not None:
+            return cached
         out = {}
         for prop, value in iter_declarations(style):
             # CSSOM-style normalization: keyword values lowercased,
             # !important priority stripped from the value
             value = re.sub(r"\s*!\s*important\s*$", "", value, flags=re.I).strip()
             out[prop] = value.lower()
+        if len(_STYLE_MEMO) > _MEMO_CAP:
+            _STYLE_MEMO.clear()
+        _STYLE_MEMO[style] = out
         return out
 
     def _is_probably_visible(self, el: Element) -> bool:
@@ -385,15 +430,9 @@ class Readability:
             return 0
         weight = 0
         if not el.is_svg and el.class_name:
-            if RX_NEGATIVE.search(el.class_name):
-                weight -= 25
-            if RX_POSITIVE.search(el.class_name):
-                weight += 25
+            weight += _negpos_weight(el.class_name)
         if el.id:
-            if RX_NEGATIVE.search(el.id):
-                weight -= 25
-            if RX_POSITIVE.search(el.id):
-                weight += 25
+            weight += _negpos_weight(el.id)
         return weight
 
     def _get_char_count(self, el: Element, sep: str = ",") -> int:
@@ -800,9 +839,10 @@ class Readability:
                     continue
 
                 if strip_unlikely:
+                    unlikely, maybe_candidate = _unlikely_verdict(match_string)
                     if (
-                        RX_UNLIKELY.search(match_string)
-                        and not RX_MAYBE_CANDIDATE.search(match_string)
+                        unlikely
+                        and not maybe_candidate
                         and not node.has_ancestor_tag("table")
                         and not node.has_ancestor_tag("code")
                         and node.tag != "body"
