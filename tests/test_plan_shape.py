@@ -582,3 +582,35 @@ def test_cdc_chunking_zero_shuffle_until_fp_groupby(spark):
     assert plan2.count("Exchange") == 2, plan2
     assert "hashpartitioning(chunk_fp" in plan2, plan2
     assert "md5" in plan2.lower(), plan2
+
+
+def test_lm_scoring_broadcasts_context_counts(spark):
+    """Perplexity scoring: the exploded document-bigram stream shuffles
+    ONCE (the (w1, w2) model join); the vocabulary-bounded context-count
+    side rides a BroadcastHashJoin, not a second corpus-sized exchange."""
+    from readability_spark.operators.lm import lm_perplexity
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(lm_perplexity(docs))
+    assert "BroadcastHashJoin" in plan
+    # the left-outer context join must be the broadcast one: with
+    # broadcast_contexts=False the same plan gains one more SortMergeJoin
+    from readability_spark.operators.lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    # with auto-broadcast off, only the explicit hint keeps the context
+    # join a broadcast; the fallback path gains a shuffled join
+    c2, c1, vocab = train_bigram_lm(docs)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fused = plan_of(score_perplexity(docs, c2, c1, vocab))
+        fallback = plan_of(
+            score_perplexity(docs, c2, c1, vocab, broadcast_contexts=False)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert fused.count("BroadcastHashJoin") > fallback.count("BroadcastHashJoin")
+    assert fallback.count("SortMergeJoin") > fused.count("SortMergeJoin")
