@@ -120,14 +120,12 @@ def make_extract_batches(options: Optional[dict] = None, include_html: bool = Tr
 
         import pandas as pd
 
-        # A parsed DOM allocates tens of thousands of cyclic containers per
-        # document; CPython's default gen0 threshold (700) fires dozens of
-        # young-gen scans per doc over objects that all survive until the
-        # doc completes — measured ~10% of per-doc wall on the bench corpus.
-        # Raise the thresholds for this worker (workers are reused across
-        # tasks, which is fine — the setting is idempotent) and bound the
-        # floating cyclic garbage with one explicit collect per Arrow batch.
-        gc.set_threshold(200_000, 50, 50)
+        from readability_spark.operators.workergc import tune_worker_gc
+
+        # see workergc: delayed young-gen scans over the per-doc DOM storm,
+        # plus one explicit collect per Arrow batch to bound the floating
+        # cyclic garbage the delay accumulates
+        tune_worker_gc()
 
         names = [f.name for f in ARTICLE_SCHEMA.fields]
         for pdf in batches:
@@ -184,9 +182,14 @@ def extract_debug(df: DataFrame, k: int = 5) -> DataFrame:
     )
 
     def batches(it: Iterator) -> Iterator:
+        import gc
+
         import pandas as pd
 
         from readability_spark.core.candidates import top_candidates
+        from readability_spark.operators.workergc import tune_worker_gc
+
+        tune_worker_gc()
 
         for pdf in it:
             out = []
@@ -198,6 +201,7 @@ def extract_debug(df: DataFrame, k: int = 5) -> DataFrame:
                 except Exception:
                     ranked = []
                 out.append({"url": u, "top_candidates": ranked})
+            gc.collect()
             yield pd.DataFrame(out, columns=["url", "top_candidates"])
 
     cols = [c for c in ("url", "html") if c in df.columns]
@@ -217,9 +221,14 @@ def extract_token_paths(df: DataFrame) -> DataFrame:
     )
 
     def batches(it: Iterator) -> Iterator:
+        import gc
+
         import pandas as pd
 
         from readability_spark.core.tokenfinder import find_article_path
+        from readability_spark.operators.workergc import tune_worker_gc
+
+        tune_worker_gc()
 
         for pdf in it:
             out = []
@@ -229,6 +238,7 @@ def extract_token_paths(df: DataFrame) -> DataFrame:
                 except Exception:
                     path = None
                 out.append({"url": u, "top_path": path})
+            gc.collect()
             yield pd.DataFrame(out, columns=["url", "top_path"])
 
     cols = [c for c in ("url", "html") if c in df.columns]
@@ -248,10 +258,15 @@ def readerable(df: DataFrame) -> DataFrame:
     )
 
     def batches(it: Iterator) -> Iterator:
+        import gc
+
         import pandas as pd
 
         from readability_spark.core.readerable import is_probably_readerable
         from readability_spark.dom.parser import parse_html
+        from readability_spark.operators.workergc import tune_worker_gc
+
+        tune_worker_gc()
 
         for pdf in it:
             out = []
@@ -261,6 +276,7 @@ def readerable(df: DataFrame) -> DataFrame:
                 except Exception:
                     ok = False
                 out.append({"url": u, "readerable": ok})
+            gc.collect()
             yield pd.DataFrame(out, columns=["url", "readerable"])
 
     cols = [c for c in ("url", "html") if c in df.columns]
