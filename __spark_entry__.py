@@ -64,9 +64,21 @@ def _docs_p(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized page table, fanned out across the session's parallelism.
+
+    Same single-row-group layout artifact as ``_docs_p``: the sf parquet is
+    ONE row group, so every extraction-family query (extract, readerable,
+    candidate probe, token-density elector) would otherwise run its heavy
+    per-doc Python stage as a single task. The explicit url-hash
+    repartition is job.py's --pre-salt move (north rule: salted
+    repartitioning on url-hash); the partition count is pinned because the
+    shuffled bytes are small enough that AQE's byte-based coalesce would
+    fold an unpinned repartition back to one partition."""
     from readability_spark.sources.pages import synthesize_pages
 
-    return synthesize_pages(spark, sf_dir)
+    return synthesize_pages(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, F.col("url")
+    )
 
 
 def _extract(spark: SparkSession, sf_dir: str) -> DataFrame:
