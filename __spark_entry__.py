@@ -41,23 +41,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """documents, fanned out across the session's parallelism.
+
+    The sf parquet ships as ONE row group, so without the explicit
+    repartition EVERY query's map-side stage — shingle/bigram explodes,
+    minhash, per-doc Python — runs as a single task (scan, explode and
+    partial aggregation fuse into one stage, so parallelism only recovers
+    after the first shuffle). That is a layout artifact of the tiny local
+    fixture, not of the operators: at production scale the scan arrives
+    already split by spark.sql.files.maxPartitionBytes. The pinned
+    doc_id-hash repartition mirrors job.py's salted input move; Catalyst
+    prunes columns through RepartitionByExpression, so slim queries still
+    ship only the columns they read. Measured: lm_perplexity 23.9s ->
+    ~3s, tokenfinder 7s -> 1.6s (via the same fix in _pages)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
 
 
 def _docs_p(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents with the scan fanned out across the session's shuffle
-    parallelism. The sf parquet ships as ONE row group, so a query whose
-    first stage is heavy per-row Python (media synthesis + codecs) would
-    otherwise run that whole stage on a single task — a layout artifact
-    of the tiny local files, not of the operators themselves, which keep
-    their zero-shuffle contract (at production scale the scan arrives
-    already split). The explicit hash repartition here is the same move
-    job.py makes on its input (north rule: salted repartitioning), and
-    it ships only the slim doc_id projection the synthesizers consume.
-    The partition COUNT is pinned explicitly: the shuffled bytes are tiny
-    (doc ids), so AQE's coalesce would fold an unpinned repartition right
-    back to one partition — bytes are the wrong proxy when the next stage
-    is CPU-heavy Python per row."""
+    """Historical alias: the fan-out now lives in ``_docs`` itself (every
+    query needs it, not just the media synthesizers — see _docs). Kept so
+    the media queries' call sites read unchanged; CollapseRepartition
+    folds the adjacent identical repartitions into one."""
     return _docs(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
