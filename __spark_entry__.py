@@ -13,6 +13,7 @@ precision on both sides; timestamps are compared as formatted strings.
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 from collections.abc import Callable
@@ -2931,26 +2932,57 @@ def _q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_report(score_logreg(feats, w), n_bins=10)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order = verification priority, not narrative order.
+_COVERAGE_MAP = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH", "DRIVER_COVERAGE.json"
+)
 
-    The round driver's oracle pass walks this dict front to back and has
-    historically recorded rows for only a bounded prefix (CORRECTNESS_r03
-    stopped at the first 50 of 76). Priority under that cap: (1) the
-    flagship ``extract_articles`` — freshest row every round; (2) the nine
-    queries that had never had a driver row in any round as of r3 (ANN
-    int8/IVF, semdedup, media codecs, duplicate_spans, corpus_mix);
-    (3) queries new in r4; (4) the r02-green block; (5) the r03-green
-    block. With 144 entries no 50-row prefix can cover everything, so the
-    COMPLETE gate is tests/test_oracle_parity.py (every entry vs its
-    DuckDB oracle at sf0.001, run by plain pytest) plus the committed
-    sf0.01 sweep record BENCH/SELFCHECK_r04.md.
 
-    r5 note: rotate the entries that sit past the r4 prefix (the r4-new
-    block after position 50 and the r02-green block) to the front so the
-    union of driver rounds keeps growing.
+def _coverage_rotate(
+    reg: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Mechanical registry rotation from the committed driver-coverage map.
+
+    The round driver's oracle pass records rows for only a bounded prefix of
+    this dict (50 entries per round, observed r1-r4), so which operators get
+    a driver-verified row is decided entirely by dict order. Rounds 2-4
+    rotated by hand (a docstring note); this makes it mechanical (VERDICT r4
+    item 1): ``scripts/build_coverage.py`` regenerates
+    ``BENCH/DRIVER_COVERAGE.json`` from the CORRECTNESS_r*.json artifacts,
+    and the registry sorts itself at call time by (last round with a driver
+    row, declaration order). Never-checked queries sort first, so the union
+    of driver-checked queries grows every round until it covers the whole
+    registry. ``extract_articles`` is pinned at position 1 regardless — the
+    flagship gets the freshest row every round (VERDICT r4 item 8).
+
+    If the map is missing or unreadable the declaration order stands.
     """
-    return {
+    try:
+        with open(_COVERAGE_MAP) as fh:
+            last = json.load(fh)["last_driver_round"]
+    except Exception:
+        return reg
+    names = list(reg)
+    decl = {n: i for i, n in enumerate(names)}
+    rotated = sorted(
+        (n for n in names if n != "extract_articles"),
+        key=lambda n: (last.get(n, 0), decl[n]),
+    )
+    return {n: reg[n] for n in ["extract_articles", *rotated]}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order = verification priority, computed — not maintained.
+
+    The dict below is declared in narrative (family) order; the returned
+    dict is that registry rotated by :func:`_coverage_rotate` so the round
+    driver's bounded 50-row oracle prefix always lands on the queries with
+    the stalest (or no) driver-verified row, flagship first. With 185
+    entries no 50-row prefix can cover everything, so the COMPLETE gate is
+    tests/test_oracle_parity.py (every entry vs its DuckDB oracle at
+    sf0.001, run by plain pytest) plus the committed sf0.01 full-registry
+    sweep record (BENCH/SELFCHECK_r05.md).
+    """
+    return _coverage_rotate({
         # -- flagship first: the one row the whole engine is judged on gets
         # the freshest driver-oracle check every round ------------------------
         "extract_articles": _q_extract_articles,
@@ -3150,7 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
-    }
+    })
 
 
 # ---------------------------------------------------------------------------
