@@ -54,10 +54,33 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-hash repartition mirrors job.py's salted input move; Catalyst
     prunes columns through RepartitionByExpression, so slim queries still
     ship only the columns they read. Measured: lm_perplexity 23.9s ->
-    ~3s, tokenfinder 7s -> 1.6s (via the same fix in _pages)."""
+    ~3s, tokenfinder 7s -> 1.6s (via the same fix in _pages).
+
+    The fan-out is CONDITIONAL by family (VERDICT r4 item 3): per-doc-
+    Python and token-explode-heavy queries call this; slim column-
+    expression queries (projection/filter/agg, line-level explodes, small
+    joins) call :func:`_docs_slim` instead — for them the repartition was
+    a pure fixed cost at sandbox sf (url_canonical_dedup 0.38s -> 1.12s,
+    3-trial, r4) and at production scale an avoidable full shuffle of the
+    read columns ahead of a map-only/agg-only plan."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
         spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
+
+
+def _docs_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as the scan arrives — NO fan-out repartition.
+
+    For the slim family (pure column expressions, map-side-combinable
+    aggregations, line-level explodes, broadcast-small joins) the blanket
+    `_docs` repartition buys no parallelism worth its shuffle: the heavy
+    lifting is whole-stage-codegen'd into the scan stage and the first
+    real shuffle (the groupBy/join the query actually needs) restores
+    parallelism anyway. At production scale the scan arrives already
+    split by spark.sql.files.maxPartitionBytes, so the production plan
+    for these queries never pays a blanket reshuffle either — scan ->
+    agg, exactly what Catalyst emits from this reader."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _docs_p(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,7 +334,7 @@ def _variant_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two deterministic url spellings per doc (tracking params, fragments,
     default ports, mixed-case scheme/host) that must canonicalize to the
     same url — the dedup fodder for _q_url_canonical_dedup."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_slim(spark, sf_dir)
     base = F.concat(
         F.lit("http://"), F.col("source"), F.lit(".Example.com/doc/"),
         F.col("doc_id").cast("string"), F.lit(".html"),
@@ -364,7 +387,7 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.textstats import quality_score
 
-    return quality_score(_docs(spark, sf_dir))
+    return quality_score(_docs_slim(spark, sf_dir))
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,13 +399,13 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.textstats import fingerprint
 
-    return fingerprint(_docs(spark, sf_dir))
+    return fingerprint(_docs_slim(spark, sf_dir))
 
 
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.pii import pii_scrub, with_injected_pii
 
-    return pii_scrub(with_injected_pii(_docs(spark, sf_dir)))
+    return pii_scrub(with_injected_pii(_docs_slim(spark, sf_dir)))
 
 
 def _q_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,7 +465,7 @@ def _q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.plans.pipeline import build_training_corpus
     from readability_spark.sources.robots import parse_robots, synthesize_robots
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_slim(spark, sf_dir)
     did = F.col("doc_id").cast("string")
     path = (
         F.when(F.col("doc_id") % 5 == 4, F.concat(F.lit("/private/"), did, F.lit(".html")))
@@ -527,7 +550,7 @@ def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.urltools import blocklist_filter, host_of
 
-    urls = _docs(spark, sf_dir).select(
+    urls = _docs_slim(spark, sf_dir).select(
         F.concat(
             F.lit("http://"), F.col("source"), F.lit(".example.com/doc/"),
             F.col("doc_id").cast("string"), F.lit(".html"),
@@ -564,13 +587,13 @@ def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.cleaning import c4_clean, with_synthetic_lines
 
-    return c4_clean(with_synthetic_lines(_docs(spark, sf_dir)))
+    return c4_clean(with_synthetic_lines(_docs_slim(spark, sf_dir)))
 
 
 def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.cleaning import line_dedup, with_synthetic_lines
 
-    return line_dedup(with_synthetic_lines(_docs(spark, sf_dir)))
+    return line_dedup(with_synthetic_lines(_docs_slim(spark, sf_dir)))
 
 
 def _q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,7 +618,7 @@ def _q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.decontam import chunk_dedup
     from readability_spark.operators.dedup import with_injected_duplicates
 
-    return chunk_dedup(with_injected_duplicates(_docs(spark, sf_dir)))
+    return chunk_dedup(with_injected_duplicates(_docs_slim(spark, sf_dir)))
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,7 +634,7 @@ _MIX_TOTAL = 200
 def _q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.sampling import mix_corpus
 
-    return mix_corpus(_docs(spark, sf_dir), _MIX_WEIGHTS, total=_MIX_TOTAL)
+    return mix_corpus(_docs_slim(spark, sf_dir), _MIX_WEIGHTS, total=_MIX_TOTAL)
 
 
 def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,14 +696,14 @@ def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.operators.sampling import stratified_sample
 
     return stratified_sample(
-        _docs(spark, sf_dir), {"en": 0.5, "es": 0.25}, default_rate=0.1
+        _docs_slim(spark, sf_dir), {"en": 0.5, "es": 0.25}, default_rate=0.1
     ).select("doc_id", "lang", "u")
 
 
 def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.plans.pipeline import pack_into_sequences
 
-    return pack_into_sequences(_docs(spark, sf_dir))
+    return pack_into_sequences(_docs_slim(spark, sf_dir))
 
 
 def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,7 +717,7 @@ def _q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readability_spark.plans.pipeline import pack_by_token_budget
 
     return pack_by_token_budget(
-        _docs(spark, sf_dir), budget_tokens=600, group_col="source"
+        _docs_slim(spark, sf_dir), budget_tokens=600, group_col="source"
     )
 
 
@@ -1362,7 +1385,7 @@ def _link_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     11 source hosts, 7 target hosts, 3 path depths, 5 page slots → 105
     distinct hrefs with dense collisions (varied n_refs, contested modal
     anchors) even at the 500-doc gate scale."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_slim(spark, sf_dir)
     d = F.col("doc_id")
     seg = (
         F.when(d % 3 == 0, F.concat(F.lit("/p"), (d % 5).cast("string")))
@@ -1518,7 +1541,7 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_logreg,
     )
 
-    feats = quality_features(_docs(spark, sf_dir)).cache()
+    feats = quality_features(_docs_slim(spark, sf_dir)).cache()
     w = train_logreg(feats, lr=4.0, n_iter=16)
     return score_logreg(feats, w)
 
