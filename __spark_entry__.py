@@ -1812,10 +1812,13 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019) between the
     even- and odd-label halves of the embeddings table: forward-best
-    margin per source vector above 1.0, with the mutual-best flag.
-    Cosines are quantized to bigints before the neighborhood sums, so
-    the margin is one exact-integer division — bit-identical across
-    engines."""
+    margin per source vector above 1.0, with the mutual-best flag. The
+    executed candidate generator is the banded seeded-plane LSH shortlist
+    (the 10^12-vector plan — no cross join anywhere; pinned in
+    test_plan_shape.py); the oracle replays the identical key arithmetic,
+    shortlist, and margin math in SQL. Cosines are quantized to bigints
+    before the neighborhood sums, so the margin is one exact-integer
+    division — bit-identical across engines."""
     from readability_spark.operators.bitext import bitext_margin_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -7511,10 +7514,15 @@ SELECT doc_id, w::bigint AS w, rk::int AS rk FROM r WHERE rk <= {k}
 """
 
 
-def _bitext_pairs_oracle(k: int = 4, threshold: float = 1.0) -> str:
-    """Mirror of bitext.bitext_margin_pairs: quantized-bigint cosines,
-    exact top-k neighborhood sums per endpoint, margin = c*2k/(sa+sb),
-    forward-best above threshold with the backward-best mutual flag."""
+def _bitext_pairs_oracle(
+    k: int = 4, threshold: float = 1.0, b_bits: int = 6, n_tables: int = 16
+) -> str:
+    """Mirror of bitext.bitext_margin_pairs in its DEFAULT lsh mode: the
+    seeded-plane banded shortlist (same key arithmetic as the ann_lsh
+    oracles) gates which pairs are scored, then quantized-bigint cosines,
+    exact top-k neighborhood sums per endpoint over the SHORTLIST, margin
+    = c*2k/(sa+sb), forward-best above threshold with the backward-best
+    mutual flag."""
     dot = (
         "list_sum(list_transform(generate_series(1, len(a.embedding)), "
         "i -> a.embedding[i]::double * b.embedding[i]::double))"
@@ -7522,12 +7530,18 @@ def _bitext_pairs_oracle(k: int = 4, threshold: float = 1.0) -> str:
     na = "sqrt(list_sum(list_transform(a.embedding, x -> x::double * x::double)))"
     nb = "sqrt(list_sum(list_transform(b.embedding, x -> x::double * x::double)))"
     return f"""
-WITH a AS (SELECT vec_id AS src_id, embedding FROM embeddings WHERE label % 2 = 0),
+WITH {_lsh_keys_sql('embeddings', b_bits, n_tables)},
+a AS (SELECT vec_id AS src_id, embedding FROM embeddings WHERE label % 2 = 0),
 b AS (SELECT vec_id AS tgt_id, embedding FROM embeddings WHERE label % 2 = 1),
+cand AS (
+  SELECT DISTINCT ka.vec_id AS src_id, kb.vec_id AS tgt_id
+  FROM keys ka JOIN keys kb ON ka.tbl = kb.tbl AND ka.key = kb.key
+  JOIN a ON a.src_id = ka.vec_id
+  JOIN b ON b.tgt_id = kb.vec_id),
 scored AS (
   SELECT a.src_id, b.tgt_id,
          floor({dot} / ({na} * {nb}) * 10000.0 + 0.5)::bigint AS c
-  FROM a, b),
+  FROM cand JOIN a USING (src_id) JOIN b USING (tgt_id)),
 nna AS (
   SELECT src_id, sum(c) AS sum_a FROM (
     SELECT src_id, c,

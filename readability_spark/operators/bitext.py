@@ -18,13 +18,26 @@ integer arithmetic (order-independent — a float sum over an unordered
 group is not reproducible across engines) and the margin is a single
 double division of exact integers — bit-identical in Spark and DuckDB.
 
-Scale shape: at sf the candidate set is the full side-A × side-B cross
-join (the same honest small-scale stand-in the decontamination operator
-uses). At 10^12 vectors the candidate generator is the IVF/LSH shortlist
-(similarity.py) — margin scoring itself is unchanged: it only ever looks
-at each endpoint's top-k candidate rows, so the two window ranks stay
-k-bounded per key and the only shuffles are the two per-endpoint top-k
-exchanges. No per-row Python anywhere.
+Scale shape: the DEFAULT candidate generator is the banded seeded-plane
+LSH shortlist (``candidates="lsh"``, the same similarity.py machinery the
+ANN queries run): pairs share a b-bit key in any of L tables, so the
+candidate volume is output-sensitive — bucket-join sized, never |A|x|B| —
+and the executed plan at every scale is the 10^12-vector plan. Margin
+scoring is candidate-source-agnostic: it only ever looks at each
+endpoint's top-k candidate rows, so the two neighborhood aggregations
+stay k-bounded per key. ``candidates="cross"`` retains the exhaustive
+pairing as the tiny-scale oracle/semantics mode (unit tests of the margin
+math itself). No per-row Python anywhere.
+
+Shortlist recall is data-dependent exactly as documented on
+similarity.lsh_topk: production bitext embeddings put aligned pairs at
+cosine ~0.8+ (per-plane agreement p ~ 0.85+), where b=16+, L~8-16 holds
+near-exhaustive recall at a tiny candidate fraction. The sandbox's
+deliberately diffuse synthetic corpus (best cross-side cosine ~0.35,
+p ~ 0.61) sits at the hard end: the b=6/L=16 defaults keep ~1/5 of all
+pairs as candidates — with diffuse data ANN honestly approaches a scan,
+and that cost lives in these two explicit knobs, not a silent recall
+cliff.
 """
 
 from __future__ import annotations
@@ -33,7 +46,44 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from readability_spark.operators.similarity import _dot, _norm
+from readability_spark.operators.similarity import (
+    DEFAULT_PLANE_SEED,
+    _dot,
+    _infer_dim,
+    _norm,
+    lsh_table_keys,
+    seeded_planes,
+)
+
+
+def lsh_side_candidates(
+    emb: DataFrame,
+    side_col: str = "label",
+    n_planes: int = 6,
+    n_tables: int = 16,
+    seed: int = DEFAULT_PLANE_SEED,
+) -> DataFrame:
+    """Cross-side LSH candidate pairs (src_id, tgt_id): side A (even
+    ``side_col``) and side B (odd) vectors that share a ``n_planes``-bit
+    seeded-plane key in ANY of ``n_tables`` tables.
+
+    One scan builds all keys (plane table broadcast, map-side-combined
+    key assembly); the candidate join is a hash join on (tbl, key), so
+    per-bucket cost is |A-bucket| x |B-bucket| — output-sensitive, and the
+    only quadratic term is within a bucket, capped by the key width."""
+    planes = seeded_planes(
+        emb.sparkSession, n_planes * n_tables, _infer_dim(emb), seed
+    )
+    keys = lsh_table_keys(emb.select("vec_id", "embedding"), planes, n_planes)
+    sides = emb.select("vec_id", F.pmod(F.col(side_col), F.lit(2)).alias("_side"))
+    keyed = keys.join(sides, "vec_id")
+    ka = keyed.filter(F.col("_side") == 0).select(
+        F.col("vec_id").alias("src_id"), "tbl", "key"
+    )
+    kb = keyed.filter(F.col("_side") == 1).select(
+        F.col("vec_id").alias("tgt_id"), "tbl", "key"
+    )
+    return ka.join(kb, ["tbl", "key"]).select("src_id", "tgt_id").distinct()
 
 
 def bitext_margin_pairs(
@@ -41,10 +91,18 @@ def bitext_margin_pairs(
     k: int = 4,
     threshold: float = 1.0,
     side_col: str = "label",
+    candidates: str = "lsh",
+    n_planes: int = 6,
+    n_tables: int = 16,
+    seed: int = DEFAULT_PLANE_SEED,
 ) -> DataFrame:
     """Mine aligned pairs between side A (even ``side_col``) and side B
     (odd): forward-best margin per A vector above ``threshold``, with a
     ``mutual`` flag for pairs that are also the backward best.
+
+    ``candidates``: "lsh" (default — the scale plan, banded seeded-plane
+    shortlist via :func:`lsh_side_candidates`) or "cross" (exhaustive
+    pairing; tiny-scale oracle/semantics mode only).
 
     Output: (src_id, tgt_id, cos, margin, mutual) — cos is the quantized
     cosine/1e4, margin round4'd from one exact-integer division.
@@ -65,15 +123,7 @@ def bitext_margin_pairs(
         F.col("embedding").alias("b_emb"),
         _norm(F.col("embedding")).alias("b_norm"),
     )
-    # The broadcast-nested-loop join inherits the STREAM side's partition
-    # count, and a small parquet side arrives as ONE partition — which
-    # made the whole candidate compute + persist a single serial task
-    # (measured 8.3s -> 3.2s at sf0.1). Hash-repartition side A so the
-    # cross join's work spreads across the session's shuffle parallelism.
-    a = a.repartition(F.col("src_id"))
-    scored = a.crossJoin(b).select(
-        "src_id",
-        "tgt_id",
+    quantized_cos = (
         F.floor(
             _dot(F.col("a_emb"), F.col("b_emb"))
             / (F.col("a_norm") * F.col("b_norm"))
@@ -81,17 +131,38 @@ def bitext_margin_pairs(
             + 0.5
         )
         .cast("long")
-        .alias("c"),
+        .alias("c")
     )
+    if candidates == "lsh":
+        # Scale path: score ONLY the shortlist pairs. Both attach joins are
+        # hash joins on a single id (AQE broadcasts the side tables when a
+        # small scale makes them fit), so nothing here is ever |A|x|B|.
+        cand = lsh_side_candidates(
+            emb, side_col=side_col, n_planes=n_planes, n_tables=n_tables, seed=seed
+        )
+        scored = cand.join(a, "src_id").join(b, "tgt_id").select(
+            "src_id", "tgt_id", quantized_cos
+        )
+    elif candidates == "cross":
+        # Tiny-scale oracle/semantics mode. The broadcast-nested-loop join
+        # inherits the STREAM side's partition count, and a small parquet
+        # side arrives as ONE partition — which made the whole candidate
+        # compute + persist a single serial task (measured 8.3s -> 3.2s at
+        # sf0.1). Hash-repartition side A so the cross join's work spreads
+        # across the session's shuffle parallelism.
+        a = a.repartition(F.col("src_id"))
+        scored = a.crossJoin(b).select("src_id", "tgt_id", quantized_cos)
+    else:
+        raise ValueError(f"unknown candidates mode: {candidates!r}")
 
     # The candidate table feeds THREE consumers (nn_a, nn_b, the margin
     # join); without the persist each consumer re-executes the cosine
     # computation (measured 3x wall at sf0.1). DISK_ONLY, deliberately:
     # building the default in-memory columnar cache costs ~15x the disk
     # write on first materialization (per-batch compression dominates),
-    # and the consumers stream it back sequentially anyway. At 10^12
-    # vectors the candidate table is the IVF/LSH shortlist (k-bounded per
-    # endpoint), so the persisted footprint stays O(k·n), not O(n²).
+    # and the consumers stream it back sequentially anyway. In the default
+    # lsh mode the candidate table IS the shortlist — bucket-join sized —
+    # so the persisted footprint stays output-sensitive, never O(n²).
     scored = scored.persist(StorageLevel.DISK_ONLY)
 
     # Per-endpoint neighborhood density: exact bigint sum of the k largest

@@ -109,7 +109,7 @@ def test_bitext_margin_demotes_hub(spark):
     match0 /= np.linalg.norm(match0)
     tgts = [(list(hub), 1), (list(match0), 1)]
     emb = _mk_emb(spark, srcs + tgts)
-    out = {r.src_id: r for r in bitext_margin_pairs(emb, k=2, threshold=0.0).collect()}
+    out = {r.src_id: r for r in bitext_margin_pairs(emb, k=2, threshold=0.0, candidates="cross").collect()}
     assert out[0].tgt_id == 5  # match0 (vec_id 5) beats the hub (vec_id 4)
 
 
@@ -124,7 +124,7 @@ def test_bitext_mutual_flag(spark):
         ([0.9, 0.1, 0.0, 0.1], 1),
         ([0.1, 0.9, 0.0, 0.1], 1),
     ]
-    out = bitext_margin_pairs(_mk_emb(spark, v), k=1, threshold=0.0).collect()
+    out = bitext_margin_pairs(_mk_emb(spark, v), k=1, threshold=0.0, candidates="cross").collect()
     pairs = {(r.src_id, r.tgt_id): r.mutual for r in out}
     assert pairs == {(0, 2): True, (1, 3): True}
 

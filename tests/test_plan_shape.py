@@ -643,3 +643,15 @@ def test_heavy_family_keeps_fanout(spark):
     for name in ("extract_articles", "lm_perplexity"):
         plan = plan_of(q[name](spark, SF))
         assert "hashpartitioning" in plan, f"{name} lost its fan-out:\n{plan}"
+
+
+def test_bitext_executed_plan_is_shortlist(spark):
+    """bitext_pairs' executed candidate generator is the banded LSH
+    shortlist (VERDICT r4 item 2): the registry plan must contain NO
+    CartesianProduct / BroadcastNestedLoopJoin — O(|A|x|B|) candidates
+    are the one scale-killer this operator had left."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.queries()["bitext_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
