@@ -110,6 +110,20 @@ def main() -> int:
         "bm25_topk",
         "semdedup",
     }
+    # Queries whose PLAN changed this round run >=2 trials so the
+    # round-over-round table on them is falsifiable (VERDICT r4 item 3:
+    # single-trial rows made apparent 2-4x "regressions" unfalsifiable
+    # JVM-warmup noise). Regenerate per round from the round's diff.
+    plan_changed_this_round = {
+        # r5: conditional fan-out — slim family back to scan->agg
+        "url_canonical_dedup", "url_blocklist", "text_quality",
+        "text_fingerprints", "pii_scrub", "text_c4_clean", "line_dedup",
+        "chunk_dedup", "corpus_mix", "corpus_sequence_pack", "corpus_pack",
+        "corpus_build", "quality_classifier", "anchor_profile",
+        "crawl_frontier",
+        # r5: LSH-shortlist candidate generator
+        "bitext_pairs",
+    }
     for name in (
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
@@ -264,7 +278,12 @@ def main() -> int:
         "webdataset_roundtrip",
     ):
         fn = qmap[name]
-        n_tr = TRIALS if name in headline else 1
+        if name in headline:
+            n_tr = TRIALS
+        elif name in plan_changed_this_round:
+            n_tr = 2
+        else:
+            n_tr = 1
         queries[name] = timed(
             lambda fn=fn: fn(spark, SF_DIR).count(), name, trials=n_tr
         )

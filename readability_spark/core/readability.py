@@ -170,10 +170,27 @@ def _parse_int_prefix(s: Optional[str]) -> int:
 # endlessly; all three are deterministic functions of the attribute string
 # alone, so worker-lifetime memo dicts are byte-identity safe. Capped with a
 # wholesale clear (not LRU — hit paths must stay one dict probe).
+#
+# IMMUTABILITY ASSUMPTION: the memos bake in RX_UNLIKELY / RX_NEGATIVE /
+# RX_POSITIVE (and the CSS normalization) at first call. Those module
+# regexes are constants — anything that swaps them at runtime (a future
+# per-instance override, a test monkeypatch) MUST call clear_predicate_memos()
+# or stale verdicts persist for the worker's lifetime. Cached style dicts are
+# returned by reference and are READ-ONLY to callers.
 _MEMO_CAP = 100_000
 _STYLE_MEMO: dict = {}
 _UNLIKELY_MEMO: dict = {}
 _NEGPOS_MEMO: dict = {}
+
+
+def clear_predicate_memos() -> None:
+    """Reset the predicate memo caches. Required after monkeypatching
+    RX_UNLIKELY / RX_MAYBE_CANDIDATE / RX_NEGATIVE / RX_POSITIVE (tests)
+    — the memos key only on the attribute string and would otherwise keep
+    serving verdicts from the previous regexes."""
+    _STYLE_MEMO.clear()
+    _UNLIKELY_MEMO.clear()
+    _NEGPOS_MEMO.clear()
 
 
 def _unlikely_verdict(match_string: str) -> "tuple[bool, bool]":
@@ -267,6 +284,10 @@ class Readability:
 
     @staticmethod
     def _inline_style(el: Element) -> dict:
+        """Parsed inline style of ``el``. The returned dict may be the
+        worker-lifetime _STYLE_MEMO entry itself — treat it as READ-ONLY;
+        mutating it would poison the cache for every later document
+        sharing the same style string."""
         style = el.get_attr("style")
         if not style:
             return {}

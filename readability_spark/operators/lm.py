@@ -87,7 +87,7 @@ def score_perplexity(
     context_counts: DataFrame,
     vocab: DataFrame,
     k: float = 0.5,
-    broadcast_contexts: bool = True,
+    broadcast_contexts: "bool | str" = True,
 ) -> DataFrame:
     """Per-doc add-k bigram perplexity: (doc_id, n_bigrams, n_oov, ppl).
 
@@ -99,12 +99,25 @@ def score_perplexity(
     the context table has one row per distinct *training* token, i.e. it
     is vocabulary-bounded — the same contract that makes KenLM's vocab fit
     in memory per CCNet worker — so the exploded document-bigram stream
-    shuffles ONCE (on the (w1, w2) model join) instead of twice. Set it
-    False only for an unpruned vocabulary too large to broadcast (then the
-    plan falls back to a second (w1)-keyed shuffle of the doc bigrams).
+    shuffles ONCE (on the (w1, w2) model join) instead of twice.
+
+    CAUTION — the True default assumes a *pruned/bounded* vocabulary. The
+    hint is unconditional: on an unpruned web-scale token vocabulary it
+    will OOM the driver/executors building the broadcast table, and
+    nothing falls back automatically. Pass False for an unbounded
+    vocabulary (the plan then takes a second (w1)-keyed shuffle of the
+    doc bigrams — correct, just one more exchange), or "auto" to defer to
+    the session's spark.sql.autoBroadcastJoinThreshold (no forced hint:
+    Spark's size estimate decides, so an oversized table degrades to the
+    shuffled join instead of an OOM).
     """
     db = _doc_bigrams(docs)
-    ctx = F.broadcast(context_counts) if broadcast_contexts else context_counts
+    if broadcast_contexts == "auto":
+        ctx = context_counts  # planner decides from its size estimate
+    elif broadcast_contexts:
+        ctx = F.broadcast(context_counts)
+    else:
+        ctx = context_counts
     j = (
         db.join(bigram_counts, ["w1", "w2"], "left")
         .join(ctx, ["w1"], "left")

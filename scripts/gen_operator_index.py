@@ -24,6 +24,14 @@ column set, order-insensitive value hash). *Bench* = timed by `bench.py`
 at sf0.1 (walls in `BENCH/TRIALS.json`). The first line of each query's
 docstring describes what it computes; scale analyses live in
 `docs/SCALE.md` and `BENCH/CARDINALITY.md`.
+
+Shared-worker note: `operators/workergc.py` raises the Python GC
+thresholds process-wide in reused PySpark workers (gen0 700 → 200k) and
+never restores them. Every allocation-heavy Arrow batch function that
+shares those workers must therefore `gc.collect()` once per batch (the
+extraction/codec operators do) — a new batch operator that skips the
+per-batch collect runs under the delayed-collection regime and can hold
+floating cyclic garbage for the worker's lifetime.
 """
 
 
