@@ -3026,6 +3026,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": _q_duplicate_spans,
         "corpus_mix": _q_corpus_mix,
         "span_removal": _q_span_removal,
+        # r4's new codec surface (VERDICT r4 item 6): declared early in the
+        # never-checked block so the mechanical rotation lands them inside
+        # the driver's 50-row prefix this round
+        "h264_sps_dims": _q_h264_sps_dims,
+        "mp3_duration_stats": _q_mp3_duration_stats,
+        "jpeg_pixel_stats": _q_jpeg_pixel_stats,
         # -- replanned late-r4 (distinct-value banding + star-reduced cluster
         # edges): never driver-checked AND carrying the session's newest plan
         # changes, so they get the freshest verification slots ----------------
@@ -3130,9 +3136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": _q_bpe_segment,
         "text_normalize": _q_text_normalize,
         "cdx_entries": _q_cdx_entries,
-        "jpeg_pixel_stats": _q_jpeg_pixel_stats,
-        "mp3_duration_stats": _q_mp3_duration_stats,
-        "h264_sps_dims": _q_h264_sps_dims,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "kmv_source_overlap": _q_kmv_source_overlap,
