@@ -2961,6 +2961,22 @@ def _q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COVERAGE_MAP = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH", "DRIVER_COVERAGE.json"
 )
+# path -> parsed last_driver_round map (or None for missing/unreadable);
+# the file only changes when scripts/build_coverage.py rewrites it between
+# rounds, so one read per process is enough. Keyed on the path so tests
+# that monkeypatch _COVERAGE_MAP still exercise the fallback.
+_COVERAGE_CACHE: "dict[str, dict | None]" = {}
+
+
+def _coverage_last_rounds() -> "dict | None":
+    path = _COVERAGE_MAP
+    if path not in _COVERAGE_CACHE:
+        try:
+            with open(path) as fh:
+                _COVERAGE_CACHE[path] = json.load(fh)["last_driver_round"]
+        except Exception:
+            _COVERAGE_CACHE[path] = None
+    return _COVERAGE_CACHE[path]
 
 
 def _coverage_rotate(
@@ -2968,9 +2984,9 @@ def _coverage_rotate(
 ) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Mechanical registry rotation from the committed driver-coverage map.
 
-    The round driver's oracle pass records rows for only a bounded prefix of
-    this dict (50 entries per round, observed r1-r4), so which operators get
-    a driver-verified row is decided entirely by dict order. Rounds 2-4
+    The round driver's oracle pass records rows for only a bounded prefix
+    of this dict (23/32/50/50 entries in r1-r4), so which operators get a
+    driver-verified row is decided entirely by dict order. Rounds 2-4
     rotated by hand (a docstring note); this makes it mechanical (VERDICT r4
     item 1): ``scripts/build_coverage.py`` regenerates
     ``BENCH/DRIVER_COVERAGE.json`` from the CORRECTNESS_r*.json artifacts,
@@ -2982,10 +2998,8 @@ def _coverage_rotate(
 
     If the map is missing or unreadable the declaration order stands.
     """
-    try:
-        with open(_COVERAGE_MAP) as fh:
-            last = json.load(fh)["last_driver_round"]
-    except Exception:
+    last = _coverage_last_rounds()
+    if last is None:
         return reg
     names = list(reg)
     decl = {n: i for i, n in enumerate(names)}

@@ -67,22 +67,23 @@ def lsh_side_candidates(
     ``side_col``) and side B (odd) vectors that share a ``n_planes``-bit
     seeded-plane key in ANY of ``n_tables`` tables.
 
-    One scan builds all keys (plane table broadcast, map-side-combined
-    key assembly); the candidate join is a hash join on (tbl, key), so
-    per-bucket cost is |A-bucket| x |B-bucket| — output-sensitive, and the
-    only quadratic term is within a bucket, capped by the key width."""
+    Each side is filtered BEFORE keying, so every vector is keyed exactly
+    once (the sides are disjoint) and no corpus-sized join is spent
+    re-attaching side membership; the candidate join is a hash join on
+    (tbl, key), so per-bucket cost is |A-bucket| x |B-bucket| —
+    output-sensitive, and the only quadratic term is within a bucket,
+    capped by the key width. The broadcast plane table feeds both sides'
+    key builds."""
     planes = seeded_planes(
         emb.sparkSession, n_planes * n_tables, _infer_dim(emb), seed
     )
-    keys = lsh_table_keys(emb.select("vec_id", "embedding"), planes, n_planes)
-    sides = emb.select("vec_id", F.pmod(F.col(side_col), F.lit(2)).alias("_side"))
-    keyed = keys.join(sides, "vec_id")
-    ka = keyed.filter(F.col("_side") == 0).select(
-        F.col("vec_id").alias("src_id"), "tbl", "key"
-    )
-    kb = keyed.filter(F.col("_side") == 1).select(
-        F.col("vec_id").alias("tgt_id"), "tbl", "key"
-    )
+    parity = F.pmod(F.col(side_col), F.lit(2))
+    ka = lsh_table_keys(
+        emb.filter(parity == 0).select("vec_id", "embedding"), planes, n_planes
+    ).withColumnRenamed("vec_id", "src_id")
+    kb = lsh_table_keys(
+        emb.filter(parity == 1).select("vec_id", "embedding"), planes, n_planes
+    ).withColumnRenamed("vec_id", "tgt_id")
     return ka.join(kb, ["tbl", "key"]).select("src_id", "tgt_id").distinct()
 
 

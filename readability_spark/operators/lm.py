@@ -87,7 +87,7 @@ def score_perplexity(
     context_counts: DataFrame,
     vocab: DataFrame,
     k: float = 0.5,
-    broadcast_contexts: "bool | str" = True,
+    broadcast_contexts: bool = True,
 ) -> DataFrame:
     """Per-doc add-k bigram perplexity: (doc_id, n_bigrams, n_oov, ppl).
 
@@ -105,19 +105,19 @@ def score_perplexity(
     hint is unconditional: on an unpruned web-scale token vocabulary it
     will OOM the driver/executors building the broadcast table, and
     nothing falls back automatically. Pass False for an unbounded
-    vocabulary (the plan then takes a second (w1)-keyed shuffle of the
-    doc bigrams — correct, just one more exchange), or "auto" to defer to
-    the session's spark.sql.autoBroadcastJoinThreshold (no forced hint:
-    Spark's size estimate decides, so an oversized table degrades to the
-    shuffled join instead of an OOM).
+    vocabulary: no hint is forced, so the planner's own size estimate
+    decides — an oversized context table degrades to a second (w1)-keyed
+    shuffle of the doc bigrams (correct, just one more exchange) instead
+    of an OOM, and a genuinely small one may still broadcast (set
+    spark.sql.autoBroadcastJoinThreshold=-1 to force the shuffled join,
+    as the plan-shape test does).
     """
+    if not isinstance(broadcast_contexts, bool):
+        raise ValueError(
+            f"broadcast_contexts must be a bool, got {broadcast_contexts!r}"
+        )
     db = _doc_bigrams(docs)
-    if broadcast_contexts == "auto":
-        ctx = context_counts  # planner decides from its size estimate
-    elif broadcast_contexts:
-        ctx = F.broadcast(context_counts)
-    else:
-        ctx = context_counts
+    ctx = F.broadcast(context_counts) if broadcast_contexts else context_counts
     j = (
         db.join(bigram_counts, ["w1", "w2"], "left")
         .join(ctx, ["w1"], "left")

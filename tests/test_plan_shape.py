@@ -628,8 +628,13 @@ def test_slim_family_has_no_blanket_fanout(spark):
     for name in ("url_canonical_dedup", "text_quality", "url_blocklist",
                  "corpus_pack", "anchor_profile"):
         plan = plan_of(q[name](spark, SF))
-        assert "REPARTITION_BY_COL" not in plan and "RoundRobinPartitioning" \
-            not in plan, f"{name} pays a blanket fan-out:\n{plan}"
+        # the fan-out readers pin the partition count, which Spark tags
+        # REPARTITION_BY_NUM; an unpinned .repartition(col) would tag
+        # REPARTITION_BY_COL and a bare .repartition(n) RoundRobin
+        for marker in ("REPARTITION_BY_NUM", "REPARTITION_BY_COL",
+                       "RoundRobinPartitioning"):
+            assert marker not in plan, \
+                f"{name} pays a blanket fan-out ({marker}):\n{plan}"
 
 
 def test_heavy_family_keeps_fanout(spark):
@@ -642,7 +647,11 @@ def test_heavy_family_keeps_fanout(spark):
     q = entry.queries()
     for name in ("extract_articles", "lm_perplexity"):
         plan = plan_of(q[name](spark, SF))
-        assert "hashpartitioning" in plan, f"{name} lost its fan-out:\n{plan}"
+        # must be the explicit pinned-count repartition of the INPUT, not
+        # just any hashpartitioning exchange the query's own joins/aggs
+        # emit (lm_perplexity's model join would keep a bare
+        # "hashpartitioning" assertion green even with the fan-out gone)
+        assert "REPARTITION_BY_NUM" in plan, f"{name} lost its fan-out:\n{plan}"
 
 
 def test_bitext_executed_plan_is_shortlist(spark):
