@@ -276,6 +276,42 @@ def main() -> int:
         "span_removal",
         "webdataset_shards",
         "webdataset_roundtrip",
+        # r5: the 33 queries the tail had never timed — with these the
+        # bench covers the full 185-query registry (1 trial each; walls
+        # to TRIALS.json like the rest of the tail)
+        "dedup_simhash64",
+        "dedup_embedding_cosine",
+        "media_metadata",
+        "media_frame_samples",
+        "user_sessions",
+        "training_corpus_select",
+        "resume_pending_buckets",
+        "tpch_region_part_revenue",
+        "docs_rollup_stats",
+        "extract_metrics",
+        "extract_length_histogram",
+        "readerable_pages",
+        "candidate_paths",
+        "tokenfinder_real_paths",
+        "domain_stats",
+        "text_token_stats",
+        "text_lang_id",
+        "length_quantiles",
+        "robots_filter",
+        "snapshot_diff",
+        "domain_top_k",
+        "corpus_sample",
+        "corpus_pack_binned",
+        "warc_ingest",
+        "pdf_extract_text",
+        "page_outlinks",
+        "host_link_graph",
+        "link_pagerank",
+        "sitemap_entries",
+        "sitemap_recrawl",
+        "refetch_schedule",
+        "dedup_incremental_new",
+        "dedup_exact_groups",
     ):
         fn = qmap[name]
         if name in headline:
