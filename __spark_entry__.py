@@ -167,6 +167,41 @@ def _q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-JSONL training-shard manifest (C4/Pile/Dolma convention):
+    deterministic md5 shard assignment, one applyInPandas task per shard
+    building the pinned-serialization archive. ``payload_bytes`` (the
+    UNCOMPRESSED jsonl length) is MEASURED from the built lines; the
+    oracle recomputes it by rebuilding the identical line text with
+    string concatenation — an independent end-to-end check of the
+    serialization. gz_bytes is reported to users but excluded here
+    (compressed length is a zlib property, not closed-form)."""
+    from readability_spark.sources.jsonl import build_jsonl_shards
+
+    return build_jsonl_shards(_docs(spark, sf_dir), n_shards=16).select(
+        "shard_id", "n_docs", "payload_bytes"
+    )
+
+
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink → source identity for the gzip-JSONL shards: build the blobs,
+    parse them back with the mapInPandas gzip reader, and emit
+    (shard_id, doc_id, lang, source, n_chars_rt). The oracle reads NONE
+    of the gzip/json machinery — it derives the same rows straight from
+    the documents table plus the md5 shard assignment, so any byte damage
+    in the sink or reader breaks parity."""
+    from readability_spark.sources.jsonl import build_jsonl_blobs, parse_jsonl
+
+    parsed = parse_jsonl(build_jsonl_blobs(_docs(spark, sf_dir), n_shards=16))
+    return parsed.select(
+        "shard_id",
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars_rt"),
+    )
+
+
 def _q_extract_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction THROUGH the readerable-prefilter path (one parse serves
     the isProbablyReaderable gate and the grab — the crawl-shaped fast
@@ -3225,6 +3260,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
+        # -- new in r5 (declared last: the rotation already puts them after
+        # the older never-checked entries, so they cannot displace the
+        # verdict-priority block from the driver prefix) ----------------------
+        "jsonl_shards": _q_jsonl_shards,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
     })
 
 
@@ -3314,6 +3354,42 @@ def _webdataset_roundtrip_oracle() -> str:
     h32 = _h32_sql(tok="doc_id::varchar")
     return f"""
 SELECT (({h32}) % 16)::int AS shard_id, doc_id,
+       length(coalesce(text, ''))::bigint AS n_chars_rt
+FROM documents
+"""
+
+
+def _jsonl_shards_oracle() -> str:
+    """Mirror of sources.jsonl.build_jsonl_shards: the oracle REBUILDS the
+    pinned JSON line ('{"doc_id":D,"lang":"L","source":"S","text":"T"}'
+    + newline, fixed key order, no whitespace) with string concatenation
+    and sums its byte length per md5-assigned shard — independent of every
+    piece of the Python sink. Exact because the synthetic corpus text is
+    JSON-neutral ASCII (no escapes); the operator itself escapes
+    arbitrary text (pinned in tests/test_jsonl.py)."""
+    h32 = _h32_sql(tok="doc_id::varchar")
+    line = (
+        "'{\"doc_id\":' || doc_id::varchar || ',\"lang\":\"' || coalesce(lang, '') "
+        "|| '\",\"source\":\"' || coalesce(source, '') || '\",\"text\":\"' "
+        "|| coalesce(text, '') || '\"}'"
+    )
+    return f"""
+WITH assigned AS (
+  SELECT ({h32}) % 16 AS shard_id,
+         octet_length(encode({line})) + 1 AS line_bytes
+  FROM documents)
+SELECT shard_id::int AS shard_id,
+       count(*)::bigint AS n_docs,
+       sum(line_bytes)::bigint AS payload_bytes
+FROM assigned GROUP BY shard_id
+"""
+
+
+def _jsonl_roundtrip_oracle() -> str:
+    h32 = _h32_sql(tok="doc_id::varchar")
+    return f"""
+SELECT (({h32}) % 16)::int AS shard_id, doc_id,
+       coalesce(lang, '') AS lang, coalesce(source, '') AS source,
        length(coalesce(text, ''))::bigint AS n_chars_rt
 FROM documents
 """
@@ -8161,6 +8237,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "webdataset_shards": _webdataset_shards_oracle(),
         "webdataset_roundtrip": _webdataset_roundtrip_oracle(),
+        "jsonl_shards": _jsonl_shards_oracle(),
+        "jsonl_roundtrip": _jsonl_roundtrip_oracle(),
         "weighted_sample": _weighted_sample_oracle(),
         "bitext_pairs": _bitext_pairs_oracle(),
         "lsh_plan": lsh_parameter_plan_sql(perms=128, threshold=0.7),

@@ -312,6 +312,9 @@ def main() -> int:
         "refetch_schedule",
         "dedup_incremental_new",
         "dedup_exact_groups",
+        # r5-new operators
+        "jsonl_shards",
+        "jsonl_roundtrip",
     ):
         fn = qmap[name]
         if name in headline:
