@@ -202,6 +202,41 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_aligned_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCAligned-style cross-lingual pair mining from URL structure alone
+    (El-Kishky et al. 2020): strip the language identifier out of each
+    URL (path segment or lang= query, three deterministic spellings —
+    lowercase, UPPERCASE, ll-CC — plus a query-parameter class), elect
+    one doc per (key, lang), pair across languages. The oracle rebuilds
+    the same synthetic URLs and replays the identical regex chain
+    (patterns shared from the module constants; only the replacement
+    syntax differs per engine, $1 vs \\1)."""
+    from readability_spark.operators.urltools import url_aligned_pairs
+
+    docs = _docs_slim(spark, sf_dir)
+    d = F.col("doc_id")
+    cc = (
+        F.when(F.col("lang") == "en", "us")
+        .when(F.col("lang") == "zh", "cn")
+        .otherwise(F.col("lang"))
+    )
+    seg = (
+        F.when(d % 3 == 0, F.col("lang"))
+        .when(d % 3 == 1, F.upper(F.col("lang")))
+        .otherwise(F.concat(F.col("lang"), F.lit("-"), cc))
+    )
+    gid = (d % 10).cast("string")
+    base = F.concat(F.lit("http://"), F.col("source"), F.lit(".example.com"))
+    url = F.when(
+        d % 5 == 0,
+        F.concat(base, F.lit("/doc/"), gid, F.lit(".html?lang="), seg, F.lit("&x=1")),
+    ).otherwise(
+        F.concat(base, F.lit("/"), seg, F.lit("/doc/"), gid, F.lit(".html"))
+    )
+    pages = docs.select(url.alias("url"), "lang")
+    return url_aligned_pairs(pages)
+
+
 def _q_extract_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction THROUGH the readerable-prefilter path (one parse serves
     the isProbablyReaderable gate and the grab — the crawl-shaped fast
@@ -3265,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verdict-priority block from the driver prefix) ----------------------
         "jsonl_shards": _q_jsonl_shards,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "url_aligned_pairs": _q_url_aligned_pairs,
     })
 
 
@@ -3356,6 +3392,45 @@ def _webdataset_roundtrip_oracle() -> str:
 SELECT (({h32}) % 16)::int AS shard_id, doc_id,
        length(coalesce(text, ''))::bigint AS n_chars_rt
 FROM documents
+"""
+
+
+def _url_aligned_pairs_oracle() -> str:
+    """Mirror of _q_url_aligned_pairs: identical synthetic URL build,
+    the module's own URL_LANG_SEG_RE / URL_LANG_QUERY_RE patterns (RE2
+    replacement syntax), min-url election per (key, lang), cross-lang
+    self-join with lang_a < lang_b."""
+    from readability_spark.operators.urltools import (
+        URL_LANG_QUERY_RE,
+        URL_LANG_SEG_RE,
+    )
+
+    seg = (
+        "CASE doc_id % 3 WHEN 0 THEN lang WHEN 1 THEN upper(lang) "
+        "ELSE lang || '-' || (CASE lang WHEN 'en' THEN 'us' WHEN 'zh' THEN 'cn' "
+        "ELSE lang END) END"
+    )
+    url = (
+        "CASE WHEN doc_id % 5 = 0 THEN "
+        "'http://' || source || '.example.com/doc/' || (doc_id % 10)::varchar "
+        f"|| '.html?lang=' || ({seg}) || '&x=1' "
+        "ELSE 'http://' || source || '.example.com/' || ({seg}) || '/doc/' "
+        "|| (doc_id % 10)::varchar || '.html' END"
+    ).replace("({seg})", f"({seg})")
+    return f"""
+WITH pages AS (
+  SELECT {url} AS url, lang FROM documents),
+keyed AS (
+  SELECT regexp_replace(
+           regexp_replace(url, '{URL_LANG_SEG_RE}', '/*/'),
+           '{URL_LANG_QUERY_RE}', '\\1lang=*\\2') AS url_key,
+         lang, url
+  FROM pages),
+elected AS (
+  SELECT url_key, lang, min(url) AS url FROM keyed GROUP BY 1, 2)
+SELECT a.url_key, a.lang AS lang_a, a.url AS url_a,
+       b.lang AS lang_b, b.url AS url_b
+FROM elected a JOIN elected b ON a.url_key = b.url_key AND a.lang < b.lang
 """
 
 
@@ -8239,6 +8314,7 @@ def oracle_sql() -> dict[str, str]:
         "webdataset_roundtrip": _webdataset_roundtrip_oracle(),
         "jsonl_shards": _jsonl_shards_oracle(),
         "jsonl_roundtrip": _jsonl_roundtrip_oracle(),
+        "url_aligned_pairs": _url_aligned_pairs_oracle(),
         "weighted_sample": _weighted_sample_oracle(),
         "bitext_pairs": _bitext_pairs_oracle(),
         "lsh_plan": lsh_parameter_plan_sql(perms=128, threshold=0.7),

@@ -315,6 +315,7 @@ def main() -> int:
         # r5-new operators
         "jsonl_shards",
         "jsonl_roundtrip",
+        "url_aligned_pairs",
     ):
         fn = qmap[name]
         if name in headline:

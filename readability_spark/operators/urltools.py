@@ -441,3 +441,78 @@ def url_date_report(pages: DataFrame, url_col: str = "url") -> DataFrame:
         .groupBy("year", "month")
         .agg(F.count("*").cast("bigint").alias("n_urls"))
     )
+
+
+# --- CCAligned-style URL-pattern document alignment -------------------------
+#
+# El-Kishky et al. 2020 ("CCAligned: A Massive Collection of Cross-Lingual
+# Web-Document Pairs", EMNLP) mine aligned document pairs from Common Crawl
+# with NO content signal at all: strip the language identifier out of each
+# URL, and documents whose URLs collapse to the same language-agnostic key
+# are translations of one another. This is the no-annotation sibling of
+# pagemeta.hreflang_clusters (which needs the publisher to declare
+# alternates) and the seed-corpus generator for bitext.bitext_margin_pairs
+# (which refines candidate pairs with embedding margins).
+
+# The language identifiers stripped from path segments and lang= queries.
+# CCAligned matches a large ISO-639 table; the module constant keeps the
+# shared Spark/DuckDB regex bounded and covers the corpus + the common
+# two-letter and ll-CC web conventions for these languages.
+URL_LANG_CODES = (
+    "en", "es", "fr", "de", "zh", "en-us", "en-gb", "es-es", "es-mx",
+    "fr-fr", "fr-ca", "de-de", "zh-cn", "zh-tw",
+)
+
+# '/en/', '/fr-fr/' ... as a whole path segment (case-insensitive; both
+# bounding slashes matched — no lookahead, the Java-regex/RE2 shared
+# subset the repo's oracle patterns live in). A trailing '/en' before
+# the filename is NOT matched — CCAligned only strips full segments,
+# which is what keeps false merges rare. One segment per URL is the
+# web convention this targets; adjacent segments ('/en/fr/') would
+# need a second pass, documented out of scope.
+_SEG_ALT = "|".join(c.replace("-", "\\-") for c in URL_LANG_CODES)
+URL_LANG_SEG_RE = f"/(?i:{_SEG_ALT})/"
+URL_LANG_QUERY_RE = f"([?&])lang=(?i:{_SEG_ALT})(&|$)"
+
+
+def strip_url_lang(col) -> Column:
+    """Language-agnostic URL key: full path segments and lang= query
+    params that spell a known language code are replaced by '*'. Pure
+    regexp_replace chain — pattern constants shared with the oracle
+    (replacement syntax differs per engine: $1 in Spark/Java, \\1 in
+    DuckDB/RE2)."""
+    no_seg = F.regexp_replace(col, URL_LANG_SEG_RE, "/*/")
+    return F.regexp_replace(no_seg, URL_LANG_QUERY_RE, "$1lang=*$2")
+
+
+def url_aligned_pairs(
+    pages: DataFrame, url_col: str = "url", lang_col: str = "lang"
+) -> DataFrame:
+    """Cross-lingual document pairs mined from URL structure alone:
+    (url_key, lang_a, url_a, lang_b, url_b) for every unordered language
+    pair sharing a language-stripped key, lang_a < lang_b.
+
+    Scale shape: one doc is ELECTED per (key, lang) first (min url — a
+    map-side-combinable struct-min groupBy, CCAligned's own one-doc-per-
+    slot rule), so the self-join on the key has at most |languages| rows
+    per side per key — per-key fan-out is structurally bounded by the
+    language inventory (dozens), never by corpus size, and no hot-key
+    salting is needed. Two shuffles total (election, key join); all
+    expressions codegen."""
+    keyed = pages.select(
+        strip_url_lang(F.col(url_col)).alias("url_key"),
+        F.col(lang_col).alias("lang"),
+        F.col(url_col).alias("url"),
+    )
+    elected = keyed.groupBy("url_key", "lang").agg(F.min("url").alias("url"))
+    a = elected.select(
+        "url_key", F.col("lang").alias("lang_a"), F.col("url").alias("url_a")
+    )
+    b = elected.select(
+        "url_key", F.col("lang").alias("lang_b"), F.col("url").alias("url_b")
+    )
+    return (
+        a.join(b, "url_key")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .select("url_key", "lang_a", "url_a", "lang_b", "url_b")
+    )

@@ -405,3 +405,51 @@ def test_cc_star_converges_in_logarithmic_rounds(spark):
     }
     assert out == {i: 0 for i in range(n)}
     assert stats["rounds"] <= 14, f"CC took {stats['rounds']} rounds on a {n}-path"
+
+
+# ---------------------------------------------------------------------------
+# CCAligned-style URL-pattern alignment (urltools.url_aligned_pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_strip_url_lang_segments_and_query(spark):
+    from readability_spark.operators.urltools import strip_url_lang
+    from pyspark.sql import functions as F
+
+    cases = {
+        "http://a.com/en/doc/1.html": "http://a.com/*/doc/1.html",
+        "http://a.com/EN/doc/1.html": "http://a.com/*/doc/1.html",
+        "http://a.com/fr-FR/doc/1.html": "http://a.com/*/doc/1.html",
+        # trailing segment before the filename is NOT a full segment
+        "http://a.com/doc/en": "http://a.com/doc/en",
+        # 'enx' is not a language code
+        "http://a.com/enx/doc/1.html": "http://a.com/enx/doc/1.html",
+        "http://a.com/d.html?lang=es&x=1": "http://a.com/d.html?lang=*&x=1",
+        "http://a.com/d.html?x=1&lang=zh-CN": "http://a.com/d.html?x=1&lang=*",
+        # lang= mid-token must not match (xlang=)
+        "http://a.com/d.html?xlang=en": "http://a.com/d.html?xlang=en",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = {r.url: r.k for r in df.select("url", strip_url_lang(F.col("url")).alias("k")).collect()}
+    assert got == cases
+
+
+def test_url_aligned_pairs_elects_and_pairs(spark):
+    from readability_spark.operators.urltools import url_aligned_pairs
+
+    rows = [
+        # one key, three langs, two docs for 'en' (election picks min url)
+        ("http://s.com/en/p/1.html", "en"),
+        ("http://s.com/EN/p/1.html", "en"),
+        ("http://s.com/fr/p/1.html", "fr"),
+        ("http://s.com/de/p/1.html", "de"),
+        # a key with only one lang: no pair
+        ("http://s.com/es/p/2.html", "es"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "lang"])
+    out = url_aligned_pairs(df).collect()
+    pairs = {(r.lang_a, r.lang_b): (r.url_a, r.url_b) for r in out}
+    assert set(pairs) == {("de", "en"), ("de", "fr"), ("en", "fr")}
+    # min-url election: 'EN' < 'en' lexicographically
+    assert pairs[("de", "en")][1] == "http://s.com/EN/p/1.html"
+    assert all(r.url_key == "http://s.com/*/p/1.html" for r in out)
