@@ -3086,7 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The dict below is declared in narrative (family) order; the returned
     dict is that registry rotated by :func:`_coverage_rotate` so the round
     driver's bounded 50-row oracle prefix always lands on the queries with
-    the stalest (or no) driver-verified row, flagship first. With 185
+    the stalest (or no) driver-verified row, flagship first. With 188
     entries no 50-row prefix can cover everything, so the COMPLETE gate is
     tests/test_oracle_parity.py (every entry vs its DuckDB oracle at
     sf0.001, run by plain pytest) plus the committed sf0.01 full-registry
