@@ -237,6 +237,18 @@ def _q_url_aligned_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_aligned_pairs(pages)
 
 
+def _q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law slope of each source's token frequency spectrum (OLS of
+    log freq on log rank) — the companion corpus-statistics diagnostic to
+    the Heaps vocab-growth curve. ln() runs on exact integer inputs and
+    is quantized to a 1e6 bigint grid, every OLS sum is exact integer
+    arithmetic (decimal/hugeint for the cross products), and the slope is
+    one round4'd double division — cross-engine exact."""
+    from readability_spark.operators.textstats import zipf_slope
+
+    return zipf_slope(_docs_slim(spark, sf_dir))
+
+
 def _q_extract_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction THROUGH the readerable-prefilter path (one parse serves
     the isProbablyReaderable gate and the grab — the crawl-shaped fast
@@ -3301,6 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_shards": _q_jsonl_shards,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "url_aligned_pairs": _q_url_aligned_pairs,
+        "zipf_slope": _q_zipf_slope,
     })
 
 
@@ -3392,6 +3405,40 @@ def _webdataset_roundtrip_oracle() -> str:
 SELECT (({h32}) % 16)::int AS shard_id, doc_id,
        length(coalesce(text, ''))::bigint AS n_chars_rt
 FROM documents
+"""
+
+
+def _zipf_slope_oracle(group: str = "source") -> str:
+    """Mirror of textstats.zipf_slope: same spectrum rank order (count
+    desc, token asc), same 1e6 ln grid, hugeint cross products, one
+    round4 division (NULL when the x-variance is zero)."""
+    return f"""
+WITH toks AS (
+  SELECT {group} AS grp, unnest(string_split(text, ' ')) AS tok FROM documents),
+counts AS (
+  SELECT grp, tok, count(*) AS c FROM toks WHERE tok != '' GROUP BY 1, 2),
+ranked AS (
+  SELECT grp, tok, c,
+         row_number() OVER (PARTITION BY grp ORDER BY c DESC, tok ASC) AS rank
+  FROM counts),
+q AS (
+  SELECT grp, c,
+         floor(ln(rank) * 1000000.0 + 0.5)::bigint AS qx,
+         floor(ln(c) * 1000000.0 + 0.5)::bigint AS qy
+  FROM ranked),
+a AS (
+  SELECT grp, count(*)::bigint AS n_types, sum(c)::bigint AS n_tokens,
+         sum(qx)::hugeint AS sx, sum(qy)::hugeint AS sy,
+         sum(qx::hugeint * qy::hugeint) AS sxy,
+         sum(qx::hugeint * qx::hugeint) AS sxx
+  FROM q GROUP BY grp)
+SELECT grp, n_types, n_tokens,
+       CASE WHEN n_types::hugeint * sxx - sx * sx = 0 THEN NULL
+            ELSE floor(((n_types::hugeint * sxy - sx * sy)::double
+                        / (n_types::hugeint * sxx - sx * sx)::double)
+                       * 10000.0 + 0.5) / 10000.0
+       END AS zipf_slope
+FROM a
 """
 
 
@@ -8315,6 +8362,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_shards": _jsonl_shards_oracle(),
         "jsonl_roundtrip": _jsonl_roundtrip_oracle(),
         "url_aligned_pairs": _url_aligned_pairs_oracle(),
+        "zipf_slope": _zipf_slope_oracle(),
         "weighted_sample": _weighted_sample_oracle(),
         "bitext_pairs": _bitext_pairs_oracle(),
         "lsh_plan": lsh_parameter_plan_sql(perms=128, threshold=0.7),

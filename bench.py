@@ -316,6 +316,7 @@ def main() -> int:
         "jsonl_shards",
         "jsonl_roundtrip",
         "url_aligned_pairs",
+        "zipf_slope",
     ):
         fn = qmap[name]
         if name in headline:

@@ -940,3 +940,62 @@ def filter_attrition(
             )
         ).alias("tokens_rate"),
     )
+
+
+def zipf_slope(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Zipf-law slope per group: OLS fit of log(freq) on log(rank) over
+    the group's token frequency spectrum — the companion diagnostic to
+    :func:`vocab_growth` (Heaps). Natural text sits near slope -1;
+    boilerplate-heavy or template corpora flatten (repeated tokens fatten
+    the head), spam with generated gibberish steepens the tail. Output:
+    (grp, n_types, n_tokens, zipf_slope).
+
+    Scale shape: one map-side-combined groupBy((grp, token)) count — the
+    only corpus-sized shuffle — then a per-group rank window over the
+    VOCABULARY-sized spectrum (the same vocab-bounded contract as
+    lexical_diversity / the LM tables) and one final per-group aggregate.
+
+    Engine determinism: ln(rank) and ln(count) are computed on exact
+    integer inputs and quantized to a 1e6 bigint grid; every OLS sum is
+    then exact integer arithmetic (decimal(38) for the cross products,
+    which overflow int64 at web vocabularies), so both engines divide
+    the same two integers — the slope is round4'd from one double
+    division. Rank ties broken by token text, so the spectrum is a
+    total order shared with the oracle.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(F.col(group_col).alias("grp"), F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("grp", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("c"), F.asc("tok"))
+    q = counts.withColumn("rank", F.row_number().over(w)).select(
+        "grp",
+        "c",
+        F.floor(F.log(F.col("rank").cast("double")) * 1e6 + 0.5)
+        .cast("long")
+        .alias("qx"),
+        F.floor(F.log(F.col("c").cast("double")) * 1e6 + 0.5).cast("long").alias("qy"),
+    )
+    dec = "decimal(38,0)"
+    agg = q.groupBy("grp").agg(
+        F.count("*").alias("n_types"),
+        F.sum("c").alias("n_tokens"),
+        F.sum("qx").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum(F.col("qx").cast(dec) * F.col("qy").cast(dec)).alias("sxy"),
+        F.sum(F.col("qx").cast(dec) * F.col("qx").cast(dec)).alias("sxx"),
+    )
+    n = F.col("n_types").cast(dec)
+    num = (n * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy").cast(dec)).cast("double")
+    den = (n * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx").cast(dec)).cast("double")
+    return agg.select(
+        "grp",
+        "n_types",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        # a single-type group has zero x-variance: no fittable slope
+        F.when(den != 0, round4(num / den)).alias("zipf_slope"),
+    )

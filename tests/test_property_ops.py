@@ -116,3 +116,38 @@ def test_blocklist_suffix_matches_reference(spark, hosts, blocked):
         h = u[len("http://"):-len("/p")]
         ref_blocked = any(h == d or h.endswith("." + d) for d in blocked)
         assert got[u] == (not ref_blocked), (u, blocked)
+
+
+def test_zipf_slope_near_minus_one_on_zipfian_text(spark):
+    """A synthetic corpus drawn with exact Zipfian token counts must fit a
+    slope of ~-1; a uniform-frequency corpus must fit ~0 (flat spectrum)."""
+    from pyspark.sql import Row
+    from readability_spark.operators.textstats import zipf_slope
+
+    # exact counts c_r = round(1000/r) for ranks 1..50 -> slope ~ -1
+    zipf_words = " ".join(
+        " ".join([f"w{r:02d}"] * round(1000 / r)) for r in range(1, 51)
+    )
+    flat_words = " ".join(" ".join([f"u{r:02d}"] * 20) for r in range(1, 51))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, source="zipf", text=zipf_words),
+            Row(doc_id=1, source="flat", text=flat_words),
+        ]
+    )
+    out = {r.grp: r for r in zipf_slope(docs).collect()}
+    assert out["zipf"].n_types == 50
+    assert -1.15 < out["zipf"].zipf_slope < -0.85
+    assert out["flat"].zipf_slope == 0.0
+
+
+def test_zipf_slope_single_type_group_has_no_slope(spark):
+    from pyspark.sql import Row
+    from readability_spark.operators.textstats import zipf_slope
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, source="one", text="same same same")]
+    )
+    row = zipf_slope(docs).collect()[0]
+    assert row.n_types == 1 and row.n_tokens == 3
+    assert row.zipf_slope is None
