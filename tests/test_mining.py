@@ -174,3 +174,26 @@ def test_lsh_plan_default_banding_is_optimal(spark):
     rows = lsh_parameter_plan(spark, perms=128, threshold=0.7).collect()
     best = min(rows, key=lambda r: r.objective)
     assert (best.bands, best.rows_per_band) == (16, 8)
+
+
+def test_bitext_shortlist_recall_measured(spark):
+    """The LSH-shortlist mode's mined pairs vs the exhaustive mode's, on
+    the deliberately diffuse synthetic corpus (best cross-side cosine
+    ~0.35, per-plane agreement p ~0.61 — the hard end for hyperplane
+    LSH). Deterministic (seeded planes, fixed corpus): measured overlap
+    138/230 = 0.600 at sf0.001, 120/217 = 0.553 at sf0.01, 539/931 =
+    0.579 at sf0.1 — right where 1-(1-p^6)^16 predicts. Production
+    bitext embeddings (aligned cosine ~0.8+, p ~0.85+) run b=16+ at
+    near-exhaustive recall; this floor pins that the sandbox defaults
+    don't silently collapse."""
+    from readability_spark.operators.bitext import bitext_margin_pairs
+
+    emb = spark.read.parquet(f"{sf_dir()}/embeddings.parquet")
+    cross = {(r.src_id, r.tgt_id)
+             for r in bitext_margin_pairs(emb, candidates="cross").collect()}
+    lsh = {(r.src_id, r.tgt_id) for r in bitext_margin_pairs(emb).collect()}
+    recall = len(cross & lsh) / len(cross)
+    assert recall >= 0.5, f"shortlist recall collapsed: {recall:.3f}"
+    # pair VOLUME stays comparable: margins re-rank within the shortlist,
+    # so the miner still yields ~one pair per covered source vector
+    assert 0.8 <= len(lsh) / len(cross) <= 1.2
