@@ -21,7 +21,19 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+# Python workers forked by a LATER-started daemon inherit the driver
+# process env, not the driver's sys.path — without this, any harness that
+# imports this module from a cwd other than the repo root gets
+# ModuleNotFoundError('readability_spark') inside every Arrow UDF task
+# (r1-r4 harnesses always ran from the repo root, so it never surfaced).
+if _REPO_DIR not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_DIR + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _REPO_DIR
+    )
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
